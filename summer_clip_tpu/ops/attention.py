@@ -1,0 +1,175 @@
+"""Attention ops: XLA reference implementation + Pallas fused kernel for TPU.
+
+The CLIP towers (reference dependency: openai/CLIP's PyTorch
+``ResidualAttentionBlock``) run their FLOPs through multi-head attention.
+On TPU we provide:
+
+- ``mha_reference``: pure-jnp scaled dot-product attention. XLA already fuses
+  the softmax chain well; this is the correctness oracle and the CPU path.
+- ``flash_attention``: a Pallas kernel with online softmax, blocked over the
+  key/value sequence so the (T, T) score matrix never hits HBM. Used for the
+  image towers where T = 197 (ViT-B/16) .. 577 (ViT-L/14@336) and the text
+  tower (T = 77).
+
+Sequence lengths in this workload are small (<= 1024), so the kernel's main
+win is fusing QK^T -> softmax -> PV into one VMEM-resident pass per block.
+"""
+
+from __future__ import annotations
+
+import functools
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+__all__ = ["mha_reference", "flash_attention", "multi_head_attention"]
+
+
+def mha_reference(q: jax.Array, k: jax.Array, v: jax.Array,
+                  mask: tp.Optional[jax.Array] = None,
+                  scale: tp.Optional[float] = None) -> jax.Array:
+    """Scaled dot-product attention.
+
+    q, k, v: (..., T, head_dim) with identical leading dims (batch, heads).
+    mask: optional additive mask broadcastable to (..., Tq, Tk)
+          (use -inf/-1e9 for disallowed positions).
+    """
+    head_dim = q.shape[-1]
+    scale = scale if scale is not None else 1.0 / (head_dim ** 0.5)
+    scores = jnp.einsum("...qd,...kd->...qk", q, k, preferred_element_type=jnp.float32)
+    scores = scores * scale
+    if mask is not None:
+        scores = scores + mask
+    weights = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    return jnp.einsum("...qk,...kd->...qd", weights, v)
+
+
+def _pad_to(x: jax.Array, axis: int, multiple: int, value: float = 0.0) -> tp.Tuple[jax.Array, int]:
+    size = x.shape[axis]
+    target = -(-size // multiple) * multiple
+    if target == size:
+        return x, size
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, target - size)
+    return jnp.pad(x, pad, constant_values=value), size
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "block_q", "block_k", "interpret"))
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
+                    causal: bool = False, block_q: int = 128, block_k: int = 128,
+                    interpret: bool = False) -> jax.Array:
+    """Fused attention, q/k/v: (BH, T, head_dim) -> (BH, Tq, head_dim).
+
+    Pads T and head_dim up to lane multiples; padded key positions are
+    masked out by padding k with a large negative offset trick — instead we
+    mask via the causal/validity logic: padded keys get score -1e30 through
+    zero-padded k only when q.k == 0 isn't safe, so we pad scores by tracking
+    kv_len in-kernel. For simplicity and exactness, padded kv rows are
+    handled by padding v with zeros and k with zeros, then masking padded
+    columns inside the kernel via kv position >= true length.
+    """
+    bh, tq, d0 = q.shape
+    _, tk, _ = k.shape
+    scale = 1.0 / (d0 ** 0.5)
+
+    # pad head_dim to the 128-lane width; zero-padded features add 0 to the
+    # dot products, so scores and outputs are exact after slicing back
+    q, _ = _pad_to(q, 2, 128)
+    k, _ = _pad_to(k, 2, 128)
+    v, _ = _pad_to(v, 2, 128)
+    d = q.shape[2]
+
+    q_p, tq0 = _pad_to(q, 1, block_q)
+    k_p, tk0 = _pad_to(k, 1, block_k)
+    v_p, _ = _pad_to(v, 1, block_k)
+    # mask padded keys: fold validity into the causal-style mask by giving
+    # padded keys an effectively -inf score via an additive bias row
+    kv_len = k_p.shape[1]
+
+    def kernel(q_ref, k_ref, v_ref, o_ref):
+        q_blk = q_ref[0].astype(jnp.float32) * scale
+        bq, dd = q_blk.shape
+        num_kb = kv_len // block_k
+        m0 = jnp.full((bq, 1), -jnp.inf, jnp.float32)
+        l0 = jnp.zeros((bq, 1), jnp.float32)
+        acc0 = jnp.zeros((bq, dd), jnp.float32)
+        q_idx = pl.program_id(1)
+
+        def body(kb, carry):
+            m, l, acc = carry
+            k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+            v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+            s = jnp.dot(q_blk, k_blk.T, preferred_element_type=jnp.float32)
+            k_pos = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            valid = k_pos < tk0
+            if causal:
+                q_pos = q_idx * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                valid = jnp.logical_and(valid, q_pos >= k_pos)
+            s = jnp.where(valid, s, -1e30)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m - m_new)
+            l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc_new = acc * alpha + jnp.dot(p, v_blk, preferred_element_type=jnp.float32)
+            return m_new, l_new, acc_new
+
+        m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+        o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+    tq_pad = q_p.shape[1]
+    grid = (bh, tq_pad // block_q)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, kv_len, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, kv_len, d), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, tq_pad, d), q.dtype),
+        interpret=interpret,
+    )(q_p, k_p, v_p)
+    return out[:, :tq0, :d0]
+
+
+def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
+                         num_heads: int, mask: tp.Optional[jax.Array] = None,
+                         causal: bool = False, use_flash: tp.Optional[bool] = None) -> jax.Array:
+    """Split heads, attend, merge. q/k/v: (B, T, D) with D = H * head_dim.
+
+    ``use_flash=None`` auto-selects: Pallas kernel on TPU backends, jnp
+    reference elsewhere. An explicit additive ``mask`` forces the reference
+    path (the fused kernel supports only causal/validity masking).
+    """
+    b, tq, dm = q.shape
+    tk = k.shape[1]
+    hd = dm // num_heads
+
+    def split(x, t):
+        return x.reshape(b, t, num_heads, hd).transpose(0, 2, 1, 3)
+
+    qh, kh, vh = split(q, tq), split(k, tk), split(v, tk)
+
+    if use_flash is None:
+        use_flash = (mask is None) and jax.default_backend() == "tpu"
+
+    if use_flash and mask is None:
+        o = flash_attention(
+            qh.reshape(b * num_heads, tq, hd),
+            kh.reshape(b * num_heads, tk, hd),
+            vh.reshape(b * num_heads, tk, hd),
+            causal=causal,
+        ).reshape(b, num_heads, tq, hd)
+    else:
+        attn_mask = mask
+        if causal:
+            cmask = jnp.where(
+                jnp.tril(jnp.ones((tq, tk), bool)), 0.0, -1e30
+            ).astype(jnp.float32)
+            attn_mask = cmask if attn_mask is None else attn_mask + cmask
+        o = mha_reference(qh, kh, vh, mask=attn_mask)
+
+    return o.transpose(0, 2, 1, 3).reshape(b, tq, dm)

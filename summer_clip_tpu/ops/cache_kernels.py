@@ -1,0 +1,161 @@
+"""Fused cache-attention kernel: ``out[b] = exp(-beta_b * (1 - F @ C^T)) @ V``.
+
+This is THE hot op of the framework. It serves both:
+
+- **Tip-Adapter** (reference ``summer_clip/tip_adapter/utils.py:109-118``):
+  ``cache_logits = exp(-beta(1-affinity)) @ values`` recomputed inside a
+  200x20 beta/alpha grid search, and
+- **CLIP-search image-attention** (reference
+  ``summer_clip/clip_searcher/cache_weights_strategy.py:28-36`` +
+  ``image_attention.py:106-110``): the same contraction swept over beta.
+
+TPU-first design (not a port): instead of materializing the (Nt, Nc)
+weight matrix in HBM once per beta like the reference, we run a
+flash-attention-style Pallas kernel blocked over the cache length Nc with
+f32 accumulation in VMEM, and batch the whole beta sweep into the kernel so
+the expensive ``F @ C^T`` affinity block is computed once per beta-chunk and
+reused for every beta in the chunk. The (Nt, Nc) intermediate never leaves
+VMEM. Since the affinity is a cosine similarity in [-1, 1], the exponent is
+bounded (<= 1) and no online-max rescaling is needed.
+
+The beta sweep collapses from O(B) full passes to O(B / BETA_BLOCK) affinity
+passes; the ``@ V`` contraction (the part that genuinely scales with B) stays.
+
+No softmax: the cache "attention" is an unnormalized exponential affinity.
+"""
+
+from __future__ import annotations
+
+import functools
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+__all__ = [
+    "cache_attention_reference", "cache_attention", "cache_attention_auto",
+]
+
+
+def cache_attention_reference(test_features: jax.Array, cache_features: jax.Array,
+                              cache_values: jax.Array, betas: jax.Array) -> jax.Array:
+    """Dense oracle. test (Nt, D), cache (Nc, D), values (Nc, C), betas (B,).
+
+    Returns (B, Nt, C) in float32. Inputs are assumed L2-normalized along D
+    (the caller normalizes, matching ``cache_weights_strategy.py:19-21``).
+    """
+    affinity = jnp.dot(test_features.astype(jnp.float32), cache_features.T.astype(jnp.float32))
+    betas = betas.astype(jnp.float32).reshape(-1, 1, 1)
+    weights = jnp.exp(-betas * (1.0 - affinity[None]))
+    return jnp.einsum("bqn,nc->bqc", weights, cache_values.astype(jnp.float32))
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _pad_axis(x: jax.Array, axis: int, target: int) -> jax.Array:
+    if x.shape[axis] == target:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, target - x.shape[axis])
+    return jnp.pad(x, pad)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_q", "block_n", "block_b", "interpret"),
+)
+def cache_attention(test_features: jax.Array, cache_features: jax.Array,
+                    cache_values: jax.Array, betas: jax.Array, *,
+                    block_q: int = 128, block_n: int = 512, block_b: int = 8,
+                    interpret: bool = False) -> jax.Array:
+    """Pallas fused kernel. Shapes as in :func:`cache_attention_reference`.
+
+    Padding strategy: D and C pad with zeros (exact — zero features add 0 to
+    the dot product, zero value-columns are sliced away); Nc pads with zero
+    *value rows* so padded cache entries contribute exp(-b(1-0)) * 0 = 0;
+    Nt pad rows are sliced from the output; the beta axis pads by repeating
+    the last beta and slicing.
+    """
+    nt, d = test_features.shape
+    nc, _ = cache_features.shape
+    _, c = cache_values.shape
+    b = betas.shape[0]
+
+    d_p = _ceil_to(d, 128)
+    c_p = _ceil_to(max(c, 128), 128)
+    nt_p = _ceil_to(nt, block_q)
+    nc_p = _ceil_to(nc, block_n)
+    b_p = _ceil_to(b, block_b)
+
+    f = _pad_axis(_pad_axis(test_features, 1, d_p), 0, nt_p)
+    cf = _pad_axis(_pad_axis(cache_features, 1, d_p), 0, nc_p)
+    v = _pad_axis(_pad_axis(cache_values, 1, c_p), 0, nc_p)
+    bet = jnp.concatenate([
+        betas.astype(jnp.float32),
+        jnp.full((b_p - b,), betas[-1], jnp.float32),
+    ]) if b_p != b else betas.astype(jnp.float32)
+    bet2d = bet.reshape(b_p // block_b, block_b)
+
+    num_n = nc_p // block_n
+
+    def kernel(beta_ref, f_ref, c_ref, v_ref, o_ref):
+        n_idx = pl.program_id(2)
+
+        @pl.when(n_idx == 0)
+        def _():
+            o_ref[:] = jnp.zeros_like(o_ref)
+
+        fq = f_ref[:].astype(jnp.float32)            # (block_q, d_p)
+        cn = c_ref[:].astype(jnp.float32)            # (block_n, d_p)
+        vn = v_ref[:].astype(jnp.float32)            # (block_n, c_p)
+        aff = jax.lax.dot_general(
+            fq, cn, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                            # (block_q, block_n)
+        for bi in range(block_b):
+            beta = beta_ref[0, bi]
+            w = jnp.exp(-beta * (1.0 - aff))
+            o_ref[bi] += jnp.dot(w, vn, preferred_element_type=jnp.float32)
+
+    grid = (b_p // block_b, nt_p // block_q, num_n)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_b), lambda bb, q, n: (bb, 0)),
+            pl.BlockSpec((block_q, d_p), lambda bb, q, n: (q, 0)),
+            pl.BlockSpec((block_n, d_p), lambda bb, q, n: (n, 0)),
+            pl.BlockSpec((block_n, c_p), lambda bb, q, n: (n, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_b, block_q, c_p), lambda bb, q, n: (bb, q, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b_p, nt_p, c_p), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nt_p * nc_p * d_p * (b_p // block_b)
+            + b_p * (2 * nt_p * nc_p * c_p + 2 * nt_p * nc_p),
+            bytes_accessed=(nt_p * d_p + nc_p * d_p + nc_p * c_p + b_p * nt_p * c_p) * 4,
+            transcendentals=b_p * nt_p * nc_p,
+        ),
+    )(bet2d, f, cf, v)
+    return out[:b, :nt, :c]
+
+
+def cache_attention_auto(test_features: jax.Array, cache_features: jax.Array,
+                         cache_values: jax.Array,
+                         betas: tp.Union[jax.Array, tp.Sequence[float], float],
+                         **kwargs) -> jax.Array:
+    """Dispatch: Pallas kernel on TPU, dense XLA reference elsewhere.
+
+    Accepts a scalar / python list of betas for convenience; always returns
+    (B, Nt, C).
+    """
+    if not isinstance(betas, jax.Array):
+        betas = jnp.atleast_1d(jnp.asarray(betas, jnp.float32))
+    if jax.default_backend() == "tpu":
+        return cache_attention(test_features, cache_features, cache_values, betas, **kwargs)
+    return cache_attention_reference(test_features, cache_features, cache_values, betas)

@@ -7,10 +7,17 @@ before jax initializes a backend, hence the top-of-conftest placement.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The axon TPU plugin (sitecustomize) sets jax_platforms programmatically,
+# overriding the env var — force CPU back via the config API before any
+# backend initializes.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 from pathlib import Path

@@ -1,0 +1,79 @@
+"""Kernel tests vs dense oracles (Pallas runs in interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from summer_clip_tpu.ops import attention as att
+from summer_clip_tpu.ops import cache_kernels as ca
+
+
+def _rand(key, *shape):
+    return jax.random.normal(jax.random.PRNGKey(key), shape, jnp.float32)
+
+
+class TestFlashAttention:
+    @pytest.mark.parametrize("tq,tk,d", [(77, 77, 64), (128, 256, 64), (100, 60, 96)])
+    def test_matches_reference(self, tq, tk, d):
+        q, k, v = _rand(0, 2, tq, d), _rand(1, 2, tk, d), _rand(2, 2, tk, d)
+        ref = att.mha_reference(q, k, v)
+        out = att.flash_attention(q, k, v, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+    def test_causal_matches_reference(self):
+        tq = tk = 80
+        q, k, v = _rand(3, 2, tq, 64), _rand(4, 2, tk, 64), _rand(5, 2, tk, 64)
+        mask = jnp.where(jnp.tril(jnp.ones((tq, tk), bool)), 0.0, -1e30)
+        ref = att.mha_reference(q, k, v, mask=mask)
+        out = att.flash_attention(q, k, v, causal=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+    def test_mha_wrapper_heads(self):
+        b, t, dm, h = 2, 64, 128, 4
+        q, k, v = _rand(6, b, t, dm), _rand(7, b, t, dm), _rand(8, b, t, dm)
+        out = att.multi_head_attention(q, k, v, num_heads=h, use_flash=False)
+        assert out.shape == (b, t, dm)
+        # head split must equal single-head attention on each slice
+        hd = dm // h
+        o0 = att.mha_reference(
+            q[:, :, :hd], k[:, :, :hd], v[:, :, :hd]
+        )
+        np.testing.assert_allclose(np.asarray(out[:, :, :hd]), np.asarray(o0), atol=2e-5, rtol=2e-5)
+
+
+class TestCacheAttention:
+    @pytest.mark.parametrize(
+        "nt,nc,d,c,b",
+        [(64, 200, 32, 10, 3), (130, 513, 64, 47, 1), (50, 128, 128, 128, 12)],
+    )
+    def test_matches_reference(self, nt, nc, d, c, b):
+        f = _rand(0, nt, d)
+        f = f / jnp.linalg.norm(f, axis=-1, keepdims=True)
+        cf = _rand(1, nc, d)
+        cf = cf / jnp.linalg.norm(cf, axis=-1, keepdims=True)
+        v = jax.nn.one_hot(jax.random.randint(jax.random.PRNGKey(2), (nc,), 0, c), c)
+        betas = jnp.linspace(0.5, 5.5, b)
+        ref = ca.cache_attention_reference(f, cf, v, betas)
+        out = ca.cache_attention(f, cf, v, betas, interpret=True, block_n=128, block_b=4)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+    def test_auto_dispatch_cpu(self):
+        f = _rand(0, 8, 16)
+        cf = _rand(1, 32, 16)
+        v = _rand(2, 32, 5)
+        out = ca.cache_attention_auto(f, cf, v, 5.5)
+        assert out.shape == (1, 8, 5)
+
+    def test_tip_adapter_semantics(self):
+        """exp(-(beta - beta*affinity)) @ values == kernel output (tip_adapter.py:66-67)."""
+        f = _rand(0, 16, 24)
+        f = f / jnp.linalg.norm(f, axis=-1, keepdims=True)
+        keys = _rand(1, 40, 24)
+        keys = keys / jnp.linalg.norm(keys, axis=-1, keepdims=True)
+        vals = _rand(2, 40, 7)
+        beta = 5.5
+        affinity = f @ keys.T
+        expected = jnp.exp(-(beta - beta * affinity)) @ vals
+        got = ca.cache_attention_reference(f, keys, vals, jnp.array([beta]))[0]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-5, rtol=1e-5)
