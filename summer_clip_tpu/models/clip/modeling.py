@@ -1,0 +1,351 @@
+"""Flax CLIP: ModifiedResNet + ViT image towers, text transformer, CLIP head.
+
+TPU-native re-implementation of the frozen foundation models the reference
+loads via ``clip.load()`` (SURVEY.md §2, L3 — openai/CLIP RN50 / ViT-B/16 /
+ViT-L/14 towers used by ``summer_clip/clip_model/eval_clip.py`` and the
+feature pipeline). Architecture follows the public OpenAI CLIP description;
+all code is written fresh for JAX:
+
+- NHWC conv layout (XLA TPU native), params fp32, compute dtype configurable
+  (bfloat16 by default on TPU) with fp32 LayerNorm/softmax accumulation.
+- Attention routed through :mod:`summer_clip_tpu.ops.attention`, which
+  selects the Pallas flash kernel on TPU.
+- The text tower accepts **either** token ids (EOT pooling at the per-row
+  argmax id, i.e. the highest token id = <eot>) **or** pre-embedded inputs +
+  lengths (pooling at ``len-1``) — the hook prompt learning differentiates
+  through (reference ``summer_clip/clip_prompt/prompt_learner.py:20-37``).
+- BatchNorm in the ResNet towers always runs with running statistics: CLIP
+  towers are frozen in every workload of this framework.
+"""
+
+from __future__ import annotations
+
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from summer_clip_tpu.ops.attention import multi_head_attention
+
+Dtype = tp.Any
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    """OpenAI CLIP's activation: x * sigmoid(1.702 x)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class LayerNormF32(nn.Module):
+    """LayerNorm computed in float32 regardless of the module compute dtype."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        dtype = x.dtype
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.var(x32, axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],), jnp.float32)
+        return (y * scale + bias).astype(dtype)
+
+
+class Attention(nn.Module):
+    """Multi-head self/cross attention with fused qkv projection."""
+
+    num_heads: int
+    dtype: Dtype = jnp.float32
+    out_features: tp.Optional[int] = None
+
+    @nn.compact
+    def __call__(self, q_in: jax.Array, kv_in: tp.Optional[jax.Array] = None, *,
+                 causal: bool = False, mask: tp.Optional[jax.Array] = None) -> jax.Array:
+        kv_in = q_in if kv_in is None else kv_in
+        d = q_in.shape[-1]
+        q = nn.Dense(d, dtype=self.dtype, name="q_proj")(q_in)
+        k = nn.Dense(d, dtype=self.dtype, name="k_proj")(kv_in)
+        v = nn.Dense(d, dtype=self.dtype, name="v_proj")(kv_in)
+        o = multi_head_attention(q, k, v, num_heads=self.num_heads, causal=causal, mask=mask)
+        return nn.Dense(self.out_features or d, dtype=self.dtype, name="out_proj")(o)
+
+
+class MLP(nn.Module):
+    """Transformer MLP block: c_fc -> QuickGELU -> c_proj (4x width)."""
+
+    dtype: Dtype = jnp.float32
+    ratio: int = 4
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        d = x.shape[-1]
+        h = nn.Dense(d * self.ratio, dtype=self.dtype, name="c_fc")(x)
+        h = quick_gelu(h)
+        return nn.Dense(d, dtype=self.dtype, name="c_proj")(h)
+
+
+class ResidualAttentionBlock(nn.Module):
+    num_heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, causal: bool = False) -> jax.Array:
+        x = x + Attention(self.num_heads, dtype=self.dtype, name="attn")(
+            LayerNormF32(name="ln_1")(x), causal=causal
+        )
+        x = x + MLP(dtype=self.dtype, name="mlp")(LayerNormF32(name="ln_2")(x))
+        return x
+
+
+class Transformer(nn.Module):
+    num_layers: int
+    num_heads: int
+    dtype: Dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, causal: bool = False) -> jax.Array:
+        block_cls = ResidualAttentionBlock
+        if self.remat:
+            block_cls = nn.remat(ResidualAttentionBlock, static_argnums=())
+        for i in range(self.num_layers):
+            x = block_cls(self.num_heads, dtype=self.dtype, name=f"resblocks_{i}")(x, causal=causal)
+        return x
+
+
+# ---------------------------------------------------------------------------
+# Vision: ViT
+# ---------------------------------------------------------------------------
+
+class VisionTransformer(nn.Module):
+    """CLIP ViT image tower. Input (B, H, W, 3) -> (B, output_dim)."""
+
+    patch_size: int
+    width: int
+    num_layers: int
+    num_heads: int
+    output_dim: int
+    dtype: Dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, images: jax.Array) -> jax.Array:
+        b, h, w, _ = images.shape
+        grid = h // self.patch_size
+        x = nn.Conv(
+            self.width, (self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            use_bias=False, dtype=self.dtype, name="conv1",
+        )(images.astype(self.dtype))
+        x = x.reshape(b, grid * grid, self.width)
+
+        cls = self.param("class_embedding", nn.initializers.normal(self.width ** -0.5),
+                         (self.width,), jnp.float32)
+        x = jnp.concatenate([
+            jnp.broadcast_to(cls.astype(self.dtype), (b, 1, self.width)), x
+        ], axis=1)
+        pos = self.param("positional_embedding", nn.initializers.normal(self.width ** -0.5),
+                         (grid * grid + 1, self.width), jnp.float32)
+        x = x + pos.astype(self.dtype)
+
+        x = LayerNormF32(name="ln_pre")(x)
+        x = Transformer(self.num_layers, self.num_heads, dtype=self.dtype,
+                        remat=self.remat, name="transformer")(x)
+        x = LayerNormF32(name="ln_post")(x[:, 0])
+
+        proj = self.param("proj", nn.initializers.normal(self.width ** -0.5),
+                          (self.width, self.output_dim), jnp.float32)
+        return jnp.dot(x, proj.astype(self.dtype), preferred_element_type=jnp.float32).astype(self.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Vision: ModifiedResNet
+# ---------------------------------------------------------------------------
+
+class Bottleneck(nn.Module):
+    """ResNet bottleneck with CLIP's anti-aliased downsampling.
+
+    All stride-2 convolutions are replaced by stride-1 conv + 2x2 average
+    pool ("blur pool" style), per the CLIP ModifiedResNet design.
+    """
+
+    planes: int
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        out_ch = self.planes * self.expansion
+        bn = lambda name: nn.BatchNorm(use_running_average=True, dtype=self.dtype,
+                                       param_dtype=jnp.float32, name=name)
+        identity = x
+
+        y = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = nn.relu(bn("bn1")(y))
+        y = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False, dtype=self.dtype, name="conv2")(y)
+        y = nn.relu(bn("bn2")(y))
+        if self.stride > 1:
+            y = nn.avg_pool(y, (self.stride, self.stride), strides=(self.stride, self.stride))
+        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)
+        y = bn("bn3")(y)
+
+        if self.stride > 1 or x.shape[-1] != out_ch:
+            if self.stride > 1:
+                identity = nn.avg_pool(identity, (self.stride, self.stride),
+                                       strides=(self.stride, self.stride))
+            identity = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                               name="downsample_conv")(identity)
+            identity = bn("downsample_bn")(identity)
+
+        return nn.relu(y + identity)
+
+
+class AttentionPool2d(nn.Module):
+    """Attention pooling head: mean token queries the feature map."""
+
+    num_heads: int
+    output_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, c = x.shape
+        x = x.reshape(b, h * w, c)
+        mean = jnp.mean(x, axis=1, keepdims=True)
+        x = jnp.concatenate([mean, x], axis=1)  # (B, HW+1, C)
+        pos = self.param("positional_embedding", nn.initializers.normal(c ** -0.5),
+                         (h * w + 1, c), jnp.float32)
+        x = x + pos.astype(self.dtype)
+        out = Attention(self.num_heads, dtype=self.dtype, out_features=self.output_dim,
+                        name="attn")(x[:, :1], x)
+        return out[:, 0]
+
+
+class ModifiedResNet(nn.Module):
+    """CLIP's ResNet: 3-conv stem, blur-pool bottlenecks, attention pool."""
+
+    layers: tp.Sequence[int]
+    width: int
+    num_heads: int
+    output_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: jax.Array) -> jax.Array:
+        bn = lambda name: nn.BatchNorm(use_running_average=True, dtype=self.dtype,
+                                       param_dtype=jnp.float32, name=name)
+        x = images.astype(self.dtype)
+        # stem
+        x = nn.Conv(self.width // 2, (3, 3), strides=2, padding=1, use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        x = nn.relu(bn("bn1")(x))
+        x = nn.Conv(self.width // 2, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, name="conv2")(x)
+        x = nn.relu(bn("bn2")(x))
+        x = nn.Conv(self.width, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, name="conv3")(x)
+        x = nn.relu(bn("bn3")(x))
+        x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+        planes = [self.width, self.width * 2, self.width * 4, self.width * 8]
+        strides = [1, 2, 2, 2]
+        for stage, (n_blocks, p, s) in enumerate(zip(self.layers, planes, strides), start=1):
+            for blk in range(n_blocks):
+                x = Bottleneck(p, stride=s if blk == 0 else 1, dtype=self.dtype,
+                               name=f"layer{stage}_{blk}")(x)
+
+        return AttentionPool2d(self.num_heads, self.output_dim, dtype=self.dtype,
+                               name="attnpool")(x)
+
+
+# ---------------------------------------------------------------------------
+# Text tower
+# ---------------------------------------------------------------------------
+
+class TextTransformer(nn.Module):
+    """CLIP text tower with dual entry: token ids or spliced embeddings.
+
+    ``__call__(token_ids)`` pools at the argmax token id (the <eot> token has
+    the largest id in CLIP's vocab). ``from_embeds(embeds, lens)`` pools at
+    index ``lens - 1`` — the contract prompt learning needs
+    (reference ``prompt_learner.py:28-37``).
+    """
+
+    vocab_size: int
+    context_length: int
+    width: int
+    num_layers: int
+    num_heads: int
+    output_dim: int
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.token_embedding = nn.Embed(self.vocab_size, self.width,
+                                        embedding_init=nn.initializers.normal(0.02),
+                                        param_dtype=jnp.float32, name="token_embedding")
+        self.positional_embedding = self.param(
+            "positional_embedding", nn.initializers.normal(0.01),
+            (self.context_length, self.width), jnp.float32)
+        self.transformer = Transformer(self.num_layers, self.num_heads,
+                                       dtype=self.dtype, name="transformer")
+        self.ln_final = LayerNormF32(name="ln_final")
+        self.text_projection = self.param(
+            "text_projection", nn.initializers.normal(self.width ** -0.5),
+            (self.width, self.output_dim), jnp.float32)
+
+    def embed(self, token_ids: jax.Array) -> jax.Array:
+        return self.token_embedding(token_ids).astype(self.dtype)
+
+    def _encode(self, x: jax.Array, eot_idx: jax.Array) -> jax.Array:
+        t = x.shape[1]
+        x = x + self.positional_embedding[:t].astype(self.dtype)
+        x = self.transformer(x, causal=True)
+        x = self.ln_final(x)
+        pooled = jnp.take_along_axis(x, eot_idx[:, None, None], axis=1)[:, 0]
+        return jnp.dot(pooled, self.text_projection.astype(self.dtype),
+                       preferred_element_type=jnp.float32).astype(self.dtype)
+
+    def __call__(self, token_ids: jax.Array) -> jax.Array:
+        x = self.embed(token_ids)
+        eot_idx = jnp.argmax(token_ids, axis=-1)
+        return self._encode(x, eot_idx)
+
+    def from_embeds(self, inputs_embeds: jax.Array, input_lens: jax.Array) -> jax.Array:
+        return self._encode(inputs_embeds.astype(self.dtype), input_lens - 1)
+
+
+# ---------------------------------------------------------------------------
+# CLIP
+# ---------------------------------------------------------------------------
+
+class CLIP(nn.Module):
+    """Joint image/text model with a learnable (frozen in practice) logit scale."""
+
+    visual: nn.Module
+    text: TextTransformer
+
+    def setup(self):
+        import numpy as np
+        self.logit_scale = self.param(
+            "logit_scale", lambda key, shape: jnp.asarray(np.log(1.0 / 0.07), jnp.float32), ())
+
+    def encode_image(self, images: jax.Array) -> jax.Array:
+        return self.visual(images)
+
+    def encode_text(self, token_ids: jax.Array) -> jax.Array:
+        return self.text(token_ids)
+
+    def encode_text_embeds(self, inputs_embeds: jax.Array, input_lens: jax.Array) -> jax.Array:
+        return self.text.from_embeds(inputs_embeds, input_lens)
+
+    def __call__(self, images: jax.Array, token_ids: jax.Array) -> tp.Tuple[jax.Array, jax.Array]:
+        img = self.encode_image(images)
+        txt = self.encode_text(token_ids)
+        img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+        txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
+        scale = jnp.exp(self.logit_scale)
+        logits_per_image = scale * img @ txt.T
+        return logits_per_image, logits_per_image.T
