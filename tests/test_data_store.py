@@ -1,0 +1,146 @@
+"""Data layer + feature store tests."""
+
+import json
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from summer_clip_tpu import data as D
+from summer_clip_tpu.store import FeatureStore, import_torch_features
+
+
+class TestCore:
+    def test_fewshot_balanced(self):
+        data = [D.Datum(label=i % 5, classname=f"c{i % 5}") for i in range(100)]
+        rng = np.random.default_rng(0)
+        out = D.generate_fewshot(data, 3, rng=rng)
+        assert len(out) == 15
+        labels = np.asarray([d.label for d in out])
+        for c in range(5):
+            assert (labels == c).sum() == 3
+
+    def test_fewshot_repeat_small_class(self):
+        data = [D.Datum(label=0)] * 2 + [D.Datum(label=1)] * 10
+        out = D.generate_fewshot(data, 4, rng=np.random.default_rng(0))
+        labels = np.asarray([d.label for d in out])
+        assert (labels == 0).sum() == 4 and (labels == 1).sum() == 4
+
+    def test_split_roundtrip(self, tmp_path):
+        items = [D.Datum(impath=str(tmp_path / f"img/{i}.jpg"), label=i % 2, classname=f"c{i % 2}")
+                 for i in range(6)]
+        D.save_split(items[:3], items[3:4], items[4:], tmp_path / "split.json", tmp_path)
+        tr, va, te = D.read_split(tmp_path / "split.json", tmp_path)
+        assert len(tr) == 3 and len(va) == 1 and len(te) == 2
+        assert tr[0].impath == items[0].impath
+        assert tr[0].classname == "c0"
+
+    def test_split_trainval(self):
+        items = [D.Datum(label=i % 3) for i in range(30)]
+        tr, va = D.split_trainval(items, p_val=0.2, rng=np.random.default_rng(1))
+        assert len(tr) + len(va) == 30
+        assert len(va) == 6  # 2 per class
+
+
+class TestTransforms:
+    def _img(self, w=50, h=40):
+        arr = (np.random.RandomState(0).rand(h, w, 3) * 255).astype(np.uint8)
+        return Image.fromarray(arr)
+
+    def test_eval_transform_shape_and_norm(self):
+        t = D.EvalTransform(32)
+        out = t(self._img())
+        assert out.shape == (32, 32, 3)
+        assert out.dtype == np.float32
+
+    def test_train_transform_shape(self):
+        t = D.TrainTransform(32)
+        out = t(self._img(), np.random.default_rng(0))
+        assert out.shape == (32, 32, 3)
+
+    def test_train_transform_deterministic_given_rng(self):
+        t = D.TrainTransform(16)
+        a = t(self._img(), np.random.default_rng(7))
+        b = t(self._img(), np.random.default_rng(7))
+        np.testing.assert_array_equal(a, b)
+
+
+class TestSyntheticAndBatching:
+    def test_synthetic_dataset(self):
+        ds = D.SyntheticDataset(num_classes=3, per_class=4, image_size=16)
+        assert ds.num_classes == 3
+        assert len(ds.train_x) == 12
+        assert ds.classnames == ["class 0", "class 1", "class 2"]
+
+    def test_synthetic_batcher_fixed_shapes(self):
+        ds = D.SyntheticDataset(num_classes=3, per_class=3, image_size=16)
+        b = D.SyntheticBatcher(ds.train_x, batch_size=4, image_size=16)
+        batches = list(b)
+        assert len(batches) == 3  # 9 items, bs 4 -> 3 batches
+        for batch in batches:
+            assert batch.images.shape == (4, 16, 16, 3)
+            assert batch.labels.shape == (4,)
+        assert batches[-1].mask.sum() == 1  # 9 = 4+4+1
+
+    def test_image_batcher_label_only(self):
+        ds = D.SyntheticDataset(num_classes=2, per_class=5)
+        batcher = D.ImageBatcher(ds.train_x, batch_size=4, load_images=False)
+        batches = list(batcher)
+        assert all(b.images is None for b in batches)
+        labels = np.concatenate([b.labels[b.mask] for b in batches])
+        np.testing.assert_array_equal(labels, D.labels_of(ds.train_x))
+
+    def test_image_batcher_real_files(self, tmp_path):
+        paths = []
+        for i in range(5):
+            p = tmp_path / f"{i}.png"
+            Image.fromarray((np.full((20, 24, 3), i * 40)).astype(np.uint8)).save(p)
+            paths.append(p)
+        data = [D.Datum(impath=str(p), label=i % 2) for i, p in enumerate(paths)]
+        batcher = D.ImageBatcher(data, batch_size=2, transform=D.EvalTransform(16))
+        batches = list(batcher)
+        assert len(batches) == 3
+        assert batches[0].images.shape == (2, 16, 16, 3)
+        assert batches[-1].mask.tolist() == [True, False]
+
+    def test_registry_has_11_datasets(self):
+        expected = {"caltech101", "oxford_pets", "food101", "oxford_flowers", "dtd",
+                    "sun397", "ucf101", "stanford_cars", "eurosat", "fgvc", "imagenet"}
+        assert expected.issubset(set(D.DATASET_REGISTRY))
+
+    def test_dataset_view_synthetic(self):
+        v = D.DatasetView("synthetic", "test", "", shots=-1, input_size=16)
+        assert len(v) > 0
+        assert v.classes[0] == "class 0"
+        assert v.template == ["a photo of a {}."]
+
+
+class TestFeatureStore:
+    def test_save_load_roundtrip(self, tmp_path):
+        store = FeatureStore(tmp_path / "store")
+        feats = np.random.RandomState(0).rand(10, 8).astype(np.float32)
+        labels = np.arange(10, dtype=np.int32)
+        store.save("ds_train-RN50", features=feats, labels=labels, meta={"model": "RN50"})
+        assert "ds_train-RN50" in store
+        got = store.load("ds_train-RN50")
+        np.testing.assert_array_equal(np.asarray(got), feats)
+        allarr = store.load_all("ds_train-RN50")
+        np.testing.assert_array_equal(np.asarray(allarr["labels"]), labels)
+        assert store.meta("ds_train-RN50")["meta"]["model"] == "RN50"
+
+    def test_catalog_is_json(self, tmp_path):
+        store = FeatureStore(tmp_path)
+        store.save("k", features=np.zeros((2, 2)))
+        cat = json.loads((tmp_path / "catalog.json").read_text())
+        assert "k" in cat
+        assert cat["k"]["arrays"]["features"]["shape"] == [2, 2]
+
+    def test_import_torch_features_transposes(self, tmp_path):
+        import torch
+
+        t = torch.arange(12, dtype=torch.float32).reshape(3, 4)  # (emb_dim=3, N=4)
+        p = tmp_path / "f.pt"
+        torch.save(t, p)
+        arr = import_torch_features(p)
+        assert arr.shape == (4, 3)
+        np.testing.assert_allclose(arr, t.numpy().T)
