@@ -1,0 +1,118 @@
+"""Tip-Adapter: training-free cache classifier + hyperparameter search.
+
+Covers the vendored baseline (SURVEY.md §2.4; reference
+``summer_clip/tip_adapter/{tip_adapter.py,utils.py}``):
+
+- ``build_cache_model``: mean of augment passes over the few-shot train set,
+  L2-normalized keys (NK, D) + one-hot values (NK, C),
+- ``tip_logits``: ``clip_logits + alpha * exp(-(beta - beta * f @ keys.T)) @ values``,
+- ``search_hp``: the beta x alpha grid search.
+
+TPU-first: the reference recomputes affinity->exp->matmul->accuracy densely
+for each of 200 x 20 grid points (``utils.py:99-129``). Here the whole beta
+axis is batched through the fused Pallas cache-attention kernel in chunks
+(one affinity pass per chunk), alpha blending is a broadcast multiply, and
+accuracies come from one argmax per (beta-chunk, alpha) — orders of
+magnitude fewer HBM passes.
+"""
+
+from __future__ import annotations
+
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from summer_clip_tpu.methods.zeroshot import accuracy
+from summer_clip_tpu.ops.cache_kernels import cache_attention_auto
+
+__all__ = ["build_cache_from_features", "tip_logits", "search_hp", "beta_alpha_grid"]
+
+
+def build_cache_from_features(feature_passes: tp.Sequence[np.ndarray],
+                              labels: np.ndarray,
+                              num_classes: tp.Optional[int] = None
+                              ) -> tp.Tuple[np.ndarray, np.ndarray]:
+    """Average augment passes -> normalized keys (NK, D); one-hot values (NK, C).
+
+    ``feature_passes``: one (NK, D) feature array per augmentation epoch
+    (reference ``utils.py:38-63`` accumulates augment_epoch passes).
+    """
+    keys = np.mean(np.stack(feature_passes, 0), axis=0).astype(np.float32)
+    keys /= np.maximum(np.linalg.norm(keys, axis=-1, keepdims=True), 1e-12)
+    labels = np.asarray(labels, np.int64)
+    c = int(num_classes if num_classes is not None else labels.max() + 1)
+    values = np.zeros((labels.shape[0], c), np.float32)
+    values[np.arange(labels.shape[0]), labels] = 1.0
+    return keys, values
+
+
+def tip_logits(clip_logits: jax.Array, features: jax.Array, cache_keys: jax.Array,
+               cache_values: jax.Array, beta: float, alpha: float) -> jax.Array:
+    """Single-point Tip-Adapter logits (features/keys already normalized)."""
+    cache = cache_attention_auto(features, cache_keys, cache_values,
+                                 jnp.asarray([beta], jnp.float32))[0]
+    return jnp.asarray(clip_logits, jnp.float32) + cache * alpha
+
+
+def beta_alpha_grid(search_scale: tp.Sequence[float], search_step: tp.Sequence[int]
+                    ) -> tp.Tuple[np.ndarray, np.ndarray]:
+    """The reference's grid parameterization (utils.py:103-104)."""
+    betas = np.asarray([i * (search_scale[0] - 0.1) / search_step[0] + 0.1
+                        for i in range(search_step[0])], np.float32)
+    alphas = np.asarray([i * (search_scale[1] - 0.1) / search_step[1] + 0.1
+                         for i in range(search_step[1])], np.float32)
+    return betas, alphas
+
+
+def search_hp(features: tp.Union[np.ndarray, jax.Array],
+              labels: np.ndarray,
+              clip_logits: tp.Union[np.ndarray, jax.Array],
+              cache_keys: tp.Union[np.ndarray, jax.Array],
+              cache_values: tp.Union[np.ndarray, jax.Array],
+              search_scale: tp.Sequence[float] = (7, 3),
+              search_step: tp.Sequence[int] = (200, 20),
+              beta_chunk: int = 16,
+              log_fn: tp.Optional[tp.Callable[[dict], None]] = None
+              ) -> tp.Tuple[float, float, float]:
+    """Grid-search (beta, alpha); returns (best_beta, best_alpha, best_acc).
+
+    Batched evaluation: for each beta chunk, one fused kernel call produces
+    (Bc, Nt, C) cache logits; every alpha is then a scalar blend evaluated
+    with a single jitted argmax-accuracy per (beta, alpha).
+    """
+    betas, alphas = beta_alpha_grid(search_scale, search_step)
+    f = jnp.asarray(features, jnp.float32)
+    cl = jnp.asarray(clip_logits, jnp.float32)
+    keys = jnp.asarray(cache_keys, jnp.float32)
+    vals = jnp.asarray(cache_values, jnp.float32)
+    y = jnp.asarray(labels, jnp.int32)
+    alphas_j = jnp.asarray(alphas, jnp.float32)
+
+    @jax.jit
+    def accs_for_chunk(cache_chunk: jax.Array) -> jax.Array:
+        # cache_chunk: (Bc, Nt, C) -> accuracy matrix (Bc, A)
+        def acc_one(cache_one):
+            def acc_alpha(alpha):
+                preds = jnp.argmax(cl + alpha * cache_one, axis=1)
+                return jnp.mean((preds == y).astype(jnp.float32)) * 100.0
+            return jax.vmap(acc_alpha)(alphas_j)
+        return jax.vmap(acc_one)(cache_chunk)
+
+    best = (-1.0, 0.0, 0.0)  # acc, beta, alpha
+    for s in range(0, len(betas), beta_chunk):
+        chunk = betas[s:s + beta_chunk]
+        cache = cache_attention_auto(f, keys, vals, jnp.asarray(chunk))
+        accs = np.asarray(accs_for_chunk(cache))
+        bi, ai = np.unravel_index(np.argmax(accs), accs.shape)
+        if accs[bi, ai] > best[0]:
+            best = (float(accs[bi, ai]), float(chunk[bi]), float(alphas[ai]))
+            if log_fn:
+                log_fn({"type": "tip_hp", "beta": best[1], "alpha": best[2], "acc": best[0]})
+    return best[1], best[2], best[0]
+
+
+def cls_acc(logits, labels, topk: int = 1) -> float:
+    """Top-k accuracy in percent (reference utils.py:10-15 contract)."""
+    return accuracy(logits, labels, topk=(topk,))[0]

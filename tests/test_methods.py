@@ -1,0 +1,234 @@
+"""Method-layer tests: strategies vs oracles, tip search, adapters, zeroshot."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from summer_clip_tpu.methods import cache as C
+from summer_clip_tpu.methods import tip as T
+from summer_clip_tpu.methods import adapters as A
+from summer_clip_tpu.methods.zeroshot import accuracy, compute_accuracy, clip_logits, zeroshot_classifier
+
+
+def _feats(seed, n, d, normed=True):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    if normed:
+        x /= np.linalg.norm(x, axis=-1, keepdims=True)
+    return x
+
+
+class TestSelectionStrategies:
+    def setup_method(self):
+        rng = np.random.default_rng(0)
+        self.n, self.c, self.d = 60, 5, 16
+        self.feats = _feats(1, self.n, self.d)
+        self.outs = rng.standard_normal((self.n, self.c)).astype(np.float32)
+        self.labels = rng.integers(0, self.c, self.n)
+
+    def test_all_logits_identity(self):
+        s = C.AllLogitsStrategy()
+        f, o = s.transform(self.feats, self.outs)
+        np.testing.assert_array_equal(f, self.feats)
+        np.testing.assert_array_equal(o, self.outs)
+
+    def test_threshold(self):
+        s = C.ThresholdStrategy(0.5, use_softmax=True)
+        inds = s.select(self.feats, self.outs)
+        probs = np.exp(self.outs) / np.exp(self.outs).sum(1, keepdims=True)
+        expected = np.flatnonzero(probs.max(1) >= 0.5)
+        np.testing.assert_array_equal(np.sort(inds), np.sort(expected))
+
+    def test_topk_per_pred_class(self):
+        s = C.TopKStrategy(topk=3)
+        inds = s.select(self.feats, self.outs)
+        preds = self.outs.argmax(1)
+        # per predicted class, at most 3 rows; selected rows are the top-conf ones
+        for cls in np.unique(preds[inds]):
+            sel = inds[preds[inds] == cls]
+            assert len(sel) <= 3
+            cls_rows = np.flatnonzero(preds == cls)
+            top_conf = cls_rows[np.argsort(-self.outs.max(1)[cls_rows])[:3]]
+            assert set(sel) == set(top_conf)
+
+    def test_topk_per_gold(self):
+        s = C.TopKPerGoldStrategy(topk=2, cache_labels=self.labels)
+        inds = s.select(self.feats, self.outs)
+        gold_scores = self.outs[np.arange(self.n), self.labels]
+        for cls in np.unique(self.labels):
+            rows = np.flatnonzero(self.labels == cls)
+            expect = rows[np.argsort(-gold_scores[rows])[:2]]
+            got = inds[self.labels[inds] == cls]
+            assert set(got) == set(expect)
+
+    def test_random_strategies_sizes(self):
+        s = C.GlobalRandomSampleStrategy(topk=4, seed=0)
+        inds = s.select(self.feats, self.outs)
+        assert len(inds) == min(4 * self.c, self.n)
+        assert len(np.unique(inds)) == len(inds)
+
+        s2 = C.PerGoldClassRandomSampleStrategy(topk=2, cache_labels=self.labels, seed=0)
+        inds2 = s2.select(self.feats, self.outs)
+        for cls in np.unique(self.labels):
+            assert (self.labels[inds2] == cls).sum() <= 2
+
+    def test_per_pred_random(self):
+        s = C.PerPredClassRandomSampleStrategy(topk=2, seed=1)
+        inds = s.select(self.feats, self.outs)
+        preds = self.outs.argmax(1)
+        for cls in np.unique(preds):
+            assert (preds[inds] == cls).sum() <= 2
+
+
+class TestValueStrategies:
+    def test_hard_one_hot(self):
+        outs = np.array([[0.1, 0.9], [2.0, -1.0]], np.float32)
+        v = C.HardCacheStrategy().transform(outs)
+        np.testing.assert_array_equal(v, [[0, 1], [1, 0]])
+
+    def test_softmax_scaled(self):
+        outs = np.random.default_rng(0).standard_normal((4, 3)).astype(np.float32)
+        v = C.SoftmaxCacheStrategy(clip_scale=100.0, scale=0.01).transform(outs)
+        e = np.exp(outs - outs.max(1, keepdims=True))
+        np.testing.assert_allclose(v, e / e.sum(1, keepdims=True), atol=1e-5)
+
+
+class TestWeightsAndFusion:
+    def test_tip_weights_oracle(self):
+        f, c = _feats(0, 8, 16, normed=False), _feats(1, 12, 16, normed=False)
+        w = C.TipAdapterWeightsStrategy(beta=5.5).transform(f, c)
+        fn = f / np.linalg.norm(f, axis=-1, keepdims=True)
+        cn = c / np.linalg.norm(c, axis=-1, keepdims=True)
+        np.testing.assert_allclose(w, np.exp(-5.5 * (1 - fn @ cn.T)), atol=1e-5)
+
+    def test_fused_equals_weights_times_values(self):
+        f, c = _feats(0, 10, 8, normed=False), _feats(1, 20, 8, normed=False)
+        vals = _feats(2, 20, 4, normed=False)
+        betas = [1.0, 5.5]
+        fused = np.asarray(C.cache_logits_for_betas(f, c, vals, betas))
+        for i, b in enumerate(betas):
+            w = C.TipAdapterWeightsStrategy(b).transform(f, c)
+            np.testing.assert_allclose(fused[i], w @ vals, atol=1e-4, rtol=1e-4)
+
+
+class TestTipAdapter:
+    def test_cache_build(self):
+        passes = [_feats(i, 10, 8, normed=False) for i in range(3)]
+        labels = np.arange(10) % 4
+        keys, values = T.build_cache_from_features(passes, labels)
+        assert keys.shape == (10, 8) and values.shape == (10, 4)
+        np.testing.assert_allclose(np.linalg.norm(keys, axis=1), 1.0, atol=1e-5)
+        np.testing.assert_array_equal(values.argmax(1), labels)
+
+    def test_search_hp_finds_good_point(self):
+        # construct a problem where the cache fixes zero-shot mistakes
+        rng = np.random.default_rng(0)
+        n, c, d = 64, 4, 32
+        protos = _feats(1, c, d)
+        labels = rng.integers(0, c, n)
+        feats = protos[labels] + 0.05 * rng.standard_normal((n, d)).astype(np.float32)
+        feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+        keys, values = T.build_cache_from_features([feats], labels)
+        bad_clip_logits = np.zeros((n, c), np.float32)  # zero-shot knows nothing
+        beta, alpha, acc = T.search_hp(
+            feats, labels, bad_clip_logits, keys, values,
+            search_scale=(7, 3), search_step=(10, 5), beta_chunk=4)
+        assert acc == 100.0
+        assert beta > 0 and alpha > 0
+
+    def test_tip_logits_matches_reference_formula(self):
+        f = _feats(0, 6, 8)
+        keys = _feats(1, 12, 8)
+        vals = np.eye(12, 3, dtype=np.float32)[:, :3]
+        cl = _feats(2, 6, 3, normed=False)
+        beta, alpha = 5.5, 1.0
+        got = np.asarray(T.tip_logits(cl, f, keys, vals, beta, alpha))
+        affinity = f @ keys.T
+        expected = cl + np.exp(-(beta - beta * affinity)) @ vals * alpha
+        np.testing.assert_allclose(got, expected, atol=1e-4, rtol=1e-4)
+
+
+class TestAccuracy:
+    def test_topk(self):
+        logits = np.array([[0.9, 0.1, 0.0], [0.1, 0.2, 0.7], [0.4, 0.5, 0.1]])
+        labels = np.array([0, 2, 0])
+        a1, a5 = compute_accuracy(logits, labels)
+        assert a1 == pytest.approx(100 * 2 / 3)
+        assert a5 == 100.0
+
+    def test_clip_logits_scale(self):
+        f = _feats(0, 4, 8, normed=False)
+        w = _feats(1, 3, 8)
+        lg = np.asarray(clip_logits(f, w))
+        fn = f / np.linalg.norm(f, axis=1, keepdims=True)
+        np.testing.assert_allclose(lg, 100 * fn @ w.T, atol=1e-4)
+
+
+class TestZeroshotClassifier:
+    def test_ensemble_shapes_and_norm(self):
+        d = 16
+
+        def fake_encode(tokens):
+            # deterministic "text encoder": hash token ids into features
+            t = jnp.asarray(tokens, jnp.float32)
+            w = jnp.arange(t.shape[1] * d, dtype=jnp.float32).reshape(t.shape[1], d)
+            return jnp.tanh(t @ w * 1e-4)
+
+        w = zeroshot_classifier(fake_encode, ["cat", "dog", "bird"],
+                                ["a photo of a {}.", "an image of a {}."], chunk_size=4)
+        assert w.shape == (3, d)
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(w), axis=1), 1.0, atol=1e-5)
+
+
+class TestAdapters:
+    def test_linear_fabric_contrastive(self):
+        fabric = A.LinearClipAdapterFabric(output_dim=8)
+        adapter = fabric.create_adapter(emb_dim=16)
+        img = jnp.asarray(_feats(0, 4, 16))
+        txt = jnp.asarray(_feats(1, 4, 16))
+        variables = adapter.init(jax.random.PRNGKey(0), img, txt)
+        li, lt = adapter.apply(variables, img, txt)
+        assert li.shape == (4, 4)
+        np.testing.assert_allclose(np.asarray(li), np.asarray(lt).T, atol=1e-5)
+
+    def test_residual_adapter_blend(self):
+        fabric = A.OriginalImageClipAdapterFabric(reduction=4, ratio=0.2)
+        adapter = fabric.create_adapter(emb_dim=16)
+        img = jnp.asarray(_feats(0, 4, 16))
+        txt = jnp.asarray(_feats(1, 4, 16))
+        variables = adapter.init(jax.random.PRNGKey(0), img, txt)
+        li, _ = adapter.apply(variables, img, txt)
+        assert li.shape == (4, 4)
+
+    def test_adapter_trains(self):
+        """A linear adapter should fit a tiny classification problem."""
+        import optax
+
+        fabric = A.LinearClipAdapterFabric(output_dim=8)
+        adapter = fabric.create_adapter(16)
+        rng = np.random.default_rng(0)
+        protos = _feats(1, 4, 16)
+        labels = rng.integers(0, 4, 32)
+        feats = jnp.asarray(protos[labels] + 0.01 * rng.standard_normal((32, 16)).astype(np.float32))
+        text_feats = jnp.asarray(protos)  # 4 classes
+
+        variables = adapter.init(jax.random.PRNGKey(0), feats, text_feats)
+        tx = optax.adam(1e-2)
+        opt_state = tx.init(variables["params"])
+
+        @jax.jit
+        def step(params, opt_state):
+            def loss_fn(p):
+                li, _ = adapter.apply({"params": p}, feats, text_feats)
+                return optax.softmax_cross_entropy_with_integer_labels(li, jnp.asarray(labels)).mean()
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        params = variables["params"]
+        losses = []
+        for _ in range(60):
+            params, opt_state, loss = step(params, opt_state)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0] * 0.5
