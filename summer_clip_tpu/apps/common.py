@@ -1,0 +1,148 @@
+"""Shared app plumbing: CLIP sessions with jitted encoders + feature extraction.
+
+This is the L5-app support layer (SURVEY.md §1): where the reference calls
+``clip.load(name, device)`` and loops ``encode_image`` per batch
+(``clip_adapter/save_features.py:28-37``), apps here build a
+:class:`ClipSession` — frozen Flax variables + jit-compiled encode closures —
+and stream fixed-shape prefetched batches through it. With a mesh, batches
+are sharded over the ``data`` axis (pjit-style SPMD feature extraction).
+"""
+
+from __future__ import annotations
+
+import typing as tp
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from summer_clip_tpu.data.loader import Batch, prefetch_to_device
+from summer_clip_tpu.models.clip import build_clip, init_clip
+from summer_clip_tpu.models.clip.convert import load_clip as load_clip_ckpt
+
+__all__ = ["ClipSession", "create_clip_session", "extract_image_features", "resolve_dtype"]
+
+
+def resolve_dtype(name: tp.Optional[str] = None):
+    if name in (None, "auto"):
+        return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+            "fp32": jnp.float32}[str(name)]
+
+
+class ClipSession:
+    """Frozen CLIP with jitted encode closures."""
+
+    def __init__(self, model, cfg, variables, mesh: tp.Optional[jax.sharding.Mesh] = None):
+        self.model = model
+        self.cfg = cfg
+        self.variables = variables
+        self.mesh = mesh
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._data_sharding = NamedSharding(mesh, P("data"))
+            self._replicated = NamedSharding(mesh, P())
+            self.variables = jax.device_put(variables, self._replicated)
+            img_shard = NamedSharding(mesh, P("data", None, None, None))
+
+            @jax.jit
+            def encode_image(variables, images):
+                images = jax.lax.with_sharding_constraint(images, img_shard)
+                return model.apply(variables, images, method=model.encode_image)
+        else:
+            self._data_sharding = None
+
+            @jax.jit
+            def encode_image(variables, images):
+                return model.apply(variables, images, method=model.encode_image)
+
+        @jax.jit
+        def encode_text(variables, tokens):
+            return model.apply(variables, tokens, method=model.encode_text)
+
+        @jax.jit
+        def encode_text_embeds(variables, embeds, lens):
+            return model.apply(variables, embeds, lens, method=model.encode_text_embeds)
+
+        self._encode_image = encode_image
+        self._encode_text = encode_text
+        self._encode_text_embeds = encode_text_embeds
+
+    # bound single-arg closures for methods-layer helpers ---------------------
+    def encode_image(self, images) -> jax.Array:
+        return self._encode_image(self.variables, jnp.asarray(images))
+
+    def encode_text(self, tokens) -> jax.Array:
+        return self._encode_text(self.variables, jnp.asarray(tokens))
+
+    def encode_text_embeds(self, embeds, lens) -> jax.Array:
+        return self._encode_text_embeds(self.variables, embeds, jnp.asarray(lens))
+
+    @property
+    def logit_scale(self) -> float:
+        return float(np.exp(np.asarray(self.variables["params"]["logit_scale"])))
+
+    @property
+    def embed_dim(self) -> int:
+        return self.cfg.embed_dim
+
+    @property
+    def input_size(self) -> int:
+        return self.cfg.image_resolution
+
+    def token_embedding_table(self) -> np.ndarray:
+        """(vocab, width) CLIP token embeddings (prompt-learning substrate)."""
+        return np.asarray(self.variables["params"]["text"]["token_embedding"]["embedding"])
+
+
+def create_clip_session(model_name: str,
+                        checkpoint_path: tp.Optional[str] = None,
+                        dtype: tp.Optional[str] = None,
+                        mesh: tp.Optional[jax.sharding.Mesh] = None,
+                        logger: tp.Optional[tp.Any] = None) -> ClipSession:
+    """Build a session from a config: converted checkpoint if provided,
+    otherwise randomly-initialized towers (smoke/synthetic runs)."""
+    jdtype = resolve_dtype(dtype)
+    if checkpoint_path and Path(checkpoint_path).exists():
+        model, cfg, variables = load_clip_ckpt(checkpoint_path, dtype=jdtype)
+        if logger:
+            logger.log_info(f"Loaded CLIP weights from {checkpoint_path} ({cfg.name})")
+    else:
+        if checkpoint_path and logger:
+            logger.log_info(f"WARNING: checkpoint {checkpoint_path} not found — random init")
+        model, cfg, variables = init_clip(model_name, dtype=jdtype)
+    return ClipSession(model, cfg, variables, mesh=mesh)
+
+
+def extract_image_features(session: ClipSession, batcher: tp.Iterable[Batch],
+                           progress_fn: tp.Optional[tp.Callable[[int], None]] = None
+                           ) -> tp.Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Stream batches through encode_image -> (features (N,D), labels, indices).
+
+    Padded tail rows are dropped via the batch mask. Device->host copies
+    overlap the next batch's compute (features fetched asynchronously).
+    """
+    feats_parts: tp.List[jax.Array] = []
+    labels_parts: tp.List[np.ndarray] = []
+    index_parts: tp.List[np.ndarray] = []
+    masks: tp.List[np.ndarray] = []
+    n_done = 0
+    for batch in prefetch_to_device(batcher, size=2):
+        f = session._encode_image(session.variables, batch.images)
+        feats_parts.append(f)  # stays on device; gathered at the end
+        labels_parts.append(np.asarray(batch.labels))
+        index_parts.append(np.asarray(batch.indices))
+        masks.append(np.asarray(batch.mask))
+        n_done += int(np.asarray(batch.mask).sum())
+        if progress_fn:
+            progress_fn(n_done)
+    feats = np.concatenate([np.asarray(f, np.float32) for f in feats_parts])
+    labels = np.concatenate(labels_parts)
+    indices = np.concatenate(index_parts)
+    mask = np.concatenate(masks)
+    feats, labels, indices = feats[mask], labels[mask], indices[mask]
+    order = np.argsort(indices, kind="stable")
+    return feats[order], labels[order], indices[order]

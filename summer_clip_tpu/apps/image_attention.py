@@ -1,0 +1,223 @@
+"""CLIP-search / image-attention: the thesis method's evaluation grid.
+
+Rebuild of the flagship reference app
+(``summer_clip/clip_searcher/image_attention.py``): training-free,
+label-free classification by attending test features over a cache of train
+features with pseudo-label values, swept over a 4-deep strategy grid
+(cache-selection x cache-weights x cache-values x alpha), each combo logged
+as a machine-readable ``searcher_result`` record.
+
+TPU-first changes (same grid semantics, different execution):
+
+- cache **selection** runs host-side (numpy — ragged index math),
+- the **beta sweep never recomputes affinity**: all betas of the weights
+  strategy are batched through the fused Pallas cache-attention kernel
+  (``ops.cache_kernels``), one launch per (selection, value) combo instead
+  of one dense (Nt, Nc) matmul per beta (cf. reference
+  ``image_attention.py:106-110``),
+- **alpha blending + top-1/top-5 accuracy** are one jitted vmap over the
+  (beta, alpha) grid — no host round-trips inside the sweep.
+"""
+
+from __future__ import annotations
+
+import typing as tp
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from summer_clip_tpu.apps.common import create_clip_session
+from summer_clip_tpu.apps.features_io import resolve_array
+from summer_clip_tpu.apps.savers import TensorsNumpySaver
+from summer_clip_tpu.core import config as C
+from summer_clip_tpu.engine.trainer import BaseTrainer, run_trainer
+from summer_clip_tpu.methods import cache as cache_methods
+from summer_clip_tpu.methods.cache import cache_logits_for_betas
+from summer_clip_tpu.methods.zeroshot import compute_accuracy, zeroshot_classifier
+from summer_clip_tpu.store import FeatureStore
+
+
+def _one_hot(labels: np.ndarray, num_classes: int) -> np.ndarray:
+    out = np.zeros((labels.shape[0], num_classes), np.float32)
+    out[np.arange(labels.shape[0]), labels.astype(np.int64)] = 1.0
+    return out
+
+
+class ImageAttention(BaseTrainer):
+    # -- setup ---------------------------------------------------------------
+    def setup_dataset(self):
+        self.dataset = C.instantiate(self.cfg.dataset)
+        self.test_labels = np.asarray(self.dataset.labels(), np.int32)
+        self.cache_labels: tp.Optional[np.ndarray] = None
+        if self.cfg.cache.get("dataset"):
+            cache_view = C.instantiate(self.cfg.cache.dataset)
+            self.cache_labels = np.asarray(cache_view.labels(), np.int32)
+        if self.cfg.run_saves.save_labels:
+            self.save_labels()
+
+    def setup_logger(self):
+        super().setup_logger()
+        self.gold_labels_saver = TensorsNumpySaver(Path("./gold_labels"))
+        self.cache_saver = TensorsNumpySaver(Path("./cache_ids"))
+        self.preds_saver = TensorsNumpySaver(Path("./preds_ids"))
+
+    def save_labels(self) -> None:
+        self.gold_labels_saver.save_named_tensor(self.test_labels, "test_labels")
+        if self.cache_labels is not None:
+            self.gold_labels_saver.save_named_tensor(self.cache_labels, "cache_labels")
+
+    def setup_model(self):
+        store = FeatureStore(self.cfg.store.root) if self.cfg.get("store") else None
+        self.test_image_features = np.asarray(resolve_array(
+            store, self.cfg.data.get("features_key"),
+            self.cfg.data.get("image_features_path"), "features"), np.float32)
+
+        session = create_clip_session(self.cfg.clip.model_name,
+                                      self.cfg.clip.get("checkpoint_path"),
+                                      self.cfg.clip.get("dtype"), logger=self.logger)
+        classes = self.cfg.prompting.classes or self.dataset.classes
+        classifier = zeroshot_classifier(session.encode_text, classes,
+                                         self.cfg.prompting.templates)
+        f = jnp.asarray(self.test_image_features)
+        f = f / jnp.maximum(jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-12)
+        self.clip_logits = 100.0 * f @ classifier.T
+        self.norm_test_features = f
+
+        self.origin_cache_image_features = np.asarray(resolve_array(
+            store, self.cfg.cache.get("features_key"),
+            self.cfg.cache.get("image_features_path"), "features"), np.float32)
+        self.origin_cache_image_outs = np.asarray(resolve_array(
+            store, self.cfg.cache.get("outs_key") or self.cfg.cache.get("features_key"),
+            self.cfg.cache.get("image_outs_path"), "outs"), np.float32)
+        self.logger.log_info(f"original-data-size: {self.origin_cache_image_outs.shape[0]}")
+
+    # -- cache construction ----------------------------------------------------
+    def build_cache(self, strategy, feats: np.ndarray, outs: np.ndarray
+                    ) -> tp.Tuple[np.ndarray, np.ndarray, dict]:
+        if not isinstance(strategy, cache_methods.IndexedCacheStrategy):
+            cf, co = strategy.transform(feats, outs)
+            return cf, co, {}
+        inds = np.asarray(strategy.select(feats, outs))
+        cf, co = feats[inds], outs[inds]
+        info: dict = {"cache_size": int(co.shape[0])}
+        if self.cfg.run_saves.save_cache_inds:
+            info["cache_inds_path"] = str(self.cache_saver.save_tensor(inds))
+        if self.cache_labels is not None:
+            labels = self.cache_labels[inds]
+            a1, a5 = compute_accuracy(co, labels)
+            info.update(acc1=a1, acc5=a5)
+            if self.cfg.cache.get("replace_outs_with_golds", False):
+                co = _one_hot(labels, co.shape[1])
+                a1, a5 = compute_accuracy(co, labels)
+                info.update(acc1_replace=a1, acc5_replace=a5)
+        return cf, co, info
+
+    # -- grid ----------------------------------------------------------------
+    def _grid_eval_fn(self):
+        """Jitted (beta-chunk) x alpha accuracy evaluator."""
+        labels = jnp.asarray(self.test_labels)
+        clip_logits = self.clip_logits
+        alphas = jnp.asarray(list(self.cfg.cache.alpha), jnp.float32)
+        k5 = min(5, int(clip_logits.shape[1]))
+
+        @jax.jit
+        def evaluate(cache_chunk: jax.Array) -> tp.Tuple[jax.Array, jax.Array]:
+            def eval_beta(cache_one):
+                def eval_alpha(alpha):
+                    logits = clip_logits + alpha * cache_one
+                    top = jax.lax.top_k(logits, k5)[1]
+                    hit1 = (top[:, 0] == labels).astype(jnp.float32).mean() * 100.0
+                    hit5 = (top == labels[:, None]).any(axis=1).astype(jnp.float32).mean() * 100.0
+                    return hit1, hit5
+                return jax.vmap(eval_alpha)(alphas)
+            return jax.vmap(eval_beta)(cache_chunk)
+
+        return evaluate
+
+    def _inject_context(self, strategy_cfg: dict) -> dict:
+        """Fill label-dependent strategy params from the cache dataset."""
+        cfg = dict(strategy_cfg)
+        if "cache_labels" in cfg and cfg["cache_labels"] is None:
+            assert self.cache_labels is not None, "strategy needs cache labels but no cache dataset configured"
+            cfg["cache_labels"] = self.cache_labels
+        return cfg
+
+    def train_loop(self):
+        a1, a5 = compute_accuracy(self.clip_logits, self.test_labels)
+        zinfo: dict = {"acc1": a1, "acc5": a5}
+        if self.cfg.run_saves.save_preds:
+            preds = np.asarray(jnp.argmax(self.clip_logits, axis=1))
+            zinfo["preds_path"] = str(self.preds_saver.save_tensor(preds))
+        if self.cfg.run_saves.save_logits:
+            zinfo["logits_path"] = str(self.preds_saver.save_tensor(np.asarray(self.clip_logits)))
+        self.logger.log_info({**zinfo, "type": "zero_shot"})
+
+        evaluate = self._grid_eval_fn()
+        alphas = list(self.cfg.cache.alpha)
+        weights_cfg = C.to_container(self.cfg.cache_weights_strategy, resolve=True)
+        value_cfg = C.to_container(self.cfg.cache_value_strategy, resolve=True)
+
+        for strategy_cfg in self.cfg.cache_strategies.values():
+            raw_cfg = C.to_container(strategy_cfg, resolve=True)
+            for strategy, strategy_params in C.instantiate_all(self._inject_context(raw_cfg)):
+                strategy_params = {k: v for k, v in strategy_params.items()
+                                   if not isinstance(v, np.ndarray)}
+                cf, co, cache_info = self.build_cache(
+                    strategy, self.origin_cache_image_features, self.origin_cache_image_outs)
+                self.logger.log_info({**cache_info, "cache_strategy": strategy_params,
+                                      "type": "cache_info"})
+                self._sweep_weights_values(cf, co, strategy_params, weights_cfg,
+                                           value_cfg, alphas, evaluate)
+
+    def _sweep_weights_values(self, cache_features, cache_outs, strategy_params,
+                              weights_cfg, value_cfg, alphas, evaluate,
+                              beta_chunk: int = 8):
+        weights_list = list(C.instantiate_all(weights_cfg))
+        all_tip = all(isinstance(w, cache_methods.TipAdapterWeightsStrategy)
+                      for w, _ in weights_list)
+        for value_strategy, value_params in C.instantiate_all(value_cfg):
+            values = value_strategy.transform(cache_outs)
+            if all_tip:
+                betas = [w.beta for w, _ in weights_list]
+                for s in range(0, len(betas), beta_chunk):
+                    chunk = betas[s:s + beta_chunk]
+                    cache_logits = cache_logits_for_betas(
+                        self.test_image_features, cache_features, values, chunk)
+                    accs = np.asarray(jnp.stack(evaluate(cache_logits), -1))  # (Bc, A, 2)
+                    for bi, beta in enumerate(chunk):
+                        wp = weights_list[s + bi][1]
+                        self._log_results(strategy_params, wp, value_params, alphas,
+                                          accs[bi], cache_logits[bi])
+            else:  # generic weights strategy: dense fallback
+                for w_strategy, wp in weights_list:
+                    weights = w_strategy.transform(self.test_image_features, cache_features)
+                    cache_logits = jnp.asarray(weights @ values)[None]
+                    accs = np.asarray(jnp.stack(evaluate(cache_logits), -1))
+                    self._log_results(strategy_params, wp, value_params, alphas,
+                                      accs[0], cache_logits[0])
+
+    def _log_results(self, strategy_params, weights_params, value_params,
+                     alphas, accs: np.ndarray, cache_logits_one) -> None:
+        for ai, alpha in enumerate(alphas):
+            info: dict = {
+                "cache_strategy": strategy_params,
+                "cache_value_strategy": value_params,
+                "cache_weights_strategy": weights_params,
+                "alpha": float(alpha),
+                "acc1": float(accs[ai, 0]), "acc5": float(accs[ai, 1]),
+            }
+            if self.cfg.run_saves.save_preds:
+                preds = np.asarray(jnp.argmax(self.clip_logits + alpha * cache_logits_one, axis=1))
+                info["preds_path"] = str(self.preds_saver.save_tensor(preds))
+            self.logger.log_info_wandb({**info, "type": "searcher_result"})
+
+
+@C.main(config_path="../conf", config_name="image_attention")
+def run(cfg) -> None:
+    run_trainer(ImageAttention, cfg)
+
+
+if __name__ == "__main__":
+    run()

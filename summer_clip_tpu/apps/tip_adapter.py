@@ -1,0 +1,145 @@
+"""Tip-Adapter app: training-free cache baseline end-to-end.
+
+Rebuild of the vendored baseline (``summer_clip/tip_adapter/tip_adapter.py``):
+few-shot cache construction from augment passes over the train split,
+zero-shot + Tip-Adapter accuracy at the initial (beta, alpha), then the
+beta x alpha grid search — which here runs through the fused beta-batched
+Pallas kernel (see ``methods.tip.search_hp``) instead of one dense recompute
+per grid point.
+
+``tip_adapter_imagenet`` is the same app with the ImageNet prompt-ensemble
+config (``conf/tip_adapter_imagenet.yaml``).
+"""
+
+from __future__ import annotations
+
+import typing as tp
+
+import numpy as np
+
+from summer_clip_tpu.apps.common import create_clip_session, extract_image_features
+from summer_clip_tpu.core import config as C
+from summer_clip_tpu.data.views import DatasetView
+from summer_clip_tpu.engine.trainer import BaseTrainer, run_trainer
+from summer_clip_tpu.methods import tip as tip_methods
+from summer_clip_tpu.methods.zeroshot import accuracy, zeroshot_classifier
+from summer_clip_tpu.store import FeatureStore
+
+
+class TipAdapterTrainer(BaseTrainer):
+    dataset_view_cls = DatasetView
+
+    def setup_model(self):
+        cfg = self.cfg
+        self.store = FeatureStore(f"./caches/{cfg.dataset}")
+        self.session = create_clip_session(cfg.clip.model_name,
+                                           cfg.clip.get("checkpoint_path"),
+                                           cfg.clip.get("dtype"), logger=self.logger)
+        size = self.session.input_size
+        bs = int(cfg.data.batch_size)
+        shots = int(cfg.shots)
+        root = str(cfg.root_path)
+
+        self.logger.log_info("Preparing dataset.")
+        train_view = self.dataset_view_cls(str(cfg.dataset), "train", root, shots,
+                                           input_size=size, is_train=True, seed=int(cfg.meta.random_state))
+        val_view = self.dataset_view_cls(str(cfg.dataset), "val", root, -1, input_size=size)
+        test_view = self.dataset_view_cls(str(cfg.dataset), "test", root, -1, input_size=size)
+        self.num_classes = train_view.base.num_classes
+
+        self.logger.log_info("Getting textual features as CLIP's classifier.")
+        prompting = cfg.get("prompting")
+        templates = (prompting.get("templates") if prompting else None) or train_view.template
+        classes = (prompting.get("classes") if prompting else None) or train_view.classes
+        self.clip_weights = np.asarray(
+            zeroshot_classifier(self.session.encode_text, classes, templates), np.float32)
+
+        self.logger.log_info("Constructing cache model by few-shot visual features and labels.")
+        self.cache_keys, self.cache_values = self.build_cache_model(train_view, bs)
+
+        self.logger.log_info("Loading visual features and labels from val set.")
+        self.val_features, self.val_labels = self.preload_features("val", val_view, bs)
+        self.logger.log_info("Loading visual features and labels from test set.")
+        self.test_features, self.test_labels = self.preload_features("test", test_view, bs)
+
+    # -- cache construction ------------------------------------------------------
+    def build_cache_model(self, train_view: DatasetView, batch_size: int
+                          ) -> tp.Tuple[np.ndarray, np.ndarray]:
+        key = f"cache_{self.cfg.shots}shots"
+        if bool(self.cfg.load_cache) and key in self.store:
+            arrs = self.store.load_all(key, mmap=False)
+            return np.asarray(arrs["features"]), np.asarray(arrs["values"])
+        passes = []
+        labels = None
+        for epoch in range(int(self.cfg.augment_epoch)):
+            self.logger.log_info(f"Augment Epoch: {epoch} / {int(self.cfg.augment_epoch)}")
+            batcher = train_view.batcher(batch_size=batch_size, seed=int(self.cfg.meta.random_state))
+            batcher.set_epoch(epoch)
+            feats, lab, _ = extract_image_features(self.session, batcher)
+            passes.append(feats)
+            if labels is None:
+                labels = lab
+        keys, values = tip_methods.build_cache_from_features(passes, labels, self.num_classes)
+        self.store.save(key, features=keys, extra={"values": values},
+                        meta={"shots": int(self.cfg.shots)})
+        return keys, values
+
+    def preload_features(self, split: str, view: DatasetView, batch_size: int
+                         ) -> tp.Tuple[np.ndarray, np.ndarray]:
+        key = f"{split}_features"
+        if bool(self.cfg.load_pre_feat) and key in self.store:
+            arrs = self.store.load_all(key, mmap=False)
+            return np.asarray(arrs["features"]), np.asarray(arrs["labels"])
+        feats, labels, _ = extract_image_features(self.session, view.batcher(batch_size=batch_size))
+        feats = feats / np.maximum(np.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)
+        self.store.save(key, features=feats, labels=labels)
+        return feats, labels
+
+    # -- evaluation ---------------------------------------------------------------
+    def train_loop(self):
+        cfg = self.cfg
+        clip_logits = 100.0 * self.test_features @ self.clip_weights.T
+        acc = accuracy(clip_logits, self.test_labels)[0]
+        self.logger.log_info(f"**** Zero-shot CLIP's test accuracy: {acc:.2f}. ****")
+        self.logger.log_info({"type": "zero_shot", "acc1": acc})
+
+        beta, alpha = float(cfg.init_beta), float(cfg.init_alpha)
+        tip = tip_methods.tip_logits(clip_logits, self.test_features,
+                                     self.cache_keys, self.cache_values, beta, alpha)
+        acc_tip = accuracy(np.asarray(tip), self.test_labels)[0]
+        self.logger.log_info(f"**** Tip-Adapter's test accuracy: {acc_tip:.2f}. ****")
+        self.logger.log_info({"type": "tip_result", "beta": beta, "alpha": alpha, "acc1": acc_tip})
+
+        if bool(cfg.search_hp):
+            # search on val (falls back to test when the dataset has no val split)
+            feats = self.val_features if len(self.val_features) else self.test_features
+            labels = self.val_labels if len(self.val_features) else self.test_labels
+            v_clip = 100.0 * feats @ self.clip_weights.T
+            best_beta, best_alpha, best_acc = tip_methods.search_hp(
+                feats, labels, v_clip, self.cache_keys, self.cache_values,
+                search_scale=list(cfg.search_scale), search_step=list(cfg.search_step),
+                log_fn=self.logger.log_info_wandb)
+            self.logger.log_info(
+                f"After searching, the best accuracy: {best_acc:.2f} "
+                f"(beta={best_beta:.2f}, alpha={best_alpha:.2f}).")
+            tip_best = tip_methods.tip_logits(clip_logits, self.test_features,
+                                              self.cache_keys, self.cache_values,
+                                              best_beta, best_alpha)
+            acc_best = accuracy(np.asarray(tip_best), self.test_labels)[0]
+            self.logger.log_info(f"**** Tip-Adapter's searched test accuracy: {acc_best:.2f}. ****")
+            self.logger.log_info({"type": "tip_searched", "beta": best_beta,
+                                  "alpha": best_alpha, "acc1": acc_best})
+
+
+@C.main(config_path="../conf", config_name="tip_adapter")
+def run(cfg) -> None:
+    run_trainer(TipAdapterTrainer, cfg)
+
+
+@C.main(config_path="../conf", config_name="tip_adapter_imagenet")
+def run_imagenet(cfg) -> None:
+    run_trainer(TipAdapterTrainer, cfg)
+
+
+if __name__ == "__main__":
+    run()

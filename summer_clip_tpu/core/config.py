@@ -426,13 +426,20 @@ def compose(conf_dir: tp.Union[str, Path], config_name: str,
             raise ValueError(f"Override must look like key=value, got {ov!r}")
         key, _, val = ov.partition("=")
         key = key.lstrip("+~")
-        # group override: `dataset=cifar10` where conf/dataset/cifar10.yaml exists
+        # group override with package redirect: `dataset@cache.dataset=mnist`
+        if "@" in key:
+            group, pkg = key.split("@", 1)
+            gfile = conf_dir / group / f"{val}.yaml"
+            if gfile.exists():
+                sub = _compose_file(conf_dir, f"{group}/{val}")
+                # group re-selection REPLACES the previous selection (hydra semantics)
+                _set_path(tree, pkg, sub, merge_dicts=False)
+                continue
+        # plain group override: `dataset=cifar10` where conf/dataset/cifar10.yaml exists
         group_candidate = conf_dir / key / f"{val}.yaml"
         if group_candidate.exists():
             sub = _compose_file(conf_dir, f"{key}/{val}")
-            subtree: dict = {}
-            _set_path(subtree, key.replace("/", "."), sub)
-            tree = merge(tree, subtree)
+            _set_path(tree, key.replace("/", "."), sub, merge_dicts=False)
         else:
             _set_path(tree, key, _parse_override_value(str(val)), merge_dicts=False)
     return ConfigNode(tree)

@@ -85,6 +85,11 @@ class ImageBatcher:
 
     def _decode_one(self, ds_index: int, aug_seed: int) -> np.ndarray:
         item = self.data[ds_index]
+        if item.impath.startswith("synthetic://"):
+            from summer_clip_tpu.data.datasets import SyntheticDataset
+
+            size = getattr(self.transform, "input_size", 32)
+            return SyntheticDataset.render(item.impath, size)
         img = load_image(item.impath)
         rng = np.random.default_rng((self.seed, self._epoch, aug_seed))
         return self.transform(img, rng)

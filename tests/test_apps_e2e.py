@@ -1,0 +1,187 @@
+"""End-to-end app tests on CPU with the synthetic dataset + tiny CLIP.
+
+The reference has no automated tests (SURVEY.md §4); this suite is the
+framework's answer: each app runs end-to-end on synthetic data, exercising
+config composition, feature extraction, the store, and the method grids.
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from summer_clip_tpu.core import config as C
+
+CONF = Path(__file__).resolve().parent.parent / "summer_clip_tpu" / "conf"
+
+
+def _records(run_root: Path):
+    recs = []
+    for p in run_root.rglob("records.jsonl"):
+        recs.extend(json.loads(l) for l in p.read_text().splitlines())
+    return recs
+
+
+@pytest.fixture()
+def rundir(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    return tmp_path
+
+
+class TestSaveFeaturesThenEval:
+    def test_pipeline(self, rundir):
+        from summer_clip_tpu.apps import save_features, eval_clip
+
+        store_root = str(rundir / "features")
+        save_features.run(argv=[
+            "dataset_name=synthetic",
+            "dataset@train_dataset=synthetic_train", "dataset@test_dataset=synthetic_test",
+            "clip=test_vit", "data.batch_size=8", f"store.root={store_root}",
+        ])
+        catalog = json.loads((Path(store_root) / "catalog.json").read_text())
+        assert "synthetic_train-test-vit" in catalog
+        assert "synthetic_test-test-vit" in catalog
+        train_entry = catalog["synthetic_train-test-vit"]["arrays"]
+        assert "features" in train_entry and "outs" in train_entry
+
+        eval_clip.run(argv=[
+            "dataset_name=synthetic", "dataset=synthetic_test",
+            "clip=test_vit", f"store.root={store_root}",
+            "eval.features_key=synthetic_test-test-vit",
+        ])
+        recs = [r for r in _records(rundir) if r.get("type") == "zero_shot"]
+        assert recs and 0.0 <= recs[-1]["acc1"] <= 100.0
+
+    def test_feature_batcher_order_invariant(self, rundir):
+        """Features must be saved in dataset order (save_features.py:60 assert)."""
+        from summer_clip_tpu.apps import save_features
+
+        store_root = str(rundir / "f2")
+        save_features.run(argv=[
+            "dataset_name=synthetic", "dataset@train_dataset=synthetic_train",
+            "test_dataset=null",
+            "clip=test_vit", "data.batch_size=3", f"store.root={store_root}",
+        ])
+        cat = json.loads((Path(store_root) / "catalog.json").read_text())
+        n = cat["synthetic_train-test-vit"]["arrays"]["features"]["shape"][0]
+        from summer_clip_tpu.data.datasets import SyntheticDataset
+        ds = SyntheticDataset()
+        assert n == len(ds.train_x)
+
+
+class TestImageAttention:
+    def test_grid_runs_and_logs(self, rundir):
+        from summer_clip_tpu.apps import save_features, image_attention
+
+        store_root = str(rundir / "features")
+        save_features.run(argv=[
+            "dataset_name=synthetic",
+            "dataset@train_dataset=synthetic_train", "dataset@test_dataset=synthetic_test",
+            "clip=test_vit", "data.batch_size=8", f"store.root={store_root}",
+        ])
+        image_attention.run(argv=[
+            "dataset_name=synthetic",
+            "dataset=synthetic_test", "dataset@cache.dataset=synthetic_train",
+            "dataset.load_images=false", "cache.dataset.load_images=false",
+            "clip=test_vit", f"store.root={store_root}",
+            "data.features_key=synthetic_test-test-vit",
+            "cache.features_key=synthetic_train-test-vit",
+            "cache.outs_key=synthetic_train-test-vit",
+            "cache.alpha=[0.0,1.0]",
+            "cache_weights_strategy.beta=[1.0,5.5]",
+        ])
+        recs = _records(rundir)
+        searcher = [r for r in recs if r.get("type") == "searcher_result"]
+        cache_infos = [r for r in recs if r.get("type") == "cache_info"]
+        zero = [r for r in recs if r.get("type") == "zero_shot"]
+        assert zero and cache_infos and searcher
+        # 8 strategy groups configured; each should produce >= 1 combo
+        strategies = {json.dumps(r["cache_strategy"], sort_keys=True) for r in searcher}
+        assert len(strategies) >= 8
+        # alpha=0 rows must equal the zero-shot accuracy
+        a0 = [r for r in searcher if r["alpha"] == 0.0]
+        assert a0 and all(abs(r["acc1"] - zero[-1]["acc1"]) < 1e-6 for r in a0)
+        # and every record carries the full param sets
+        r = searcher[0]
+        assert "beta" in r["cache_weights_strategy"]
+        assert "acc5" in r
+
+
+class TestTipAdapter:
+    def test_tip_runs_synthetic(self, rundir):
+        from summer_clip_tpu.apps import tip_adapter
+
+        tip_adapter.run(argv=[
+            "dataset=synthetic", "clip=test_vit", "root_path=''",
+            "shots=2", "augment_epoch=2", "data.batch_size=8",
+            "search_step=[4,3]", "search_scale=[7,3]",
+        ])
+        recs = _records(rundir)
+        assert any(r.get("type") == "zero_shot" for r in recs)
+        assert any(r.get("type") == "tip_result" for r in recs)
+        assert any(r.get("type") == "tip_searched" for r in recs)
+
+
+class TestTrainEvalAdapter:
+    def test_train_then_eval(self, rundir):
+        from summer_clip_tpu.apps import save_features, train_adapter, eval_adapter
+
+        store_root = str(rundir / "features")
+        save_features.run(argv=[
+            "dataset_name=synthetic",
+            "dataset@train_dataset=synthetic_train", "dataset@test_dataset=synthetic_test",
+            "clip=test_vit", "data.batch_size=8", f"store.root={store_root}",
+        ])
+        train_adapter.run(argv=[
+            "dataset_name=synthetic", "dataset=synthetic_train",
+            "dataset.load_images=false",
+            "clip=test_vit", f"store.root={store_root}",
+            "data.features_key=synthetic_train-test-vit",
+            "data.batch_size=8", "training.epochs_num=2",
+            "training.adam_params.lr=0.01",
+        ])
+        ckpts = sorted(rundir.rglob("checkpoints/epoch_2"))
+        assert ckpts, "no checkpoint written"
+        assert (ckpts[0] / "model.ckpt").exists()
+        assert (ckpts[0] / "meta.yaml").exists()
+
+        eval_adapter.run(argv=[
+            "dataset_name=synthetic", "dataset=synthetic_test",
+            "dataset.load_images=false",
+            "clip=test_vit", f"store.root={store_root}",
+            f"eval.checkpoint_dir={ckpts[0]}",
+            "eval.features_key=synthetic_test-test-vit",
+        ])
+        recs = [r for r in _records(rundir) if r.get("type") == "eval_adapter"]
+        assert recs and 0.0 <= recs[-1]["acc1"] <= 100.0
+
+
+class TestSaveOutsLabels:
+    def test_save_image_outs_and_labels(self, rundir):
+        from summer_clip_tpu.apps import save_features, save_image_outs, save_image_labels
+
+        store_root = str(rundir / "features")
+        save_features.run(argv=[
+            "dataset_name=synthetic", "dataset@train_dataset=synthetic_train",
+            "test_dataset=null",
+            "clip=test_vit", "data.batch_size=8", f"store.root={store_root}",
+        ])
+        save_image_outs.run(argv=[
+            "dataset_name=synthetic", "dataset=synthetic_train",
+            "dataset.load_images=false",
+            "clip=test_vit", f"store.root={store_root}",
+            "data.features_key=synthetic_train-test-vit",
+            "data.output_key=synthetic_train_outs",
+        ])
+        cat = json.loads((Path(store_root) / "catalog.json").read_text())
+        assert "synthetic_train_outs" in cat
+
+        save_image_labels.run(argv=[
+            "dataset_name=synthetic", "dataset=synthetic_train",
+            "dataset.load_images=false",
+        ])
+        label_files = list(rundir.rglob("image_labels.npy"))
+        assert label_files
+        arr = np.load(label_files[0])
+        assert arr.ndim == 2  # one-hot
