@@ -1,0 +1,112 @@
+"""Headline benchmark: CLIP RN50 feature-extraction throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+vs_baseline is relative to the BASELINE.json north-star target of 10,000
+images/sec/chip for RN50 @ 224 on TPU v5e (the reference records no
+throughput numbers at all — SURVEY.md §6). Secondary numbers (cache-affinity
+queries/sec for the fused Tip-Adapter/CLIP-search kernel) go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def bench_encode(model_name: str = "RN50", batch: int = 256, iters: int = 10) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from summer_clip_tpu.models.clip import build_clip
+
+    dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    model, cfg = build_clip(model_name, dtype=dtype)
+    rng = jax.random.PRNGKey(0)
+    images = jax.random.normal(rng, (batch, cfg.image_resolution, cfg.image_resolution, 3), jnp.float32)
+    variables = model.init(rng, images[:1], jnp.zeros((1, cfg.context_length), jnp.int32))
+
+    @jax.jit
+    def encode_checksum(variables, images):
+        # scalar checksum forces full materialization of the features; under
+        # remote-device transports, block_until_ready alone does not prove
+        # execution — only a value fetch does
+        return jnp.sum(model.apply(variables, images, method=model.encode_image)
+                       .astype(jnp.float32))
+
+    t0 = time.perf_counter()
+    float(encode_checksum(variables, images))
+    log(f"[bench] {model_name} compile+first-run: {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    acc = 0.0
+    for _ in range(iters):
+        acc = acc + encode_checksum(variables, images)
+    _ = float(acc)  # one host round-trip for the whole chain
+    dt = time.perf_counter() - t0
+    ips = batch * iters / dt
+    log(f"[bench] {model_name} encode: {ips:.0f} img/s (batch={batch}, iters={iters})")
+    return ips
+
+
+def bench_cache_affinity(nt: int = 8192, nc: int = 131072, d: int = 1024,
+                         c: int = 1000, n_betas: int = 8, iters: int = 5) -> float:
+    """Queries/sec of the fused exp-affinity kernel (one query = one test row
+    scored against the whole cache for all betas)."""
+    import jax
+    import jax.numpy as jnp
+
+    from summer_clip_tpu.ops.cache_kernels import cache_attention_auto
+
+    rng = np.random.RandomState(0)
+    f = jnp.asarray(rng.randn(nt, d).astype(np.float32))
+    f = f / jnp.linalg.norm(f, axis=1, keepdims=True)
+    cache = jnp.asarray(rng.randn(nc, d).astype(np.float32))
+    cache = cache / jnp.linalg.norm(cache, axis=1, keepdims=True)
+    values = jnp.asarray(np.eye(c, dtype=np.float32)[rng.randint(0, c, nc)])
+    betas = jnp.linspace(1.0, 11.5, n_betas)
+
+    t0 = time.perf_counter()
+    float(jnp.sum(cache_attention_auto(f, cache, values, betas)))
+    log(f"[bench] cache kernel compile+first-run: {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    acc = 0.0
+    for _ in range(iters):
+        acc = acc + jnp.sum(cache_attention_auto(f, cache, values, betas))
+    _ = float(acc)
+    dt = time.perf_counter() - t0
+    qps = nt * iters / dt
+    flops = 2.0 * nt * nc * (d + n_betas * c) * iters / dt
+    log(f"[bench] cache affinity: {qps:.0f} queries/s over Nc={nc} x {n_betas} betas "
+        f"(~{flops / 1e12:.1f} TFLOP/s)")
+    return qps
+
+
+def main() -> None:
+    import jax
+
+    log(f"[bench] backend={jax.default_backend()} devices={jax.devices()}")
+    ips = bench_encode("RN50", batch=256, iters=10)
+    try:
+        bench_cache_affinity()
+    except Exception as e:  # secondary metric must not sink the primary
+        log(f"[bench] cache affinity bench failed: {e}")
+    print(json.dumps({
+        "metric": "CLIP RN50 feature extraction throughput (224px, bf16, batch 256)",
+        "value": round(ips, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / 10000.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

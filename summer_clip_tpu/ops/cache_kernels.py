@@ -63,13 +63,31 @@ def _pad_axis(x: jax.Array, axis: int, target: int) -> jax.Array:
     return jnp.pad(x, pad)
 
 
+def _pick_blocks(d_p: int, c_p: int, block_q: int,
+                 budget_bytes: int = 12 * 1024 * 1024) -> tp.Tuple[int, int]:
+    """Choose (block_n, block_b) fitting the VMEM budget.
+
+    Mosaic double-buffers each block across grid steps, so the footprint is
+    ~2 * 4B * (bq*dp + bn*dp + bn*cp + bb*bq*cp). Prefer a large cache block
+    (MXU efficiency on the affinity matmul), then as much beta batching as
+    fits (affinity reuse).
+    """
+    for bn in (1024, 512, 256, 128):
+        for bb in (8, 4, 2, 1):
+            need = 2 * 4 * (block_q * d_p + bn * d_p + bn * c_p + bb * block_q * c_p)
+            if need <= budget_bytes:
+                return bn, bb
+    return 128, 1
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("block_q", "block_n", "block_b", "interpret"),
 )
 def cache_attention(test_features: jax.Array, cache_features: jax.Array,
                     cache_values: jax.Array, betas: jax.Array, *,
-                    block_q: int = 128, block_n: int = 512, block_b: int = 8,
+                    block_q: int = 128, block_n: tp.Optional[int] = None,
+                    block_b: tp.Optional[int] = None,
                     interpret: bool = False) -> jax.Array:
     """Pallas fused kernel. Shapes as in :func:`cache_attention_reference`.
 
@@ -86,6 +104,9 @@ def cache_attention(test_features: jax.Array, cache_features: jax.Array,
 
     d_p = _ceil_to(d, 128)
     c_p = _ceil_to(max(c, 128), 128)
+    auto_bn, auto_bb = _pick_blocks(d_p, c_p, block_q)
+    block_n = block_n or auto_bn
+    block_b = block_b or auto_bb
     nt_p = _ceil_to(nt, block_q)
     nc_p = _ceil_to(nc, block_n)
     b_p = _ceil_to(b, block_b)

@@ -1,0 +1,8 @@
+"""Multi-chip parallelism: meshes, shardings, N-sharded cache attention."""
+
+from summer_clip_tpu.parallel.mesh import (  # noqa: F401
+    create_mesh, distributed_init, replicate, shard_batch,
+)
+from summer_clip_tpu.parallel.sharded_cache import (  # noqa: F401
+    sharded_cache_logits, pad_cache_for_mesh,
+)

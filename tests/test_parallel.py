@@ -1,0 +1,62 @@
+"""Multi-device tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from summer_clip_tpu.ops.cache_kernels import cache_attention_reference
+from summer_clip_tpu.parallel import create_mesh, sharded_cache_logits, shard_batch, replicate
+
+
+class TestMesh:
+    def test_create_mesh_shapes(self, devices8):
+        mesh = create_mesh(data=4, model=2, devices=devices8)
+        assert mesh.shape == {"data": 4, "model": 2}
+        mesh2 = create_mesh(devices=devices8)
+        assert mesh2.shape["data"] == 8
+
+    def test_shard_and_replicate(self, devices8):
+        mesh = create_mesh(data=8, model=1, devices=devices8)
+        x = np.arange(32, dtype=np.float32).reshape(8, 4)
+        xs = shard_batch(x, mesh)
+        assert len(xs.sharding.device_set) == 8
+        p = replicate({"w": np.ones((3,))}, mesh)
+        np.testing.assert_array_equal(np.asarray(p["w"]), np.ones(3))
+
+
+class TestShardedCache:
+    def test_matches_dense_oracle(self, devices8):
+        mesh = create_mesh(data=2, model=4, devices=devices8)
+        rng = np.random.RandomState(0)
+        nt, nc, d, c = 12, 37, 16, 5  # nc deliberately not divisible by 4
+        f = rng.randn(nt, d).astype(np.float32)
+        f /= np.linalg.norm(f, axis=1, keepdims=True)
+        cache = rng.randn(nc, d).astype(np.float32)
+        cache /= np.linalg.norm(cache, axis=1, keepdims=True)
+        values = rng.randn(nc, c).astype(np.float32)
+        betas = jnp.asarray([0.5, 5.5, 11.0])
+
+        out = sharded_cache_logits(f, cache, values, betas, mesh, axis="model")
+        ref = cache_attention_reference(jnp.asarray(f), jnp.asarray(cache),
+                                        jnp.asarray(values), betas)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+    def test_data_axis_sharding(self, devices8):
+        mesh = create_mesh(data=8, model=1, devices=devices8)
+        rng = np.random.RandomState(1)
+        f = rng.randn(8, 8).astype(np.float32)
+        cache = rng.randn(16, 8).astype(np.float32)
+        values = rng.randn(16, 3).astype(np.float32)
+        out = sharded_cache_logits(f, cache, values, [1.0], mesh, axis="data")
+        ref = cache_attention_reference(*map(jnp.asarray, (f, cache, values)), jnp.asarray([1.0]))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+class TestGraftEntry:
+    def test_dryrun_multichip_8(self, devices8):
+        import sys
+        from pathlib import Path
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+        from __graft_entry__ import dryrun_multichip
+
+        dryrun_multichip(8)
