@@ -185,3 +185,54 @@ class TestSaveOutsLabels:
         assert label_files
         arr = np.load(label_files[0])
         assert arr.ndim == 2  # one-hot
+
+
+class TestTrainCoOp:
+    def test_coop_trains_on_synthetic(self, rundir):
+        from summer_clip_tpu.apps import save_features, train_coop
+
+        store_root = str(rundir / "features")
+        save_features.run(argv=[
+            "dataset_name=synthetic",
+            "dataset@train_dataset=synthetic_train", "dataset@test_dataset=synthetic_test",
+            "clip=test_vit", "data.batch_size=8", f"store.root={store_root}",
+        ])
+        train_coop.run(argv=[
+            "dataset_name=synthetic", "dataset=synthetic_train",
+            "dataset.load_images=false",
+            "dataset@val_dataset=synthetic_test", "val_dataset.load_images=false",
+            "clip=test_vit", f"store.root={store_root}",
+            "data.features_key=synthetic_train-test-vit",
+            "data.val_features_key=synthetic_test-test-vit",
+            "data.batch_size=8", "training.epochs_num=2",
+            "prompt.length=4", "dataset_info.k_shots=-1",
+            "clip_seq_len=16",
+        ])
+        recs = [r for r in _records(rundir) if r.get("type") == "prompt"]
+        assert recs and len(recs[-1]["prompt_ids"]) == 4
+        ckpts = list(rundir.rglob("checkpoints/epoch_2/prompt.yaml"))
+        assert ckpts
+
+    def test_gumbel_with_fluency(self, rundir):
+        from summer_clip_tpu.apps import save_features, train_coop
+
+        store_root = str(rundir / "features")
+        save_features.run(argv=[
+            "dataset_name=synthetic", "dataset@train_dataset=synthetic_train",
+            "test_dataset=null",
+            "clip=test_vit", "data.batch_size=8", f"store.root={store_root}",
+        ])
+        train_coop.run(argv=[
+            "dataset_name=synthetic", "dataset=synthetic_train",
+            "dataset.load_images=false", "val_dataset=null",
+            "clip=test_vit", f"store.root={store_root}",
+            "data.features_key=synthetic_train-test-vit",
+            "data.batch_size=8", "training.epochs_num=1",
+            "prompt.length=3", "prompt_model=gumbel_v1a1",
+            "temp_scheduler=linear", "temp_scheduler.steps_num=4",
+            "lm_loss=suffix", "loss.fluency=0.5", "loss.entropy=0.01",
+            "+gpt.gpt_config=test-gpt", "+gpt.emb_hid_dim=16", "+gpt.head_hid_dim=16",
+            "clip_seq_len=16",
+        ])
+        recs = [r for r in _records(rundir) if r.get("type") == "prompt"]
+        assert recs
