@@ -236,3 +236,79 @@ class TestTrainCoOp:
         ])
         recs = [r for r in _records(rundir) if r.get("type") == "prompt"]
         assert recs
+
+
+class TestAnalysisApps:
+    def _save(self, rundir, with_test=True):
+        from summer_clip_tpu.apps import save_features
+        store_root = str(rundir / "features")
+        argv = ["dataset_name=synthetic", "dataset@train_dataset=synthetic_train",
+                "clip=test_vit", "data.batch_size=8", f"store.root={store_root}"]
+        argv += (["dataset@test_dataset=synthetic_test"] if with_test else ["test_dataset=null"])
+        save_features.run(argv=argv)
+        return store_root
+
+    def test_class_projector(self, rundir):
+        from summer_clip_tpu.apps import class_projector
+        store_root = self._save(rundir)
+        class_projector.run(argv=[
+            "dataset_name=synthetic", "dataset=synthetic_test", "dataset.load_images=false",
+            "clip=test_vit", f"store.root={store_root}",
+            "data.features_key=synthetic_test-test-vit",
+            "pca.n_components=[2,4]",
+        ])
+        recs = [r for r in _records(rundir) if "n_components" in r]
+        assert len(recs) == 2
+
+    def test_maha_distance(self, rundir):
+        from summer_clip_tpu.apps import maha_distance
+        store_root = self._save(rundir)
+        maha_distance.run(argv=[
+            "dataset_name=synthetic", "dataset=synthetic_test", "dataset.load_images=false",
+            "clip=test_vit", f"store.root={store_root}",
+            "data.features_key=synthetic_test-test-vit",
+            "cache.features_key=synthetic_train-test-vit",
+        ])
+        recs = [r for r in _records(rundir) if r.get("type") == "maha_result"]
+        assert recs and 0 <= recs[-1]["acc1"] <= 100
+
+    def test_train_em(self, rundir):
+        from summer_clip_tpu.apps import train_em
+        store_root = self._save(rundir)
+        train_em.run(argv=[
+            "dataset_name=synthetic", "dataset=synthetic_test", "dataset.load_images=false",
+            "clip=test_vit", f"store.root={store_root}",
+            "data.features_key=synthetic_test-test-vit",
+            "em_model.max_iter=5",
+        ])
+        recs = [r for r in _records(rundir) if r.get("type") == "em_result"]
+        assert recs
+        assert list(rundir.rglob("em_model.ckpt"))
+
+    def test_eval_prompt(self, rundir):
+        from summer_clip_tpu.apps import eval_prompt
+        store_root = self._save(rundir)
+        eval_prompt.run(argv=[
+            "dataset_name=synthetic", "dataset=synthetic_test", "dataset.load_images=false",
+            "clip=test_vit", f"store.root={store_root}",
+            "clip_data.features_key=synthetic_test-test-vit",
+            'prompts_texts=["a photo of a", "an image of a"]',
+        ])
+        recs = [r for r in _records(rundir) if r.get("type") == "eval_prompt"]
+        assert recs and len(recs[-1]["prompts"]) == 2
+
+    def test_class_distribution(self, rundir):
+        from summer_clip_tpu.apps import class_distribution
+        store_root = self._save(rundir)
+        class_distribution.run(argv=[
+            "dataset_name=synthetic",
+            "dataset=synthetic_test", "dataset@cache.dataset=synthetic_train",
+            "dataset.load_images=false", "cache.dataset.load_images=false",
+            "clip=test_vit", f"store.root={store_root}",
+            "data.features_key=synthetic_test-test-vit",
+            "cache.features_key=synthetic_train-test-vit",
+            "cache.outs_key=synthetic_train-test-vit",
+        ])
+        saved = list(rundir.rglob("selected_cache/*.npy"))
+        assert saved
+        assert list(rundir.rglob("cache_labels.npy"))
