@@ -1,0 +1,142 @@
+"""ClipGPT evaluation & generation (reference ``clip_prompt/gen_gpt.py``).
+
+Loads a trained ClipGPT step checkpoint, reports perplexity on a validation
+token matrix, and samples continuations for a fixed prompt list via the
+functional KV cache (temperature / top-k sampling). Results go to
+``results.yaml`` + JSON records.
+"""
+
+from __future__ import annotations
+
+import logging
+import typing as tp
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from summer_clip_tpu.core import config as C
+from summer_clip_tpu.engine import checkpoint as ckpt
+from summer_clip_tpu.engine.trainer import BaseTrainer, run_trainer
+from summer_clip_tpu.models import gpt2 as gpt2_mod
+from summer_clip_tpu.models.tokenizer import get_tokenizer
+from summer_clip_tpu.store import load_array
+
+__all__ = ["load_pretrained_clip_gpt", "generate", "run"]
+
+
+def load_pretrained_clip_gpt(checkpoint_dir: tp.Union[str, Path], tokenizer,
+                             rng: tp.Optional[jax.Array] = None):
+    """Rebuild a ClipGPT from a step checkpoint's model_cfg meta + params."""
+    loaded = ckpt.load_checkpoint(checkpoint_dir)
+    mcfg = (loaded.get("meta") or {}).get("model_cfg") or {}
+    gpt_cfg = gpt2_mod.GPT2_CONFIGS[str(mcfg.get("gpt_config", "gpt2-large"))]
+    adapters = mcfg.get("adapters") or {}
+    model = gpt2_mod.ClipGPT(
+        gpt_cfg, clip_vocab_size=tokenizer.vocab_size,
+        clip_emb_dim=int(mcfg.get("clip_emb_dim", 512)),
+        emb_hid_dim=int(adapters.get("emb_hid_dim", 1024)),
+        head_hid_dim=adapters.get("head_hid_dim", 1024))
+    params = model.init(rng if rng is not None else jax.random.PRNGKey(0),
+                        jnp.zeros((1, 4), jnp.int32))["params"]
+    if "params" in loaded:
+        params = ckpt.merge_tree(params, loaded["params"])
+    return model, {"params": params}
+
+
+def generate(model, variables, prompt_ids: tp.Sequence[int], *, max_new_tokens: int = 20,
+             temperature: float = 1.0, top_k: int = 50,
+             rng: tp.Optional[jax.Array] = None, eot_id: tp.Optional[int] = None
+             ) -> tp.List[int]:
+    """Incremental sampling via the functional KV cache."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    max_len = len(prompt_ids) + max_new_tokens
+    cache = model.apply(variables, method=model.init_cache, batch=1, max_len=max_len)
+
+    @jax.jit
+    def step(params_vars, ids, offset, cache):
+        out = model.apply(params_vars, ids, position_offset=offset, cache=cache)
+        return out["logits"][:, -1, :], out["cache"]
+
+    ids = jnp.asarray(np.asarray(prompt_ids, np.int32))[None]
+    logits, cache = step(variables, ids, 0, cache)
+    out_ids = list(int(i) for i in prompt_ids)
+    offset = len(prompt_ids)
+    for _ in range(max_new_tokens):
+        scaled = logits[0] / max(temperature, 1e-6)
+        if top_k:
+            vals, idx = jax.lax.top_k(scaled, top_k)
+            rng, sub = jax.random.split(rng)
+            pick = jax.random.categorical(sub, vals)
+            nxt = int(idx[pick])
+        else:
+            rng, sub = jax.random.split(rng)
+            nxt = int(jax.random.categorical(sub, scaled))
+        out_ids.append(nxt)
+        if eot_id is not None and nxt == eot_id:
+            break
+        logits, cache = step(variables, jnp.asarray([[nxt]], jnp.int32), offset, cache)
+        offset += 1
+    return out_ids
+
+
+class GptGenerator(BaseTrainer):
+    def setup_dataset(self):
+        self.tokenizer = get_tokenizer()
+        vcfg = self.cfg.get("val")
+        self.val_tokens = (np.asarray(load_array(vcfg.tokens_path), np.int32)
+                           if vcfg and vcfg.get("tokens_path") else None)
+
+    def setup_model(self):
+        self.model, self.variables = load_pretrained_clip_gpt(
+            self.cfg.model.checkpoint_dir, self.tokenizer, self.rng.next())
+
+    def perplexity(self) -> tp.Optional[float]:
+        if self.val_tokens is None:
+            return None
+        from summer_clip_tpu.apps.train_gpt import lm_loss_fn
+
+        @jax.jit
+        def eval_step(variables, ids):
+            out = self.model.apply(variables, ids)
+            return lm_loss_fn(out["logits"], ids)
+
+        bs = int(self.cfg.get("batch_size", 8))
+        losses = [float(eval_step(self.variables, jnp.asarray(self.val_tokens[s:s + bs])))
+                  for s in range(0, max(len(self.val_tokens) - bs + 1, 1), bs)]
+        return float(np.exp(np.mean(losses))) if losses else None
+
+    def train_loop(self):
+        results: dict = {"generations": []}
+        ppl = self.perplexity()
+        if ppl is not None:
+            results["perplexity"] = ppl
+            self.logger.log_info({"type": "gpt_perplexity", "perplexity": ppl})
+
+        gcfg = self.cfg.generation
+        rng = self.rng.next()
+        for prompt in list(self.cfg.prompts or []):
+            ids = [self.tokenizer.sot_token] + self.tokenizer.encode(str(prompt))
+            rng, sub = jax.random.split(rng)
+            out_ids = generate(self.model, self.variables, ids,
+                               max_new_tokens=int(gcfg.max_new_tokens),
+                               temperature=float(gcfg.temperature),
+                               top_k=int(gcfg.top_k), rng=sub,
+                               eot_id=self.tokenizer.eot_token)
+            text = self.tokenizer.decode(out_ids)
+            results["generations"].append({"prompt": str(prompt), "ids": out_ids, "text": text})
+            self.logger.log_info({"type": "generation", "prompt": str(prompt), "text": text})
+
+        Path("results.yaml").write_text(yaml.safe_dump(results, allow_unicode=True))
+        logging.info("Saved results.yaml")
+
+
+@C.main(config_path="../conf", config_name="gen_gpt")
+def run(cfg) -> None:
+    run_trainer(GptGenerator, cfg)
+
+
+if __name__ == "__main__":
+    run()

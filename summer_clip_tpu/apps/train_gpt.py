@@ -1,0 +1,230 @@
+"""ClipGPT pretraining: the framework's distributed LM workload.
+
+Rebuild of ``summer_clip/clip_prompt/train_gpt.py`` — GPT-2 retrofitted to
+CLIP's vocabulary, trained on a tokenized corpus with gradient accumulation,
+mid-epoch perplexity evals and trainable-only step checkpoints. Where the
+reference scaffolds HF Accelerate but pins it to single-process
+(``conf/accelerate/cfg_v1.yaml``: ``distributed_type: 'NO'``), this trainer
+is **data-parallel by construction**: params replicate over a
+``('data',)`` mesh, batches shard over it, and XLA inserts the gradient
+all-reduce — one jitted train step, any number of chips.
+
+Trainable subset via optax masking: adapters only (``ClipGPT`` semantics) or
+everything-but-embeddings (``ClipGPTFull``), cf. reference gpt.py:94-127.
+"""
+
+from __future__ import annotations
+
+import typing as tp
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from summer_clip_tpu.core import config as C
+from summer_clip_tpu.engine import checkpoint as ckpt
+from summer_clip_tpu.engine.optim import decay_mask, warmup_cosine, warmup_linear, with_grad_accum
+from summer_clip_tpu.engine.trainer import BaseTrainer, run_trainer
+from summer_clip_tpu.models import gpt2 as gpt2_mod
+from summer_clip_tpu.models.tokenizer import get_tokenizer
+from summer_clip_tpu.parallel import create_mesh, replicate, shard_batch
+from summer_clip_tpu.store import load_array
+
+
+def lm_loss_fn(logits: jax.Array, ids: jax.Array) -> jax.Array:
+    """Causal-LM shifted CE with labels == inputs (HF collator semantics)."""
+    logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, ids[:, 1:, None], axis=-1)[..., 0]
+    return nll.mean()
+
+
+class ClipGPTTrainer(BaseTrainer):
+    def setup_mesh(self):
+        n = len(jax.devices())
+        bs = int(self.cfg.data_loader.train.batch_size)
+        if n > 1 and bs % n == 0:
+            self.mesh = create_mesh(data=n, model=1)
+        else:
+            if n > 1:
+                self.logger.log_info(
+                    f"WARNING: batch size {bs} not divisible by {n} devices — "
+                    f"running single-device")
+            self.mesh = None
+
+    def setup_dataset(self):
+        self.tokenizer = get_tokenizer()
+        dcfg = self.cfg.dataset
+        self.train_tokens = np.asarray(load_array(dcfg.train.tokens_path), np.int32)
+        if dcfg.train.get("subpart"):
+            rng = np.random.default_rng(int(self.cfg.meta.random_state))
+            n = int(float(dcfg.train.subpart) * len(self.train_tokens))
+            self.train_tokens = self.train_tokens[rng.permutation(len(self.train_tokens))[:n]]
+        self.val_tokens = (np.asarray(load_array(dcfg.val.tokens_path), np.int32)
+                           if dcfg.get("val") and dcfg.val.get("tokens_path") else None)
+        self.logger.log_info(
+            f"train chunks: {len(self.train_tokens)}, "
+            f"val chunks: {len(self.val_tokens) if self.val_tokens is not None else 0}")
+
+    def setup_model(self):
+        mcfg = self.cfg.clip_gpt
+        gpt_cfg = gpt2_mod.GPT2_CONFIGS[str(mcfg.gpt_config)]
+        self.model = gpt2_mod.ClipGPT(
+            gpt_cfg, clip_vocab_size=self.tokenizer.vocab_size,
+            clip_emb_dim=int(mcfg.clip_emb_dim),
+            emb_hid_dim=int(mcfg.adapters.emb_hid_dim),
+            head_hid_dim=mcfg.adapters.get("head_hid_dim"))
+        self.params = self.model.init(self.rng.next(),
+                                      jnp.zeros((1, 8), jnp.int32))["params"]
+        # trainable subset mask
+        full = bool(mcfg.get("train_full", False))
+        self.trainable_mask_fn = (gpt2_mod.clip_gpt_full_trainable_mask if full
+                                  else gpt2_mod.clip_gpt_trainable_mask)
+        if mcfg.get("clip_checkpoint_path") and Path(mcfg.clip_checkpoint_path).exists():
+            # import the CLIP token table from a converted CLIP checkpoint
+            from summer_clip_tpu.models.clip.convert import load_clip as load_clip_ckpt
+
+            _, _, variables = load_clip_ckpt(mcfg.clip_checkpoint_path)
+            self.params["clip_emb"] = jnp.asarray(
+                variables["params"]["text"]["token_embedding"]["embedding"])
+        if self.mesh is not None:
+            self.params = replicate(self.params, self.mesh)
+
+    def setup_optimizer(self):
+        ocfg = self.cfg.optim
+        scfg = self.cfg.scheduler
+        accum = int(self.cfg.training.get("grad_accum_steps", 1))
+        steps_per_epoch = max(len(self.train_tokens) // int(self.cfg.data_loader.train.batch_size), 1)
+        total = int(self.cfg.training.epochs_num) * steps_per_epoch // max(accum, 1)
+        warmup = int(total * float(scfg.get("warmup_part", 0.0)))
+        sched_fn = warmup_cosine if str(scfg.get("name", "cosine")) == "cosine" else warmup_linear
+        schedule = sched_fn(float(ocfg.adamw_kwargs.lr), warmup, total)
+
+        def is_trainable_and_decayed(p):
+            flat = jax.tree_util.tree_flatten_with_path(p)[0]
+            labels = []
+            dmask = decay_mask(p)
+            dflat = jax.tree_util.tree_flatten(dmask)[0]
+            for (path, _), dec in zip(flat, dflat):
+                if not self.trainable_mask_fn(path):
+                    labels.append("freeze")
+                elif dec:
+                    labels.append("decay")
+                else:
+                    labels.append("no_decay")
+            return jax.tree_util.tree_unflatten(jax.tree_util.tree_structure(p), labels)
+
+        kw = dict(ocfg.adamw_kwargs.items())
+        kw.pop("lr", None)
+        adamw = lambda wd: optax.adamw(schedule, weight_decay=wd, **kw)
+        base = optax.multi_transform(
+            {"decay": adamw(float(ocfg.weight_decay)),
+             "no_decay": adamw(0.0),
+             "freeze": optax.set_to_zero()},
+            is_trainable_and_decayed)
+        clip_norm = float(self.cfg.training.get("clip_grad_norm", 0) or 0)
+        if clip_norm:
+            base = optax.chain(optax.clip_by_global_norm(clip_norm), base)
+        self.tx = with_grad_accum(base, accum)
+        self.opt_state = self.tx.init(self.params)
+        if self.mesh is not None:
+            self.opt_state = replicate(self.opt_state, self.mesh)
+
+    def setup_loss(self):
+        model, tx = self.model, self.tx
+
+        @jax.jit
+        def train_step(params, opt_state, ids):
+            def loss_of(p):
+                out = model.apply({"params": p}, ids)
+                return lm_loss_fn(out["logits"], ids)
+            loss, grads = jax.value_and_grad(loss_of)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        @jax.jit
+        def eval_step(params, ids):
+            out = model.apply({"params": params}, ids)
+            return lm_loss_fn(out["logits"], ids)
+
+        self._train_step = train_step
+        self._eval_step = eval_step
+
+    def setup(self):
+        super().setup()
+        self.setup_pretrained()
+
+    def setup_pretrained(self):
+        pcfg = self.cfg.get("pretrained") or {}
+        model_path = pcfg.get("model") if hasattr(pcfg, "get") else None
+        if model_path and Path(model_path).exists():
+            loaded = ckpt.load_checkpoint(Path(model_path),
+                                          params_target=self.params)
+            self.params = loaded["params"]
+            if "opt_state" in loaded and pcfg.get("optimizer"):
+                self.opt_state = loaded["opt_state"]
+            self.logger.log_info(f"Resumed from {model_path}")
+
+    def evaluate(self) -> tp.Tuple[float, float]:
+        assert self.val_tokens is not None
+        bs = int(self.cfg.data_loader.val.batch_size)
+        losses = []
+        n_full = max((len(self.val_tokens) // bs) * bs, bs)
+        for s in range(0, min(n_full, len(self.val_tokens) - bs + 1) or 1, bs):
+            ids = jnp.asarray(self.val_tokens[s:s + bs])
+            losses.append(float(self._eval_step(self.params, ids)))
+        loss = float(np.mean(losses)) if losses else float("nan")
+        return loss, float(np.exp(loss))
+
+    def save_step_model(self, epoch_num: int, step: tp.Union[int, str],
+                        with_optimizer: bool = False) -> None:
+        step_dir = Path(str(self.cfg.training.checkpoints_dir)) / f"epoch_{epoch_num}" / f"step_{step}"
+        ckpt.save_checkpoint(
+            step_dir, params=self.params,
+            opt_state=self.opt_state if with_optimizer else None,
+            keep=lambda names: self.trainable_mask_fn(
+                tuple(type("K", (), {"key": n})() for n in names)),
+            meta={"model_cfg": C.to_container(self.cfg.clip_gpt, resolve=True)})
+
+    def train_epoch(self, epoch_num, epoch_info):
+        tcfg = self.cfg.training
+        bs = int(self.cfg.data_loader.train.batch_size)
+        rng = np.random.default_rng((int(self.cfg.meta.random_state), epoch_num))
+        order = rng.permutation(len(self.train_tokens))
+        steps_total = len(order) // bs
+        evals = max(int(tcfg.get("evals_per_epoch", 1)), 1)
+        eval_steps = set(range(steps_total, 0, -max(steps_total // evals, 1))[:evals]) \
+            if steps_total else set()
+
+        for step in range(1, steps_total + 1):
+            idx = order[(step - 1) * bs: step * bs]
+            ids = jnp.asarray(self.train_tokens[idx])
+            if self.mesh is not None:
+                ids = shard_batch(ids, self.mesh)
+            self.params, self.opt_state, loss = self._train_step(
+                self.params, self.opt_state, ids)
+            epoch_info.update_value("loss/train", float(loss))
+
+            if step % int(tcfg.get("info_steps", 100)) == 0:
+                self.logger.log_info_wandb({
+                    "samples": step * bs, "steps": step, "loss/train": float(loss)})
+            if step in eval_steps:
+                if self.val_tokens is not None:
+                    eval_loss, perplexity = self.evaluate()
+                    self.logger.log_info({"type": "gpt_eval", "loss/eval": eval_loss,
+                                          "metrics/perplexity": perplexity, "step": step})
+                    epoch_info.update_values({"loss/eval": eval_loss,
+                                              "metrics/perplexity": perplexity})
+                self.save_step_model(epoch_num, step,
+                                     with_optimizer=(step == max(eval_steps)))
+        return epoch_info
+
+
+@C.main(config_path="../conf", config_name="train_gpt")
+def run(cfg) -> None:
+    run_trainer(ClipGPTTrainer, cfg)
+
+
+if __name__ == "__main__":
+    run()

@@ -18,7 +18,7 @@ import typing as tp
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from summer_clip_tpu.ops.cache_kernels import cache_attention_auto, cache_attention_reference
 
@@ -49,7 +49,7 @@ def sharded_cache_logits(test_features: jnp.ndarray, cache_features: jnp.ndarray
         shard_map, mesh=mesh,
         in_specs=(P(), P(axis, None), P(axis, None), P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     def compute(f, c_shard, v_shard, b):
         if jax.default_backend() == "tpu":

@@ -312,3 +312,59 @@ class TestAnalysisApps:
         saved = list(rundir.rglob("selected_cache/*.npy"))
         assert saved
         assert list(rundir.rglob("cache_labels.npy"))
+
+
+class TestGptPipeline:
+    def test_tokenize_train_generate(self, rundir):
+        from summer_clip_tpu.apps import tokenize_dataset, train_gpt, gen_gpt
+
+        tokenize_dataset.run(argv=[
+            "max_length=16", "source.n_docs=12",
+            f"output_path={rundir}/corpus.npy",
+        ])
+        assert (rundir / "corpus.npy").exists()
+        n = np.load(rundir / "corpus.npy").shape
+        assert n[1] == 16 and n[0] > 4
+
+        train_gpt.run(argv=[
+            "clip_gpt.gpt_config=test-gpt", "clip_gpt.clip_emb_dim=16",
+            "clip_gpt.adapters.emb_hid_dim=16", "clip_gpt.adapters.head_hid_dim=16",
+            f"dataset.train.tokens_path={rundir}/corpus.npy",
+            f"dataset.val.tokens_path={rundir}/corpus.npy",
+            "data_loader.train.batch_size=4", "data_loader.val.batch_size=4",
+            "training.epochs_num=1", "training.grad_accum_steps=2",
+            "training.evals_per_epoch=1", "training.info_steps=2",
+        ])
+        evals = [r for r in _records(rundir) if r.get("type") == "gpt_eval"]
+        assert evals and np.isfinite(evals[-1]["metrics/perplexity"])
+        ckpts = sorted(rundir.rglob("checkpoints/epoch_1/step_*"))
+        assert ckpts
+
+        gen_gpt.run(argv=[
+            f"model.checkpoint_dir={ckpts[-1]}",
+            f"val.tokens_path={rundir}/corpus.npy",
+            "generation.max_new_tokens=4", "batch_size=4",
+            'prompts=["a photo of"]',
+        ])
+        gens = [r for r in _records(rundir) if r.get("type") == "generation"]
+        assert gens and isinstance(gens[-1]["text"], str)
+        assert list(rundir.rglob("results.yaml"))
+
+    def test_train_gpt_loss_decreases(self, rundir):
+        """Adapters must actually learn on a tiny corpus."""
+        from summer_clip_tpu.apps import tokenize_dataset, train_gpt
+
+        tokenize_dataset.run(argv=[
+            "max_length=12", "source.n_docs=8", f"output_path={rundir}/c.npy"])
+        train_gpt.run(argv=[
+            "clip_gpt.gpt_config=test-gpt", "clip_gpt.clip_emb_dim=16",
+            "clip_gpt.adapters.emb_hid_dim=16", "clip_gpt.adapters.head_hid_dim=16",
+            f"dataset.train.tokens_path={rundir}/c.npy",
+            "data_loader.train.batch_size=4",
+            "training.epochs_num=3", "training.grad_accum_steps=1",
+            "training.evals_per_epoch=1", "optim.adamw_kwargs.lr=0.01",
+            "training.info_steps=1",
+        ])
+        losses = [r["loss/train"] for r in _records(rundir) if "loss/train" in r]
+        assert len(losses) >= 4
+        assert losses[-1] < losses[0]
