@@ -368,3 +368,51 @@ class TestGptPipeline:
         losses = [r["loss/train"] for r in _records(rundir) if "loss/train" in r]
         assert len(losses) >= 4
         assert losses[-1] < losses[0]
+
+
+class TestDiscretePrompts:
+    def _prep(self, rundir):
+        from summer_clip_tpu.apps import save_features
+        store_root = str(rundir / "features")
+        save_features.run(argv=[
+            "dataset_name=synthetic", "dataset@train_dataset=synthetic_train",
+            "test_dataset=null",
+            "clip=test_vit", "data.batch_size=8", f"store.root={store_root}"])
+        return store_root
+
+    def test_autoprompt(self, rundir):
+        from summer_clip_tpu.apps import train_autoprompt
+        store_root = self._prep(rundir)
+        train_autoprompt.run(argv=[
+            "dataset_name=synthetic", "dataset=synthetic_train",
+            "dataset.load_images=false", "val_dataset=null",
+            "clip=test_vit", f"store.root={store_root}",
+            "data.features_key=synthetic_train-test-vit",
+            "data.batch_size=8", "training.epochs_num=1",
+            "dataset_info.k_shots=-1", "clip_seq_len=16",
+            "prompt.init_prompter.length=3", "search.num_cands=4",
+            "search.search_steps=1", "search.save_every=1",
+        ])
+        recs = [r for r in _records(rundir) if r.get("type") == "prompt"]
+        assert recs and len(recs[-1]["prompt_ids"]) == 3
+        yamls = list(rundir.rglob("checkpoints/epoch_1/step_final/prompts.yaml"))
+        assert yamls
+        import yaml as _yaml
+        items = _yaml.safe_load(yamls[0].read_text())
+        assert items and "loss" in items[0] and "prompt_tokens" in items[0]
+
+    def test_fluentprompt(self, rundir):
+        from summer_clip_tpu.apps import train_autoprompt
+        store_root = self._prep(rundir)
+        train_autoprompt.run(argv=[
+            "dataset_name=synthetic", "dataset=synthetic_train",
+            "dataset.load_images=false", "val_dataset=null",
+            "clip=test_vit", f"store.root={store_root}",
+            "data.features_key=synthetic_train-test-vit",
+            "data.batch_size=8", "training.epochs_num=1",
+            "dataset_info.k_shots=-1", "clip_seq_len=16",
+            "prompt.init_prompter.length=3",
+            "search.mode=fluentprompt", "training.learning_rate=0.01",
+        ])
+        recs = [r for r in _records(rundir) if r.get("type") == "prompt"]
+        assert recs and len(recs[-1]["prompt_ids"]) == 3
