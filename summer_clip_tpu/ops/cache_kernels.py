@@ -122,7 +122,10 @@ def cache_attention(test_features: jax.Array, cache_features: jax.Array,
 
     num_n = nc_p // block_n
 
+    num_bb = b_p // block_b
+
     def kernel(beta_ref, f_ref, c_ref, v_ref, o_ref):
+        bb_idx = pl.program_id(0)
         n_idx = pl.program_id(2)
 
         @pl.when(n_idx == 0)
@@ -137,16 +140,17 @@ def cache_attention(test_features: jax.Array, cache_features: jax.Array,
             preferred_element_type=jnp.float32,
         )                                            # (block_q, block_n)
         for bi in range(block_b):
-            beta = beta_ref[0, bi]
+            beta = beta_ref[bb_idx, bi]
             w = jnp.exp(-beta * (1.0 - aff))
             o_ref[bi] += jnp.dot(w, vn, preferred_element_type=jnp.float32)
 
-    grid = (b_p // block_b, nt_p // block_q, num_n)
+    grid = (num_bb, nt_p // block_q, num_n)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_b), lambda bb, q, n: (bb, 0)),
+            # betas are tiny: keep the whole (num_bb, block_b) table resident
+            pl.BlockSpec((num_bb, block_b), lambda bb, q, n: (0, 0)),
             pl.BlockSpec((block_q, d_p), lambda bb, q, n: (q, 0)),
             pl.BlockSpec((block_n, d_p), lambda bb, q, n: (n, 0)),
             pl.BlockSpec((block_n, c_p), lambda bb, q, n: (n, 0)),
