@@ -57,7 +57,7 @@ class ImageBatcher:
                  transform: tp.Optional[tp.Callable] = None,
                  load_images: bool = True, shuffle: bool = False,
                  seed: int = 0, num_threads: int = 16,
-                 drop_last: bool = False):
+                 drop_last: bool = False, use_native: tp.Optional[bool] = None):
         self.data = list(data)
         self.batch_size = batch_size
         self.transform = transform or EvalTransform()
@@ -67,6 +67,23 @@ class ImageBatcher:
         self.num_threads = num_threads
         self.drop_last = drop_last
         self._epoch = 0
+        # native C++ decode path: eval transform over JPEG files only
+        if use_native is None:
+            use_native = (
+                type(self.transform).__name__ == "EvalTransform"
+                and bool(self.data)
+                and self.data[0].impath.lower().endswith((".jpg", ".jpeg"))
+            )
+        self.use_native = bool(use_native) and self._native_available()
+
+    @staticmethod
+    def _native_available() -> bool:
+        try:
+            from summer_clip_tpu.native import is_available
+
+            return is_available()
+        except Exception:
+            return False
 
     def __len__(self) -> int:
         n = len(self.data)
@@ -117,9 +134,19 @@ class ImageBatcher:
             idx = order[s:s + bs]
 
             def build() -> Batch:
-                with cf.ThreadPoolExecutor(max_workers=min(self.num_threads, max(1, len(idx)))) as inner:
-                    imgs = list(inner.map(self._decode_one, idx, [int(i) for i in idx]))
-                images = np.stack(imgs).astype(np.float32)
+                if self.use_native:
+                    from summer_clip_tpu.native import preprocess_batch
+
+                    size = getattr(self.transform, "input_size", 224)
+                    paths = [self.data[i].impath for i in idx]
+                    images, ok = preprocess_batch(paths, size, num_threads=self.num_threads)
+                    if not ok.all():  # decode failures fall back to PIL
+                        for row in np.flatnonzero(~ok):
+                            images[row] = self._decode_one(int(idx[row]), int(idx[row]))
+                else:
+                    with cf.ThreadPoolExecutor(max_workers=min(self.num_threads, max(1, len(idx)))) as inner:
+                        imgs = list(inner.map(self._decode_one, idx, [int(i) for i in idx]))
+                    images = np.stack(imgs).astype(np.float32)
                 labels = np.asarray([self.data[i].label for i in idx], np.int32)
                 mask = np.ones(len(idx), bool)
                 return Batch(

@@ -1,0 +1,100 @@
+"""Native host runtime: C++ batched JPEG decode + CLIP preprocessing.
+
+The reference's input pipeline is torchvision/PIL inside DataLoader worker
+processes. Feeding a TPU chip at full feature-extraction rate needs a
+native path: ``clip_preprocess.cpp`` implements decode (libjpeg with DCT
+scaling) -> bicubic shorter-side resize -> center crop -> normalize in C++
+with a thread pool, writing directly into the caller's float32 batch buffer.
+
+The library builds on first use with g++ (no pybind11 — plain C ABI via
+ctypes) and caches under ``native/build/``. Python falls back to the PIL
+pipeline automatically when a toolchain or libjpeg is unavailable, or for
+non-JPEG inputs.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+import typing as tp
+from pathlib import Path
+
+import numpy as np
+
+__all__ = ["ensure_built", "is_available", "preprocess_batch", "preprocess_one"]
+
+_HERE = Path(__file__).parent
+_SRC = _HERE / "clip_preprocess.cpp"
+_BUILD = _HERE / "build"
+_LIB_PATH = _BUILD / "libclip_preprocess.so"
+_lib: tp.Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+def ensure_built(force: bool = False) -> tp.Optional[ctypes.CDLL]:
+    """Compile (once) and load the native library; None if unavailable."""
+    global _lib, _build_failed
+    if _lib is not None and not force:
+        return _lib
+    if _build_failed and not force:
+        return None
+    try:
+        if force or not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < _SRC.stat().st_mtime:
+            _BUILD.mkdir(exist_ok=True)
+            cmd = [
+                "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+                str(_SRC), "-o", str(_LIB_PATH), "-ljpeg",
+            ]
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.clip_preprocess_batch.restype = ctypes.c_int
+        lib.clip_preprocess_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int,
+        ]
+        lib.clip_preprocess_one.restype = ctypes.c_int
+        lib.clip_preprocess_one.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+        ]
+        _lib = lib
+        return _lib
+    except Exception:
+        _build_failed = True
+        return None
+
+
+def is_available() -> bool:
+    return ensure_built() is not None
+
+
+def preprocess_batch(paths: tp.Sequence[str], out_size: int = 224,
+                     num_threads: int = 0,
+                     out: tp.Optional[np.ndarray] = None
+                     ) -> tp.Tuple[np.ndarray, np.ndarray]:
+    """(images (B, S, S, 3) float32, ok (B,) bool). Failed rows are zeros."""
+    lib = ensure_built()
+    assert lib is not None, "native preprocess library unavailable"
+    n = len(paths)
+    if out is None:
+        out = np.zeros((n, out_size, out_size, 3), np.float32)
+    assert out.shape == (n, out_size, out_size, 3) and out.dtype == np.float32
+    ok = np.zeros((n,), np.uint8)
+    c_paths = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
+    lib.clip_preprocess_batch(
+        c_paths, n, out_size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        num_threads)
+    return out, ok.astype(bool)
+
+
+def preprocess_one(path: str, out_size: int = 224) -> tp.Optional[np.ndarray]:
+    lib = ensure_built()
+    if lib is None:
+        return None
+    out = np.zeros((out_size, out_size, 3), np.float32)
+    good = lib.clip_preprocess_one(
+        str(path).encode(), out_size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out if good else None

@@ -1,0 +1,54 @@
+"""Native C++ preprocessing tests (skipped when the toolchain is absent)."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from summer_clip_tpu import native
+from summer_clip_tpu.data.core import Datum
+from summer_clip_tpu.data.loader import ImageBatcher
+from summer_clip_tpu.data.transforms import EvalTransform, load_image
+
+pytestmark = pytest.mark.skipif(not native.is_available(),
+                                reason="native preprocess library unavailable")
+
+
+@pytest.fixture(scope="module")
+def jpegs(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("jpegs")
+    rng = np.random.RandomState(0)
+    paths = []
+    for i, (h, w) in enumerate([(320, 480), (480, 320), (224, 224), (100, 400)]):
+        arr = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        p = tmp / f"{i}.jpg"
+        Image.fromarray(arr).save(p, quality=95)
+        paths.append(str(p))
+    return paths
+
+
+class TestNativePreprocess:
+    def test_batch_matches_pil(self, jpegs):
+        imgs, ok = native.preprocess_batch(jpegs, 64, num_threads=2)
+        assert ok.all()
+        t = EvalTransform(64)
+        for i, p in enumerate(jpegs):
+            ref = t(load_image(p))
+            assert np.abs(imgs[i] - ref).mean() < 0.03, f"image {i} diverges from PIL"
+
+    def test_bad_file_flags_failure(self, jpegs, tmp_path):
+        bad = tmp_path / "bad.jpg"
+        bad.write_bytes(b"not a jpeg")
+        imgs, ok = native.preprocess_batch([jpegs[0], str(bad)], 32)
+        assert ok.tolist() == [True, False]
+        assert np.abs(imgs[1]).max() == 0.0
+
+    def test_batcher_uses_native_path(self, jpegs):
+        data = [Datum(impath=p, label=i % 2) for i, p in enumerate(jpegs)]
+        b = ImageBatcher(data, batch_size=2, transform=EvalTransform(32))
+        assert b.use_native
+        batches = list(b)
+        assert batches[0].images.shape == (2, 32, 32, 3)
+        # and matches the PIL path
+        b2 = ImageBatcher(data, batch_size=2, transform=EvalTransform(32), use_native=False)
+        pil_first = list(b2)[0].images
+        assert np.abs(batches[0].images - pil_first).mean() < 0.03
