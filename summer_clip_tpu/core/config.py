@@ -386,7 +386,8 @@ def _compose_file(conf_dir: Path, rel_name: str, package: tp.Optional[str] = Non
             if "@" in key:
                 group, pkg = key.split("@", 1)
             else:
-                group, pkg = key, key.replace("/", ".")
+                group, pkg = key, key.lstrip("/").replace("/", ".")
+            group = group.lstrip("/")  # `/group:` = absolute group reference
             try:
                 gfile = _find_group_file(conf_dir, group, str(option))
             except FileNotFoundError:
