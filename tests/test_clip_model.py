@@ -167,3 +167,34 @@ class TestConverter:
         ref = model.apply(variables, imgs, method=model.encode_image)
         got = model.apply(converted, imgs, method=model.encode_image)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+class TestBPEMerges:
+    def test_merge_table_applied(self, tmp_path):
+        """A tiny merge file must change segmentation the BPE way."""
+        import gzip
+        from summer_clip_tpu.models.tokenizer import SimpleTokenizer
+
+        merges = "#version\n" + "\n".join([
+            "h e", "he l", "hel l", "hell o</w>",
+        ])
+        p = tmp_path / "bpe.txt.gz"
+        with gzip.open(p, "wt") as f:
+            f.write(merges)
+        tok = SimpleTokenizer(p)
+        assert tok.has_merges
+        ids = tok.encode("hello")
+        # all four merges collapse "hello" to a single token
+        assert len(ids) == 1
+        assert tok.decoder[ids[0]] == "hello</w>"
+        assert tok.decode(ids) == "hello"
+        # unknown word falls back to finer pieces
+        ids2 = tok.encode("help")
+        assert len(ids2) > 1
+
+    def test_fallback_has_canonical_specials(self):
+        from summer_clip_tpu.models import tokenizer as T
+
+        tok = T.get_tokenizer()
+        assert tok.vocab_size == 49408
+        assert tok.sot_token == 49406 and tok.eot_token == 49407
