@@ -16,3 +16,4 @@ from summer_clip_tpu.data.datasets import (  # noqa: F401
     SyntheticBatcher,
 )
 from summer_clip_tpu.data.views import DatasetView, TipAdapterDataset, NoImageDataset  # noqa: F401
+from summer_clip_tpu.data import array_datasets  # noqa: F401  (registers cifar10/100, mnist)

@@ -107,8 +107,15 @@ class ImageBatcher:
 
             size = getattr(self.transform, "input_size", 32)
             return SyntheticDataset.render(item.impath, size)
-        img = load_image(item.impath)
         rng = np.random.default_rng((self.seed, self._epoch, aug_seed))
+        if item.impath.startswith("array://"):
+            from PIL import Image
+
+            from summer_clip_tpu.data.array_datasets import resolve_array_image
+
+            img = Image.fromarray(resolve_array_image(item.impath))
+            return self.transform(img, rng)
+        img = load_image(item.impath)
         return self.transform(img, rng)
 
     def __iter__(self) -> tp.Iterator[Batch]:

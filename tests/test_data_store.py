@@ -144,3 +144,63 @@ class TestFeatureStore:
         arr = import_torch_features(p)
         assert arr.shape == (4, 3)
         np.testing.assert_allclose(arr, t.numpy().T)
+
+
+class TestArrayDatasets:
+    def _make_cifar10(self, root):
+        import pickle
+        base = root / "cifar-10-batches-py"
+        base.mkdir(parents=True)
+        rng = np.random.RandomState(0)
+        for name, n in [(f"data_batch_{i}", 20) for i in range(1, 6)] + [("test_batch", 30)]:
+            data = {
+                b"data": (rng.rand(n, 3072) * 255).astype(np.uint8),
+                b"labels": list(rng.randint(0, 10, n)),
+            }
+            with open(base / name, "wb") as f:
+                pickle.dump(data, f)
+        with open(base / "batches.meta", "wb") as f:
+            pickle.dump({b"label_names": [f"class{i}".encode() for i in range(10)]}, f)
+        return root
+
+    def test_cifar10_loader(self, tmp_path):
+        self._make_cifar10(tmp_path)
+        ds = D.build_dataset("cifar10", str(tmp_path), -1)
+        assert len(ds.train_x) == 100 and len(ds.test) == 30
+        assert ds.classnames[0] == "class0"
+        # batcher resolves array:// paths through the transform
+        from summer_clip_tpu.data.transforms import EvalTransform
+        b = D.ImageBatcher(ds.test, batch_size=8, transform=EvalTransform(16), use_native=False)
+        batch = next(iter(b))
+        assert batch.images.shape == (8, 16, 16, 3)
+
+    def test_cifar10_fewshot(self, tmp_path):
+        self._make_cifar10(tmp_path)
+        ds = D.build_dataset("cifar10", str(tmp_path), 2, rng=np.random.default_rng(0))
+        labels = np.asarray([d.label for d in ds.train_x])
+        assert all((labels == c).sum() <= 2 for c in range(10))
+
+    def test_mnist_loader(self, tmp_path):
+        import gzip, struct
+        base = tmp_path / "MNIST" / "raw"
+        base.mkdir(parents=True)
+        rng = np.random.RandomState(0)
+
+        def write_idx(path, arr):
+            arr = np.asarray(arr, np.uint8)
+            header = struct.pack(">I", (0x08 << 8) | arr.ndim)[:4]
+            header = struct.pack(">HBB", 0, 8, arr.ndim)
+            dims = b"".join(struct.pack(">I", d) for d in arr.shape)
+            with gzip.open(path, "wb") as f:
+                f.write(header + dims + arr.tobytes())
+
+        write_idx(base / "train-images-idx3-ubyte.gz", (rng.rand(40, 28, 28) * 255))
+        write_idx(base / "train-labels-idx1-ubyte.gz", rng.randint(0, 10, 40))
+        write_idx(base / "t10k-images-idx3-ubyte.gz", (rng.rand(12, 28, 28) * 255))
+        write_idx(base / "t10k-labels-idx1-ubyte.gz", rng.randint(0, 10, 12))
+        ds = D.build_dataset("mnist", str(tmp_path), -1)
+        assert len(ds.train_x) == 40 and len(ds.test) == 12
+        img = D.build_dataset("mnist", str(tmp_path), -1).train_x[0]
+        from summer_clip_tpu.data.array_datasets import resolve_array_image
+        arr = resolve_array_image(img.impath)
+        assert arr.shape == (28, 28, 3)
