@@ -304,3 +304,35 @@ class SyntheticBatcher:
             mask = np.ones(len(chunk), bool)
             yield Batch(pad_to_batch(imgs, bs), pad_to_batch(labels, bs),
                         pad_to_batch(idx, bs), pad_to_batch(mask, bs))
+
+
+@register_dataset("imagenetv2")
+class ImageNetV2Dataset(DatasetBase):
+    """ImageNetV2 (matched-frequency) from its public directory format.
+
+    Layout: ``<root>/imagenetv2-matched-frequency-format-val/<class_idx>/*.jpeg``
+    with 0-999 class-index directory names; class names come from the curated
+    OpenAI table (reference wraps ``imagenetv2_pytorch``; eval_adapter
+    ImageNetV2 baselines in SURVEY.md §6).
+    """
+
+    dataset_dir = "imagenetv2-matched-frequency-format-val"
+
+    def __init__(self, root: str, num_shots: int = -1,
+                 rng: tp.Optional[np.random.Generator] = None):
+        base = Path(root) / self.dataset_dir
+        if not base.exists():
+            base = Path(root)
+        classnames, templates = _imagenet_assets()
+        self.template = templates
+        items: tp.List[Datum] = []
+        class_dirs = sorted((d for d in base.iterdir() if d.is_dir()),
+                            key=lambda d: int(d.name)) if base.exists() else []
+        for d in class_dirs:
+            label = int(d.name)
+            cname = classnames[label] if label < len(classnames) else d.name
+            for img in listdir_nohidden(d):
+                items.append(Datum(impath=str(d / img), label=label, classname=cname))
+        super().__init__(train_x=items, val=items, test=items)
+        if not self._classnames:
+            self._classnames = classnames

@@ -109,3 +109,28 @@ def load_checkpoint(ckpt_dir: tp.Union[str, Path], *, params_target: tp.Any = No
     if meta_path.exists():
         out["meta"] = yaml.safe_load(meta_path.read_text())
     return out
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend (optional): multi-host-safe async checkpointing for large
+# training runs (train_gpt at scale). The msgpack path above remains the
+# default for small trainable-only artifacts.
+# ---------------------------------------------------------------------------
+
+def save_orbax(ckpt_dir: tp.Union[str, Path], tree: tp.Any) -> Path:
+    import orbax.checkpoint as ocp
+
+    path = Path(ckpt_dir).resolve()
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, tree, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_orbax(ckpt_dir: tp.Union[str, Path], target: tp.Any = None) -> tp.Any:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    if target is not None:
+        return ckptr.restore(Path(ckpt_dir).resolve(), target=target)
+    return ckptr.restore(Path(ckpt_dir).resolve())

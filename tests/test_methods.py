@@ -232,3 +232,27 @@ class TestAdapters:
             params, opt_state, loss = step(params, opt_state)
             losses.append(float(loss))
         assert losses[-1] < losses[0] * 0.5
+
+
+class TestCheckpointBackends:
+    def test_msgpack_trainable_only_roundtrip(self, tmp_path):
+        import jax.numpy as jnp
+        from summer_clip_tpu.engine import checkpoint as ck
+
+        params = {"adapter": {"w": jnp.ones((2, 2))}, "frozen": {"w": jnp.zeros((3,))}}
+        ck.save_checkpoint(tmp_path / "c", params=params,
+                           keep=lambda names: names[0] == "adapter",
+                           meta={"x": 1})
+        loaded = ck.load_checkpoint(tmp_path / "c", params_target=params)
+        assert loaded["meta"]["x"] == 1
+        assert "frozen" in loaded["params"]  # merged back from target
+        np.testing.assert_array_equal(np.asarray(loaded["params"]["adapter"]["w"]), np.ones((2, 2)))
+
+    def test_orbax_roundtrip(self, tmp_path):
+        import jax.numpy as jnp
+        from summer_clip_tpu.engine import checkpoint as ck
+
+        tree = {"a": jnp.arange(4.0), "b": {"c": jnp.ones((2, 3))}}
+        ck.save_orbax(tmp_path / "orbax_ckpt", tree)
+        restored = ck.load_orbax(tmp_path / "orbax_ckpt", target=tree)
+        np.testing.assert_array_equal(np.asarray(restored["a"]), np.arange(4.0))
