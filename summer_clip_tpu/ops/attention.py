@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-__all__ = ["mha_reference", "flash_attention", "multi_head_attention"]
+__all__ = ["mha_reference", "flash_attention", "flash_attention_ad", "multi_head_attention"]
 
 
 def mha_reference(q: jax.Array, k: jax.Array, v: jax.Array,
@@ -130,9 +130,44 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, tq_pad, d), q.dtype),
-        interpret=interpret,
+        # non-TPU backends run the kernel in interpret mode (tests, CPU smoke)
+        interpret=interpret or jax.default_backend() != "tpu",
     )(q_p, k_p, v_p)
     return out[:, :tq0, :d0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_attention_ad(q: jax.Array, k: jax.Array, v: jax.Array,
+                       causal: bool = False) -> jax.Array:
+    """Differentiable wrapper: Pallas fused forward, XLA recompute backward.
+
+    Pallas kernels define no autodiff rule; prompt learning backprops
+    through the frozen towers, so the fused forward pairs with an exact
+    standard-attention backward (scores rematerialized in f32 — fine at
+    this workload's sequence lengths, <= 577).
+    """
+    return flash_attention(q, k, v, causal=causal)
+
+
+def _flash_ad_fwd(q, k, v, causal):
+    return flash_attention(q, k, v, causal=causal), (q, k, v)
+
+
+def _flash_ad_bwd(causal, residuals, g):
+    q, k, v = residuals
+
+    def ref(q, k, v):
+        mask = None
+        if causal:
+            tq, tk = q.shape[-2], k.shape[-2]
+            mask = jnp.where(jnp.tril(jnp.ones((tq, tk), bool)), 0.0, -1e30)
+        return mha_reference(q, k, v, mask=mask)
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    return vjp(g)
+
+
+flash_attention_ad.defvjp(_flash_ad_fwd, _flash_ad_bwd)
 
 
 def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
@@ -157,11 +192,11 @@ def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
         use_flash = (mask is None) and jax.default_backend() == "tpu"
 
     if use_flash and mask is None:
-        o = flash_attention(
+        o = flash_attention_ad(
             qh.reshape(b * num_heads, tq, hd),
             kh.reshape(b * num_heads, tk, hd),
             vh.reshape(b * num_heads, tk, hd),
-            causal=causal,
+            causal,
         ).reshape(b, num_heads, tq, hd)
     else:
         attn_mask = mask
