@@ -97,13 +97,13 @@ def main() -> None:
     import jax
 
     log(f"[bench] backend={jax.default_backend()} devices={jax.devices()}")
-    ips = bench_encode("RN50", batch=512, iters=8)
+    ips = bench_encode("RN50", batch=1024, iters=6)
     try:
         bench_cache_affinity()
     except Exception as e:  # secondary metric must not sink the primary
         log(f"[bench] cache affinity bench failed: {e}")
     print(json.dumps({
-        "metric": "CLIP RN50 feature extraction throughput (224px, bf16, batch 512)",
+        "metric": "CLIP RN50 feature extraction throughput (224px, bf16, batch 1024)",
         "value": round(ips, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / 10000.0, 4),
