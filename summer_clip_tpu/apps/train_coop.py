@@ -111,8 +111,23 @@ class CoOpTrainer(BaseTrainer):
         token_classes = self.collator.tokenize_classes(self.classes)
         self.class_table = self.collator.build_class_table(token_classes + [[]])  # +empty row
 
+        # fluency LM first: the Gumbelv3a1 proposer rides on it
+        self.gpt_model, self.gpt_variables = self._load_gpt()
+
         # prompt model
         pm_cfg = C.to_container(cfg.prompt_model, resolve=True)
+        if str(pm_cfg.get("_target_", "")).endswith("Gumbelv3a1"):
+            assert self.gpt_model is not None, "Gumbelv3a1 needs a gpt config"
+            from summer_clip_tpu.methods.gpt_heads import AdapterGPT, LoRAGPT
+
+            head_cfg = pm_cfg.pop("head", None) or {"kind": "adapter", "hidden_dim": 256}
+            if str(head_cfg.get("kind", "adapter")) == "lora":
+                proposer: tp.Any = LoRAGPT(self.gpt_model, self.gpt_variables,
+                                           rank=int(head_cfg.get("rank", 8)))
+            else:
+                proposer = AdapterGPT(self.gpt_model, self.gpt_variables,
+                                      hidden_dim=int(head_cfg.get("hidden_dim", 256)))
+            pm_cfg.update(proposer=proposer, bos_token_id=self.tokenizer.sot_token)
         self.prompt_model = C.instantiate(
             pm_cfg, clip_embs=self.clip_embs_table, prompt_len=prompt_len,
             allowed_tokens=allowed)
@@ -127,8 +142,7 @@ class CoOpTrainer(BaseTrainer):
         self.temp_scheduler = (C.instantiate(C.to_container(cfg.temp_scheduler, resolve=True))
                                if cfg.get("temp_scheduler") else None)
 
-        # fluency LM + loss + batcher
-        self.gpt_model, self.gpt_variables = self._load_gpt()
+        # fluency loss + batcher (LM itself loaded above)
         lm_cfg = C.to_container(cfg.get("lm_loss") or
                                 {"_target_": "summer_clip_tpu.methods.prompt_learner.NoLMLoss"},
                                 resolve=True)

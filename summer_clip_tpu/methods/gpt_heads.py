@@ -63,6 +63,10 @@ class AdapterGPT:
         d = self.gpt.config.n_embd
         return self.adapter.init(rng, jnp.zeros((1, d)))["params"]
 
+    def init_cache(self, batch: int, max_len: int):
+        return self.gpt.apply(self.gpt_variables, method=self.gpt.init_cache,
+                              batch=batch, max_len=max_len)
+
     def __call__(self, adapter_params: dict, inputs_embeds: jax.Array,
                  cache: tp.Optional[list] = None):
         out = self.gpt.apply(self.gpt_variables, inputs_embeds=inputs_embeds, cache=cache)
@@ -122,6 +126,10 @@ class LoRAGPT:
 
     def init(self, rng: jax.Array) -> dict:
         return init_lora_params(self.base_params, rng, self.rank, self.target_suffixes)
+
+    def init_cache(self, batch: int, max_len: int):
+        return self.gpt.apply({"params": self.base_params}, method=self.gpt.init_cache,
+                              batch=batch, max_len=max_len)
 
     def __call__(self, lora_params: dict, inputs_embeds: jax.Array,
                  cache: tp.Optional[list] = None):

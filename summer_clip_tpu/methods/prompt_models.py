@@ -193,33 +193,34 @@ class Gumbelv1a1(GumbelBase):
 
 
 class Gumbelv3a1(GumbelBase):
-    """Autoregressive proposal: a (frozen or adapted) ClipGPT rolls out the
-    next-token distribution position by position (KV-cached lax.scan).
+    """Autoregressive proposal: a ClipGPT head rolls out the next-token
+    distribution position by position through a KV cache.
 
-    ``gpt_apply`` maps CLIP-space embeddings (B, S, D) + cache -> (logits over
-    the GLOBAL clip vocab (B, S, V_global), new_cache); ``gpt_init_cache``
-    allocates the cache. The proposal chain is part of the differentiable
-    graph exactly as in the reference (prompt_models.py:210-243).
+    ``proposer`` supplies the (possibly trainable) LM head — e.g.
+    :class:`summer_clip_tpu.methods.gpt_heads.AdapterGPT` or ``LoRAGPT`` —
+    with ``init(rng) -> params``, ``init_cache(batch, max_len)`` and
+    ``__call__(params, clip_space_embeds, cache) -> (logits over the GLOBAL
+    clip vocab, new_cache)``. The proposal chain stays in the differentiable
+    graph exactly as in the reference (prompt_models.py:210-243); the
+    trainable parameters are the proposer's (adapter / LoRA factors).
     """
 
-    def __init__(self, gpt_apply: tp.Callable, gpt_init_cache: tp.Callable,
-                 bos_token_id: int, clip_embs: np.ndarray, **kwargs):
+    def __init__(self, proposer: tp.Any, bos_token_id: int,
+                 clip_embs: np.ndarray, **kwargs):
         super().__init__(clip_embs=clip_embs, **kwargs)
-        self.gpt_apply = gpt_apply
-        self.gpt_init_cache = gpt_init_cache
+        self.proposer = proposer
         self.bos_emb = jnp.asarray(np.asarray(clip_embs, np.float32)[bos_token_id])
 
     def init(self, rng: jax.Array) -> dict:
-        del rng
-        return {}
+        return {"proposer": self.proposer.init(rng)}
 
     def get_prompt_logits(self, params):
-        cache = self.gpt_init_cache(1, self.prompt_len + 1)
+        cache = self.proposer.init_cache(1, self.prompt_len + 1)
         x = self.bos_emb[None, None, :]  # (1, 1, D)
 
         probs_list = []
         for _ in range(self.prompt_len):
-            logits, cache = self.gpt_apply(params, x, cache)
+            logits, cache = self.proposer(params["proposer"], x, cache)
             logits = logits[:, -1, :]  # (1, V_global)
             if self.allowed_tokens is not None:
                 logits = logits[:, self.allowed_tokens]

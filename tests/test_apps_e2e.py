@@ -416,3 +416,27 @@ class TestDiscretePrompts:
         ])
         recs = [r for r in _records(rundir) if r.get("type") == "prompt"]
         assert recs and len(recs[-1]["prompt_ids"]) == 3
+
+
+class TestGumbelV3:
+    def test_autoregressive_proposer_trains(self, rundir):
+        from summer_clip_tpu.apps import save_features, train_coop
+
+        store_root = str(rundir / "features")
+        save_features.run(argv=[
+            "dataset_name=synthetic", "dataset@train_dataset=synthetic_train",
+            "test_dataset=null",
+            "clip=test_vit", "data.batch_size=8", f"store.root={store_root}"])
+        train_coop.run(argv=[
+            "dataset_name=synthetic", "dataset=synthetic_train",
+            "dataset.load_images=false", "val_dataset=null",
+            "clip=test_vit", f"store.root={store_root}",
+            "data.features_key=synthetic_train-test-vit",
+            "data.batch_size=8", "training.epochs_num=1",
+            "prompt.length=2", "prompt_model=gumbel_v3a1",
+            "prompt_model.head.hidden_dim=16",
+            "+gpt.gpt_config=test-gpt", "+gpt.emb_hid_dim=16", "+gpt.head_hid_dim=16",
+            "clip_seq_len=16", "dataset_info.k_shots=-1",
+        ])
+        recs = [r for r in _records(rundir) if r.get("type") == "prompt"]
+        assert recs and len(recs[-1]["prompt_ids"]) == 2
