@@ -47,6 +47,16 @@ def _one_hot(labels: np.ndarray, num_classes: int) -> np.ndarray:
 
 class ImageAttention(BaseTrainer):
     # -- setup ---------------------------------------------------------------
+    def setup_mesh(self):
+        """Shard the cache length N across all devices when more than one
+        is visible (the SP-analog of this workload — SURVEY.md §2.9)."""
+        import jax as _jax
+
+        from summer_clip_tpu.parallel import create_mesh
+
+        n = len(_jax.devices())
+        self.mesh = create_mesh(data=1, model=n) if n > 1 else None
+
     def setup_dataset(self):
         self.dataset = C.instantiate(self.cfg.dataset)
         self.test_labels = np.asarray(self.dataset.labels(), np.int32)
@@ -171,6 +181,22 @@ class ImageAttention(BaseTrainer):
                 self._sweep_weights_values(cf, co, strategy_params, weights_cfg,
                                            value_cfg, alphas, evaluate)
 
+    def _fused_cache_logits(self, cache_features, values, betas):
+        if self.mesh is not None:
+            import jax.numpy as _jnp
+
+            from summer_clip_tpu.parallel import sharded_cache_logits
+
+            f = _jnp.asarray(self.test_image_features, _jnp.float32)
+            f = f / _jnp.maximum(_jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-12)
+            c = _jnp.asarray(cache_features, _jnp.float32)
+            c = c / _jnp.maximum(_jnp.linalg.norm(c, axis=-1, keepdims=True), 1e-12)
+            return sharded_cache_logits(f, c, _jnp.asarray(values, _jnp.float32),
+                                        _jnp.asarray(list(betas), _jnp.float32),
+                                        self.mesh, axis="model")
+        return cache_logits_for_betas(self.test_image_features, cache_features,
+                                      values, betas)
+
     def _sweep_weights_values(self, cache_features, cache_outs, strategy_params,
                               weights_cfg, value_cfg, alphas, evaluate,
                               beta_chunk: int = 8):
@@ -183,8 +209,7 @@ class ImageAttention(BaseTrainer):
                 betas = [w.beta for w, _ in weights_list]
                 for s in range(0, len(betas), beta_chunk):
                     chunk = betas[s:s + beta_chunk]
-                    cache_logits = cache_logits_for_betas(
-                        self.test_image_features, cache_features, values, chunk)
+                    cache_logits = self._fused_cache_logits(cache_features, values, chunk)
                     accs = np.asarray(jnp.stack(evaluate(cache_logits), -1))  # (Bc, A, 2)
                     for bi, beta in enumerate(chunk):
                         wp = weights_list[s + bi][1]
