@@ -82,13 +82,14 @@ def _pick_blocks(d_p: int, c_p: int, block_q: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_q", "block_n", "block_b", "interpret"),
+    static_argnames=("block_q", "block_n", "block_b", "interpret", "compute_dtype"),
 )
 def cache_attention(test_features: jax.Array, cache_features: jax.Array,
                     cache_values: jax.Array, betas: jax.Array, *,
                     block_q: int = 128, block_n: tp.Optional[int] = None,
                     block_b: tp.Optional[int] = None,
-                    interpret: bool = False) -> jax.Array:
+                    interpret: bool = False,
+                    compute_dtype: tp.Any = None) -> jax.Array:
     """Pallas fused kernel. Shapes as in :func:`cache_attention_reference`.
 
     Padding strategy: D and C pad with zeros (exact — zero features add 0 to
@@ -101,6 +102,11 @@ def cache_attention(test_features: jax.Array, cache_features: jax.Array,
     nc, _ = cache_features.shape
     _, c = cache_values.shape
     b = betas.shape[0]
+    # MXU inputs in bf16 with f32 accumulation by default on TPU — the
+    # reference computes this contraction in fp16 outright
+    # (half caches/weights, tip_adapter/utils.py:62); exp stays f32 on VPU.
+    if compute_dtype is None:
+        compute_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
 
     d_p = _ceil_to(d, 128)
     c_p = _ceil_to(max(c, 128), 128)
@@ -132,16 +138,16 @@ def cache_attention(test_features: jax.Array, cache_features: jax.Array,
         def _():
             o_ref[:] = jnp.zeros_like(o_ref)
 
-        fq = f_ref[:].astype(jnp.float32)            # (block_q, d_p)
-        cn = c_ref[:].astype(jnp.float32)            # (block_n, d_p)
-        vn = v_ref[:].astype(jnp.float32)            # (block_n, c_p)
+        fq = f_ref[:].astype(compute_dtype)          # (block_q, d_p)
+        cn = c_ref[:].astype(compute_dtype)          # (block_n, d_p)
+        vn = v_ref[:].astype(compute_dtype)          # (block_n, c_p)
         aff = jax.lax.dot_general(
             fq, cn, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                            # (block_q, block_n)
+        )                                            # (block_q, block_n) f32
         for bi in range(block_b):
             beta = beta_ref[bb_idx, bi]
-            w = jnp.exp(-beta * (1.0 - aff))
+            w = jnp.exp(-beta * (1.0 - aff)).astype(compute_dtype)
             o_ref[bi] += jnp.dot(w, vn, preferred_element_type=jnp.float32)
 
     grid = (num_bb, nt_p // block_q, num_n)
