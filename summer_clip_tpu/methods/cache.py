@@ -273,10 +273,15 @@ def cache_logits_for_betas(test_features, cache_features, cache_values,
     """
     import jax.numpy as jnp
 
+    import jax
+
     f = jnp.asarray(test_features, jnp.float32)
     c = jnp.asarray(cache_features, jnp.float32)
     if normalize:
         f = f / jnp.maximum(jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-12)
         c = c / jnp.maximum(jnp.linalg.norm(c, axis=-1, keepdims=True), 1e-12)
-    v = jnp.asarray(cache_values, jnp.float32)
+    # cache values ride in bf16 on TPU (exact for one-hot/softmax values at
+    # this precision; halves HBM for the ImageNet-scale (1.28M, C) table)
+    v_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    v = jnp.asarray(cache_values, v_dtype)
     return cache_attention_auto(f, c, v, jnp.asarray(list(betas), jnp.float32), **kernel_kwargs)
