@@ -306,6 +306,10 @@ class CoOpTrainer(BaseTrainer):
         self.logger.log_info({"type": "prompt", "epoch": epoch_num,
                               "prompt_ids": ids, "prompt_tokens": tokens,
                               "prompt_text": self.tokenizer.decode(ids)})
+        # prompt-over-epochs table (reference wandb table, train_coop.py:372-377)
+        self.logger.exp_logger.log_table(
+            "prompts", columns=["epoch", "prompt_text", "prompt_ids"],
+            rows=[[epoch_num, self.tokenizer.decode(ids), ids]])
         out_dir = Path(self.cfg.data.get("checkpoints_dir", "checkpoints")) / f"epoch_{epoch_num}"
         ckpt.save_checkpoint(out_dir, params=self.prompt_params,
                              meta={"prompt_ids": ids, "prompt_tokens": tokens,
