@@ -142,3 +142,12 @@ def test_missing_raises():
         _ = cfg.a
     with pytest.raises(KeyError):
         _ = cfg["a"]
+
+
+def test_profiling_timed_sink():
+    from summer_clip_tpu.core.profiling import timed
+
+    calls = []
+    fn = timed(lambda x: x + 1, name="inc", sink=lambda n, dt: calls.append((n, dt)))
+    assert fn(1) == 2
+    assert calls and calls[0][0] == "inc" and calls[0][1] >= 0
