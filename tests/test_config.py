@@ -151,3 +151,32 @@ def test_profiling_timed_sink():
     fn = timed(lambda x: x + 1, name="inc", sink=lambda n, dt: calls.append((n, dt)))
     assert fn(1) == 2
     assert calls and calls[0][0] == "inc" and calls[0][1] >= 0
+
+
+class TestConfTree:
+    """Every shipped app config must compose without errors."""
+
+    def test_all_app_configs_compose(self):
+        from pathlib import Path
+
+        conf = Path(__file__).resolve().parent.parent / "summer_clip_tpu" / "conf"
+        apps = [p.stem for p in conf.glob("*.yaml")
+                if p.stem not in ("meta_setup", "adapter_setup", "hydra_setup")]
+        assert len(apps) >= 18
+        for name in apps:
+            cfg = C.compose(conf, name)
+            assert cfg.meta.random_state == 42, name
+            assert "exp" in cfg, name
+
+    def test_group_options_compose(self):
+        from pathlib import Path
+
+        conf = Path(__file__).resolve().parent.parent / "summer_clip_tpu" / "conf"
+        for group in ("cache_strategy", "cache_value_strategy", "cache_weights_strategy",
+                      "prompt_model", "vocab_filter", "lm_loss", "temp_scheduler",
+                      "clip", "adapter", "text_batcher"):
+            options = list((conf / group).glob("*.yaml"))
+            assert options, group
+            for opt in options:
+                sub = C._compose_file(conf, f"{group}/{opt.stem}")
+                assert isinstance(sub, dict), f"{group}/{opt.stem}"
