@@ -32,8 +32,9 @@ def create_text_features(session, tokenizer, classes_tokens, prompts_tokens,
     for ci, ctoks in enumerate(classes_tokens):
         for ptoks in prompts_tokens:
             ids = [sot] + list(ptoks) + list(ctoks) + [eot]
-            ids = ids[:context_length]
-            ids[-1] = eot if len(ids) == context_length else ids[-1]
+            if len(ids) > context_length:  # truncate, keeping the final EOT
+                ids = ids[:context_length]
+                ids[-1] = eot
             row = np.zeros((context_length,), np.int32)
             row[:len(ids)] = ids
             rows.append(row)

@@ -142,12 +142,11 @@ class InitNumTokensPrompter:
         self.length = length
 
     def get_ids(self, tokenizer) -> tp.List[int]:
+        # repeat the token's (first) id `length` times; the reference asserts
+        # single-token inputs here
         tok_ids = tokenizer.encode(self.token)
-        return (tok_ids * self.length)[: self.length * max(1, len(tok_ids))][: self.length] \
-            if len(tok_ids) == 1 else [tok_ids[0]] * self.length
-
-    # single-token case repeats the id `length` times; multi-token falls back
-    # to repeating the first sub-token (reference asserts single tokens)
+        assert tok_ids, f"token {self.token!r} tokenizes to nothing"
+        return [tok_ids[0]] * self.length
 
 
 class InitRandomPrompter:
