@@ -26,6 +26,14 @@ from jax.experimental import pallas as pl
 
 __all__ = ["mha_reference", "flash_attention", "flash_attention_ad", "multi_head_attention"]
 
+# Auto-selection policy for the fused kernel. At this workload's sequence
+# lengths (77-577) XLA's fused attention is often on par or faster than a
+# Pallas kernel whose 64-wide heads pad to 128 lanes; the kernel pays off
+# when the (T, T) score matrix stops fitting comfortably (long caches /
+# big T). Both knobs are overridable at runtime (and by `use_flash=`).
+FLASH_ENABLED = True
+FLASH_MIN_KV = 1024
+
 
 def mha_reference(q: jax.Array, k: jax.Array, v: jax.Array,
                   mask: tp.Optional[jax.Array] = None,
@@ -189,7 +197,9 @@ def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     qh, kh, vh = split(q, tq), split(k, tk), split(v, tk)
 
     if use_flash is None:
-        use_flash = (mask is None) and jax.default_backend() == "tpu"
+        use_flash = (FLASH_ENABLED and mask is None
+                     and jax.default_backend() == "tpu"
+                     and tk >= FLASH_MIN_KV)
 
     if use_flash and mask is None:
         o = flash_attention_ad(
