@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from summer_clip_tpu.data.loader import Batch, prefetch_to_device
-from summer_clip_tpu.models.clip import build_clip, init_clip
+from summer_clip_tpu.models.clip import init_clip
 from summer_clip_tpu.models.clip.convert import load_clip as load_clip_ckpt
 
 __all__ = ["ClipSession", "create_clip_session", "extract_image_features", "resolve_dtype"]

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from summer_clip_tpu.apps.class_projector import ClassProjector, norm_rows
+from summer_clip_tpu.apps.class_projector import ClassProjector
 from summer_clip_tpu.core import config as C
 from summer_clip_tpu.engine.trainer import run_trainer
 from summer_clip_tpu.engine.checkpoint import save_pytree

@@ -17,7 +17,7 @@ from __future__ import annotations
 import json
 import re
 import typing as tp
-from collections import defaultdict
+
 from pathlib import Path
 
 import numpy as np
