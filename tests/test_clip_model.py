@@ -198,3 +198,23 @@ class TestBPEMerges:
         tok = T.get_tokenizer()
         assert tok.vocab_size == 49408
         assert tok.sot_token == 49406 and tok.eot_token == 49407
+
+
+class TestGoldenRegression:
+    """Numerics must stay put across refactors/rounds (fixed seeds)."""
+
+    def test_tiny_vit_matches_golden(self):
+        from pathlib import Path
+
+        golden_dir = Path(__file__).parent / "golden"
+        model, cfg, variables = init_clip("test-vit", rng=jax.random.PRNGKey(1234))
+        imgs = jax.random.normal(jax.random.PRNGKey(99),
+                                 (2, cfg.image_resolution, cfg.image_resolution, 3))
+        feats = np.asarray(model.apply(variables, imgs, method=model.encode_image))
+        ref = np.load(golden_dir / "test_vit_feats.npy")
+        np.testing.assert_allclose(feats, ref, atol=2e-4, rtol=2e-4)
+
+        ids = jnp.zeros((2, cfg.context_length), jnp.int32).at[:, 1].set(cfg.vocab_size - 1)
+        txt = np.asarray(model.apply(variables, ids, method=model.encode_text))
+        ref_t = np.load(golden_dir / "test_vit_text.npy")
+        np.testing.assert_allclose(txt, ref_t, atol=2e-4, rtol=2e-4)
