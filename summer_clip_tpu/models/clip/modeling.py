@@ -91,7 +91,7 @@ class ResidualAttentionBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, causal: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, causal: bool = False) -> jax.Array:
         x = x + Attention(self.num_heads, dtype=self.dtype, name="attn")(
             LayerNormF32(name="ln_1")(x), causal=causal
         )
@@ -106,12 +106,14 @@ class Transformer(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, causal: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, causal: bool = False) -> jax.Array:
         block_cls = ResidualAttentionBlock
         if self.remat:
-            block_cls = nn.remat(ResidualAttentionBlock, static_argnums=())
+            # causal is a python bool steering trace-time control flow —
+            # it must stay static under checkpointing (arg 0 is the module)
+            block_cls = nn.remat(ResidualAttentionBlock, static_argnums=(2,))
         for i in range(self.num_layers):
-            x = block_cls(self.num_heads, dtype=self.dtype, name=f"resblocks_{i}")(x, causal=causal)
+            x = block_cls(self.num_heads, dtype=self.dtype, name=f"resblocks_{i}")(x, causal)
         return x
 
 

@@ -218,3 +218,18 @@ class TestGoldenRegression:
         txt = np.asarray(model.apply(variables, ids, method=model.encode_text))
         ref_t = np.load(golden_dir / "test_vit_text.npy")
         np.testing.assert_allclose(txt, ref_t, atol=2e-4, rtol=2e-4)
+
+
+class TestRemat:
+    def test_vit_remat_matches(self):
+        from summer_clip_tpu.models.clip import build_clip
+
+        m1, cfg = build_clip("test-vit")
+        m2, _ = build_clip("test-vit", remat=True)
+        imgs = jax.random.normal(jax.random.PRNGKey(0),
+                                 (2, cfg.image_resolution, cfg.image_resolution, 3))
+        ids = jnp.zeros((1, cfg.context_length), jnp.int32)
+        v = m1.init(jax.random.PRNGKey(7), imgs[:1], ids)
+        f1 = m1.apply(v, imgs, method=m1.encode_image)
+        f2 = m2.apply(v, imgs, method=m2.encode_image)
+        np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-5)

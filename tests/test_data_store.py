@@ -204,3 +204,14 @@ class TestArrayDatasets:
         from summer_clip_tpu.data.array_datasets import resolve_array_image
         arr = resolve_array_image(img.impath)
         assert arr.shape == (28, 28, 3)
+
+
+class TestPrefetch:
+    def test_prefetch_to_device_order(self):
+        from summer_clip_tpu.data.loader import prefetch_to_device
+
+        batches = [{"x": np.full((2,), i, np.float32)} for i in range(5)]
+        out = list(prefetch_to_device(iter(batches), size=2))
+        assert len(out) == 5
+        for i, b in enumerate(out):
+            np.testing.assert_array_equal(np.asarray(b["x"]), np.full((2,), i))

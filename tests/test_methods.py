@@ -256,3 +256,51 @@ class TestCheckpointBackends:
         ck.save_orbax(tmp_path / "orbax_ckpt", tree)
         restored = ck.load_orbax(tmp_path / "orbax_ckpt", target=tree)
         np.testing.assert_array_equal(np.asarray(restored["a"]), np.arange(4.0))
+
+
+class TestOptimUtilities:
+    def test_trainable_only_freezes(self):
+        import jax
+        import jax.numpy as jnp
+        import optax
+        from summer_clip_tpu.engine.optim import trainable_only
+
+        params = {"adapter": {"w": jnp.ones(3)}, "tower": {"w": jnp.ones(3)}}
+
+        def is_trainable(path, leaf):
+            names = [str(getattr(p, "key", p)) for p in path]
+            return names[0] == "adapter"
+
+        tx = trainable_only(optax.sgd(0.5), is_trainable, params)
+        state = tx.init(params)
+        grads = {"adapter": {"w": jnp.ones(3)}, "tower": {"w": jnp.ones(3)}}
+        updates, _ = tx.update(grads, state, params)
+        new = optax.apply_updates(params, updates)
+        np.testing.assert_allclose(np.asarray(new["adapter"]["w"]), 0.5)
+        np.testing.assert_allclose(np.asarray(new["tower"]["w"]), 1.0)
+
+    def test_grad_accum_multisteps(self):
+        import jax.numpy as jnp
+        import optax
+        from summer_clip_tpu.engine.optim import with_grad_accum
+
+        tx = with_grad_accum(optax.sgd(1.0), every=2)
+        params = {"w": jnp.zeros(1)}
+        state = tx.init(params)
+        g = {"w": jnp.ones(1)}
+        u1, state = tx.update(g, state, params)
+        p1 = optax.apply_updates(params, u1)
+        np.testing.assert_allclose(np.asarray(p1["w"]), 0.0)  # not yet applied
+        u2, state = tx.update(g, state, p1)
+        p2 = optax.apply_updates(p1, u2)
+        np.testing.assert_allclose(np.asarray(p2["w"]), -1.0)  # mean of grads
+
+    def test_decay_mask_excludes_bias_scale(self):
+        import jax.numpy as jnp
+        from summer_clip_tpu.engine.optim import decay_mask
+
+        params = {"layer": {"kernel": jnp.ones(1), "bias": jnp.ones(1), "scale": jnp.ones(1)}}
+        mask = decay_mask(params)
+        assert mask["layer"]["kernel"] is True
+        assert mask["layer"]["bias"] is False
+        assert mask["layer"]["scale"] is False
