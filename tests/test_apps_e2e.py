@@ -440,3 +440,30 @@ class TestGumbelV3:
         ])
         recs = [r for r in _records(rundir) if r.get("type") == "prompt"]
         assert recs and len(recs[-1]["prompt_ids"]) == 2
+
+
+class TestGptResumeAndFull:
+    def test_resume_from_checkpoint_and_train_full(self, rundir):
+        from summer_clip_tpu.apps import tokenize_dataset, train_gpt
+
+        tokenize_dataset.run(argv=[
+            "max_length=12", "source.n_docs=8", f"output_path={rundir}/c.npy"])
+        common = [
+            "clip_gpt.gpt_config=test-gpt", "clip_gpt.clip_emb_dim=16",
+            "clip_gpt.adapters.emb_hid_dim=16", "clip_gpt.adapters.head_hid_dim=16",
+            f"dataset.train.tokens_path={rundir}/c.npy",
+            f"dataset.val.tokens_path={rundir}/c.npy",
+            "data_loader.train.batch_size=4", "data_loader.val.batch_size=4",
+            "training.epochs_num=1", "training.grad_accum_steps=1",
+            "training.evals_per_epoch=1", "training.info_steps=100",
+        ]
+        train_gpt.run(argv=common)
+        ckpts = sorted(rundir.rglob("checkpoints/epoch_1/step_*"))
+        assert ckpts
+
+        # resume: must load without error and keep training (train_full mode)
+        train_gpt.run(argv=common + [
+            f"pretrained.model={ckpts[-1]}", "clip_gpt.train_full=true",
+        ])
+        resumed = [r for r in _records(rundir) if r.get("type") == "gpt_eval"]
+        assert len(resumed) >= 1
