@@ -107,9 +107,9 @@ def build_clip(name: str, dtype: tp.Any = jnp.float32, remat: bool = False) -> t
 
 
 def init_clip(name: str, rng: tp.Optional[jax.Array] = None,
-              dtype: tp.Any = jnp.float32) -> tp.Tuple[CLIP, CLIPConfig, tp.Any]:
+              dtype: tp.Any = jnp.float32, remat: bool = False) -> tp.Tuple[CLIP, CLIPConfig, tp.Any]:
     """Build + init variables with dummy inputs (shape-driven)."""
-    model, cfg = build_clip(name, dtype=dtype)
+    model, cfg = build_clip(name, dtype=dtype, remat=remat)
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     images = jnp.zeros((1, cfg.image_resolution, cfg.image_resolution, 3), jnp.float32)
     tokens = jnp.zeros((1, cfg.context_length), jnp.int32)
