@@ -94,8 +94,11 @@ class SimpleTokenizer:
             opener = gzip.open if str(bpe_path).endswith(".gz") else open
             with opener(bpe_path, "rt", encoding="utf-8") as f:  # type: ignore[arg-type]
                 lines = f.read().split("\n")
-            # standard asset layout: header line, then 48894 merge lines
-            lines = lines[1:49152 - 256 - 2 + 1]
+            # accept both the openai asset (header + 48894 merges) and the
+            # HF CLIPTokenizer merges.txt (``#version`` header, same merges)
+            if lines and (lines[0].startswith("#version") or " " not in lines[0]):
+                lines = lines[1:]
+            lines = lines[: 49152 - 256 - 2]
             merges = [tuple(line.split()) for line in lines if line]  # type: ignore[misc]
         self.has_merges = bool(merges)
 

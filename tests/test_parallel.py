@@ -60,3 +60,27 @@ class TestGraftEntry:
         from __graft_entry__ import dryrun_multichip
 
         dryrun_multichip(8)
+
+
+class TestMeshFeatureExtraction:
+    def test_clip_session_dp_extraction(self, devices8):
+        """Data-parallel encode over the 8-device mesh must match single-device."""
+        from summer_clip_tpu.apps.common import ClipSession, extract_image_features
+        from summer_clip_tpu.data.datasets import SyntheticDataset, SyntheticBatcher
+        from summer_clip_tpu.models.clip import init_clip
+        from summer_clip_tpu.parallel import create_mesh
+
+        model, cfg, variables = init_clip("test-vit")
+        mesh = create_mesh(data=8, model=1, devices=devices8)
+        ds = SyntheticDataset(num_classes=2, per_class=8, image_size=cfg.image_resolution)
+
+        session_mesh = ClipSession(model, cfg, variables, mesh=mesh)
+        feats_m, labels_m, _ = extract_image_features(
+            session_mesh, SyntheticBatcher(ds.test, batch_size=8, image_size=cfg.image_resolution))
+
+        session_one = ClipSession(model, cfg, variables, mesh=None)
+        feats_1, labels_1, _ = extract_image_features(
+            session_one, SyntheticBatcher(ds.test, batch_size=8, image_size=cfg.image_resolution))
+
+        np.testing.assert_array_equal(labels_m, labels_1)
+        np.testing.assert_allclose(feats_m, feats_1, atol=1e-4, rtol=1e-4)
