@@ -93,7 +93,6 @@ class ImageAttention(BaseTrainer):
         f = jnp.asarray(self.test_image_features)
         f = f / jnp.maximum(jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-12)
         self.clip_logits = 100.0 * f @ classifier.T
-        self.norm_test_features = f
 
         self.origin_cache_image_features = np.asarray(resolve_array(
             store, self.cfg.cache.get("features_key"),

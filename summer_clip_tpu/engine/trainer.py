@@ -44,7 +44,14 @@ class BaseTrainer:
         self.rng = RngStream(root_key)
 
     def setup_mesh(self):
-        """Hook for multi-device trainers; default single-device (no mesh)."""
+        """Hook for multi-device trainers; default single-device (no mesh).
+
+        Multi-host pods rendezvous first: ``distributed_init`` is a no-op
+        unless ``JAX_COORDINATOR_ADDRESS`` (or explicit args) says otherwise.
+        """
+        from summer_clip_tpu.parallel import distributed_init
+
+        distributed_init()
         self.mesh = None
 
     def setup_dataset(self):

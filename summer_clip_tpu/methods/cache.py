@@ -189,11 +189,9 @@ def _coerce_labels(labels) -> np.ndarray:
     if hasattr(labels, "labels") and callable(labels.labels):
         return np.asarray(labels.labels(), np.int64)
     if hasattr(labels, "__iter__") and not isinstance(labels, np.ndarray):
-        first = None
         items = list(labels)
         if items and hasattr(items[0], "label"):
             return np.asarray([it.label for it in items], np.int64)
-        del first
         return np.asarray(items, np.int64)
     return np.asarray(labels, np.int64)
 
