@@ -141,11 +141,16 @@ class TopKPerGoldProbStrategy(IndexedCacheStrategy):
 
 
 class GlobalRandomSampleStrategy(IndexedCacheStrategy):
-    """k * C random rows, class-agnostic."""
+    """k * C random rows, class-agnostic.
+
+    Without an explicit seed, randomness comes from the module-level numpy
+    state, which ``set_random_state`` seeds per run — matching the
+    reference's reproducibility behavior (cache_strategy.py:108-117).
+    """
 
     def __init__(self, topk: int, seed: tp.Optional[int] = None):
         self.topk = topk
-        self.rng = np.random.default_rng(seed)
+        self.rng = np.random.default_rng(seed) if seed is not None else np.random
 
     def select(self, image_features, image_outs):
         n, c = image_outs.shape
@@ -154,8 +159,8 @@ class GlobalRandomSampleStrategy(IndexedCacheStrategy):
 
 
 def select_k_random_per_label(labels: np.ndarray, k: int,
-                              rng: tp.Optional[np.random.Generator] = None) -> np.ndarray:
-    rng = rng or np.random.default_rng()
+                              rng: tp.Optional[tp.Any] = None) -> np.ndarray:
+    rng = rng if rng is not None else np.random
     picks = []
     for label in np.unique(labels):
         rows = np.flatnonzero(labels == label)
@@ -168,7 +173,7 @@ class PerGoldClassRandomSampleStrategy(IndexedCacheStrategy):
     def __init__(self, topk: int, cache_labels, seed: tp.Optional[int] = None):
         self.topk = topk
         self.cache_labels = _coerce_labels(cache_labels)
-        self.rng = np.random.default_rng(seed)
+        self.rng = np.random.default_rng(seed) if seed is not None else np.random
 
     def select(self, image_features, image_outs):
         return select_k_random_per_label(self.cache_labels, self.topk, self.rng)
@@ -177,7 +182,7 @@ class PerGoldClassRandomSampleStrategy(IndexedCacheStrategy):
 class PerPredClassRandomSampleStrategy(IndexedCacheStrategy):
     def __init__(self, topk: int, seed: tp.Optional[int] = None):
         self.topk = topk
-        self.rng = np.random.default_rng(seed)
+        self.rng = np.random.default_rng(seed) if seed is not None else np.random
 
     def select(self, image_features, image_outs):
         preds = image_outs.argmax(axis=1)

@@ -304,3 +304,16 @@ class TestOptimUtilities:
         assert mask["layer"]["kernel"] is True
         assert mask["layer"]["bias"] is False
         assert mask["layer"]["scale"] is False
+
+
+class TestRandomStrategyDeterminism:
+    def test_global_seed_makes_random_strategies_reproducible(self):
+        from summer_clip_tpu.core.rng import set_random_state
+
+        feats = _feats(0, 40, 8)
+        outs = np.random.default_rng(1).standard_normal((40, 5)).astype(np.float32)
+        set_random_state(123)
+        a = C.GlobalRandomSampleStrategy(topk=2).select(feats, outs)
+        set_random_state(123)
+        b = C.GlobalRandomSampleStrategy(topk=2).select(feats, outs)
+        np.testing.assert_array_equal(a, b)
