@@ -278,13 +278,33 @@ def cache_logits_for_betas(test_features, cache_features, cache_values,
 
     import jax
 
+    def _host_prep(x: np.ndarray, do_norm: bool) -> np.ndarray:
+        """Normalize + pad rows to the kernel's max block on HOST memory.
+
+        At ImageNet scale the cache is ~5GB; normalizing/padding on device
+        would transiently double HBM per sweep step. Row counts aligned to
+        1024 make the in-kernel pad a no-op (padded rows carry zero values,
+        so results are exact).
+        """
+        x = np.asarray(x, np.float32)
+        if do_norm:
+            x = x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+        rows = x.shape[0]
+        target = -(-rows // 1024) * 1024
+        if target != rows:
+            x = np.concatenate([x, np.zeros((target - rows, x.shape[1]), np.float32)])
+        return x
+
+    v_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    if isinstance(cache_features, np.ndarray):
+        c = jnp.asarray(_host_prep(cache_features, normalize))
+        v = jnp.asarray(_host_prep(np.asarray(cache_values), False), v_dtype)
+    else:
+        c = jnp.asarray(cache_features, jnp.float32)
+        if normalize:
+            c = c / jnp.maximum(jnp.linalg.norm(c, axis=-1, keepdims=True), 1e-12)
+        v = jnp.asarray(cache_values, v_dtype)
     f = jnp.asarray(test_features, jnp.float32)
-    c = jnp.asarray(cache_features, jnp.float32)
     if normalize:
         f = f / jnp.maximum(jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-12)
-        c = c / jnp.maximum(jnp.linalg.norm(c, axis=-1, keepdims=True), 1e-12)
-    # cache values ride in bf16 on TPU (exact for one-hot/softmax values at
-    # this precision; halves HBM for the ImageNet-scale (1.28M, C) table)
-    v_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
-    v = jnp.asarray(cache_values, v_dtype)
     return cache_attention_auto(f, c, v, jnp.asarray(list(betas), jnp.float32), **kernel_kwargs)
