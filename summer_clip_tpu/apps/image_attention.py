@@ -102,13 +102,27 @@ class ImageAttention(BaseTrainer):
             self.cfg.cache.get("image_outs_path"), "outs"), np.float32)
         self.logger.log_info(f"original-data-size: {self.origin_cache_image_outs.shape[0]}")
 
+        # device-resident, pre-normalized cache: strategy selections become
+        # device gathers instead of re-uploading the (N, D) matrix per combo
+        # (single-device path; the sharded path keeps host arrays)
+        self._cache_dev = None
+        if self.mesh is None:
+            cn = self.origin_cache_image_features
+            cn = cn / np.maximum(np.linalg.norm(cn, axis=-1, keepdims=True), 1e-12)
+            self._cache_dev = jnp.asarray(cn)
+        tf = self.test_image_features
+        self._test_norm = jnp.asarray(
+            tf / np.maximum(np.linalg.norm(tf, axis=-1, keepdims=True), 1e-12))
+
     # -- cache construction ----------------------------------------------------
     def build_cache(self, strategy, feats: np.ndarray, outs: np.ndarray
                     ) -> tp.Tuple[np.ndarray, np.ndarray, dict]:
+        self._last_inds: tp.Optional[np.ndarray] = None
         if not isinstance(strategy, cache_methods.IndexedCacheStrategy):
             cf, co = strategy.transform(feats, outs)
             return cf, co, {}
         inds = np.asarray(strategy.select(feats, outs))
+        self._last_inds = inds
         cf, co = feats[inds], outs[inds]
         info: dict = {"cache_size": int(co.shape[0])}
         if self.cfg.run_saves.save_cache_inds:
@@ -182,17 +196,29 @@ class ImageAttention(BaseTrainer):
 
     def _fused_cache_logits(self, cache_features, values, betas):
         if self.mesh is not None:
-            import jax.numpy as _jnp
-
             from summer_clip_tpu.parallel import sharded_cache_logits
 
-            f = _jnp.asarray(self.test_image_features, _jnp.float32)
-            f = f / _jnp.maximum(_jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-12)
-            c = _jnp.asarray(cache_features, _jnp.float32)
-            c = c / _jnp.maximum(_jnp.linalg.norm(c, axis=-1, keepdims=True), 1e-12)
-            return sharded_cache_logits(f, c, _jnp.asarray(values, _jnp.float32),
-                                        _jnp.asarray(list(betas), _jnp.float32),
+            c = jnp.asarray(cache_features, jnp.float32)
+            c = c / jnp.maximum(jnp.linalg.norm(c, axis=-1, keepdims=True), 1e-12)
+            return sharded_cache_logits(self._test_norm, c,
+                                        jnp.asarray(values, jnp.float32),
+                                        jnp.asarray(list(betas), jnp.float32),
                                         self.mesh, axis="model")
+        if self._cache_dev is not None and self._last_inds is not None:
+            # device gather of the pre-normalized resident cache; row counts
+            # pad to the kernel's max block with zero VALUE rows (exact)
+            from summer_clip_tpu.ops.cache_kernels import cache_attention_auto
+
+            inds = self._last_inds
+            pad = (-len(inds)) % 1024
+            inds_p = np.concatenate([inds, np.zeros(pad, inds.dtype)]) if pad else inds
+            values_p = (np.concatenate([values, np.zeros((pad, values.shape[1]), np.float32)])
+                        if pad else values)
+            cf_dev = jnp.take(self._cache_dev, jnp.asarray(inds_p), axis=0)
+            v_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+            return cache_attention_auto(self._test_norm, cf_dev,
+                                        jnp.asarray(values_p, v_dtype),
+                                        jnp.asarray(list(betas), jnp.float32))
         return cache_logits_for_betas(self.test_image_features, cache_features,
                                       values, betas)
 
