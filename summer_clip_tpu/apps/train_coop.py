@@ -110,6 +110,10 @@ class CoOpTrainer(BaseTrainer):
                                               int(cfg.get("clip_seq_len", 77)))
         token_classes = self.collator.tokenize_classes(self.classes)
         self.class_table = self.collator.build_class_table(token_classes + [[]])  # +empty row
+        # tokenized class names table (reference train_coop.py:113-118)
+        self.logger.exp_logger.log_table(
+            "token_classes", columns=["class", "token_ids"],
+            rows=[[c, ids] for c, ids in zip(self.classes, token_classes)])
 
         # fluency LM first: the Gumbelv3a1 proposer rides on it
         self.gpt_model, self.gpt_variables = self._load_gpt()
