@@ -106,9 +106,15 @@ class ImageAttention(BaseTrainer):
         # device gathers instead of re-uploading the (N, D) matrix per combo
         # (single-device path; the sharded path keeps host arrays)
         self._cache_dev = None
+        self._cache_rows = self.origin_cache_image_features.shape[0]
         if self.mesh is None:
             cn = self.origin_cache_image_features
             cn = cn / np.maximum(np.linalg.norm(cn, axis=-1, keepdims=True), 1e-12)
+            # pre-pad rows to the kernel's max block so neither the identity
+            # (AllLogits) path nor the kernel ever copies the big matrix
+            pad = (-cn.shape[0]) % 1024
+            if pad:
+                cn = np.concatenate([cn, np.zeros((pad, cn.shape[1]), np.float32)])
             self._cache_dev = jnp.asarray(cn)
         tf = self.test_image_features
         self._test_norm = jnp.asarray(
@@ -209,13 +215,20 @@ class ImageAttention(BaseTrainer):
             # pad to the kernel's max block with zero VALUE rows (exact)
             from summer_clip_tpu.ops.cache_kernels import cache_attention_auto
 
+            v_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
             inds = self._last_inds
-            pad = (-len(inds)) % 1024
-            inds_p = np.concatenate([inds, np.zeros(pad, inds.dtype)]) if pad else inds
+            identity = (len(inds) == self._cache_rows
+                        and bool((inds == np.arange(self._cache_rows)).all()))
+            if identity:
+                # AllLogits-style selection: reuse the resident matrix as-is
+                cf_dev = self._cache_dev
+                pad = cf_dev.shape[0] - self._cache_rows
+            else:
+                pad = (-len(inds)) % 1024
+                inds_p = np.concatenate([inds, np.zeros(pad, inds.dtype)]) if pad else inds
+                cf_dev = jnp.take(self._cache_dev, jnp.asarray(inds_p), axis=0)
             values_p = (np.concatenate([values, np.zeros((pad, values.shape[1]), np.float32)])
                         if pad else values)
-            cf_dev = jnp.take(self._cache_dev, jnp.asarray(inds_p), axis=0)
-            v_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
             return cache_attention_auto(self._test_norm, cf_dev,
                                         jnp.asarray(values_p, v_dtype),
                                         jnp.asarray(list(betas), jnp.float32))
