@@ -467,3 +467,43 @@ class TestGptResumeAndFull:
         ])
         resumed = [r for r in _records(rundir) if r.get("type") == "gpt_eval"]
         assert len(resumed) >= 1
+
+
+class TestResidentCachePath:
+    def test_gather_and_identity_match_reference(self):
+        """Unit-level check of ImageAttention's device-resident fast paths."""
+        import jax.numpy as jnp
+        from summer_clip_tpu.apps.image_attention import ImageAttention
+        from summer_clip_tpu.ops.cache_kernels import cache_attention_reference
+
+        rng = np.random.RandomState(0)
+        nt, nc, d, c = 10, 37, 16, 5
+        f = rng.randn(nt, d).astype(np.float32)
+        cache = rng.randn(nc, d).astype(np.float32)
+        values = rng.randn(nc, c).astype(np.float32)
+        fn = f / np.linalg.norm(f, axis=1, keepdims=True)
+        cn = cache / np.linalg.norm(cache, axis=1, keepdims=True)
+
+        app = ImageAttention.__new__(ImageAttention)
+        app.mesh = None
+        app._test_norm = jnp.asarray(fn)
+        app._cache_rows = nc
+        pad = (-nc) % 1024
+        app._cache_dev = jnp.asarray(np.concatenate([cn, np.zeros((pad, d), np.float32)]))
+        betas = [1.0, 5.5]
+
+        # identity selection
+        app._last_inds = np.arange(nc)
+        got = np.asarray(app._fused_cache_logits(cache, values, betas))
+        ref = np.asarray(cache_attention_reference(
+            jnp.asarray(fn), jnp.asarray(cn), jnp.asarray(values), jnp.asarray(betas)))
+        np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-3)
+
+        # strict subset selection
+        inds = np.asarray([3, 7, 11, 20, 36])
+        app._last_inds = inds
+        got = np.asarray(app._fused_cache_logits(cache[inds], values[inds], betas))
+        ref = np.asarray(cache_attention_reference(
+            jnp.asarray(fn), jnp.asarray(cn[inds]), jnp.asarray(values[inds]),
+            jnp.asarray(betas)))
+        np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-3)
