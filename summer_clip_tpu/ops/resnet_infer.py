@@ -82,11 +82,14 @@ def _bottleneck_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     mid = jnp.dot(x2d, w1, preferred_element_type=jnp.float32)
     mid = jnp.maximum(mid + b1_ref[0].astype(jnp.float32), 0.0)
     # zero the halo ring: conv1 must not produce bias activations outside
-    # the true image (flax pads conv2's INPUT with zeros, not relu(bias))
-    row = jax.lax.broadcasted_iota(jnp.int32, (hh, ww), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (hh, ww), 1)
+    # the true image (flax pads conv2's INPUT with zeros, not relu(bias)).
+    # the mask is built directly in flattened (hh*ww, 1) form — Mosaic
+    # cannot shape-cast boolean vectors
+    flat = jax.lax.broadcasted_iota(jnp.int32, (hh * ww, 1), 0)
+    row = flat // ww
+    col = flat % ww
     interior = ((row >= 1) & (row <= height) & (col >= 1) & (col <= width))
-    mid = jnp.where(interior.reshape(hh * ww, 1), mid, 0.0)
+    mid = jnp.where(interior, mid, 0.0)
     mid = mid.astype(dtype).reshape(hh, ww, c_mid)
 
     # conv2: 3x3 as 9 shifted (H*W, c_mid) @ (c_mid, c_mid) matmuls
