@@ -65,15 +65,27 @@ def _avgpool2(x):
 # Fused stride-1 bottleneck kernel
 # ---------------------------------------------------------------------------
 
-def _bottleneck_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
-                       o_ref, *, height: int, width: int, c_in: int,
-                       c_mid: int, c_out: int, dtype):
-    """One image per program; all activations stay in VMEM.
+def _bottleneck_kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+                       o_ref, x_vmem, dma_sem, *, tile_h: int, width: int,
+                       c_in: int, c_mid: int, c_out: int, dtype):
+    """One (image, row-tile) program.
 
-    x_ref: (1, H + 2, W + 2, c_in) — the spatially pre-padded image.
-    o_ref: (1, H, W, c_out).
+    The padded image stays in HBM (``x_hbm``: (B, H+2, W+2, c_in)); each
+    program DMAs its (tile_h + 2)-row halo window into VMEM scratch — halo
+    windows overlap, which block indexing cannot express. All intermediate
+    activations live in VMEM; o_ref: (1, tile_h, W, c_out).
     """
-    x = x_ref[0].astype(dtype)                      # (H+2, W+2, c_in)
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    copy = pltpu.make_async_copy(
+        x_hbm.at[i, pl.ds(j * tile_h, tile_h + 2)], x_vmem, dma_sem)
+    copy.start()
+    copy.wait()
+
+    height = tile_h
+    x = x_vmem[:].astype(dtype)                     # (th+2, W+2, c_in)
     hh, ww = height + 2, width + 2
 
     # conv1: 1x1 over the padded region (so conv2 has its 1-px halo in mid)
@@ -81,14 +93,16 @@ def _bottleneck_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     w1 = w1_ref[:].astype(dtype)
     mid = jnp.dot(x2d, w1, preferred_element_type=jnp.float32)
     mid = jnp.maximum(mid + b1_ref[0].astype(jnp.float32), 0.0)
-    # zero the halo ring: conv1 must not produce bias activations outside
-    # the true image (flax pads conv2's INPUT with zeros, not relu(bias)).
-    # the mask is built directly in flattened (hh*ww, 1) form — Mosaic
-    # cannot shape-cast boolean vectors
+    # zero conv1 outputs that sit on the zero-padding ring of the FULL
+    # image: flax pads conv2's input with zeros, not relu(bias). Tile-halo
+    # rows inside the image are genuine conv1 outputs and stay. The mask is
+    # built in flattened (hh*ww, 1) form — Mosaic cannot shape-cast bools.
+    h_total = pl.num_programs(1) * height
     flat = jax.lax.broadcasted_iota(jnp.int32, (hh * ww, 1), 0)
-    row = flat // ww
+    row_global = j * height + flat // ww   # row in the padded full image
     col = flat % ww
-    interior = ((row >= 1) & (row <= height) & (col >= 1) & (col <= width))
+    interior = ((row_global >= 1) & (row_global <= h_total)
+                & (col >= 1) & (col <= width))
     mid = jnp.where(interior, mid, 0.0)
     mid = mid.astype(dtype).reshape(hh, ww, c_mid)
 
@@ -112,6 +126,20 @@ def _bottleneck_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     o_ref[0] = out.reshape(height, width, c_out).astype(o_ref.dtype)
 
 
+def _pick_tile_h(h: int, w: int, c_in: int, c_mid: int, c_out: int,
+                 budget: int = 6 * 1024 * 1024) -> int:
+    """Largest divisor of h whose tile activations fit the VMEM budget."""
+    for th in sorted({d for d in range(1, h + 1) if h % d == 0}, reverse=True):
+        est = ((th + 2) * (w + 2) * c_in * 2          # x scratch bf16
+               + (th + 2) * (w + 2) * c_mid * 4      # conv1 out f32
+               + th * w * c_mid * 4                  # conv2 acc f32
+               + th * w * c_out * 4                  # conv3 out f32
+               + 2 * th * w * c_out * 2)             # out block x2 buffers
+        if est <= budget:
+            return th
+    return 1
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_bottleneck(x: jax.Array, w1, b1, w2, b2, w3, b3, *,
                      interpret: bool = False) -> jax.Array:
@@ -119,35 +147,42 @@ def fused_bottleneck(x: jax.Array, w1, b1, w2, b2, w3, b3, *,
 
     x: (B, H, W, C). Weights pre-folded with their BNs:
     w1 (C, Cmid), w2 (3, 3, Cmid, Cmid), w3 (Cmid, C); biases (C_stage,).
-    At RN-family shapes a whole image's activations fit VMEM (largest:
-    layer1 at 58x58x256 bf16 ≈ 1.7MB input + ~7MB intermediates).
+    The padded image stays in HBM; each program DMAs an overlapping
+    (tile_h + 2)-row halo window into VMEM scratch.
     """
+    from jax.experimental.pallas import tpu as pltpu
+
     b, h, w, c_in = x.shape
     c_mid = w1.shape[-1]
     c_out = w3.shape[-1]
     assert c_in == c_out, "fused path requires identity residual"
+    tile_h = _pick_tile_h(h, w, c_in, c_mid, c_out)
 
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     b1r, b2r, b3r = (jnp.reshape(t, (1, -1)) for t in (b1, b2, b3))
 
     kernel = functools.partial(
-        _bottleneck_kernel, height=h, width=w, c_in=c_in,
+        _bottleneck_kernel, tile_h=tile_h, width=w, c_in=c_in,
         c_mid=c_mid, c_out=c_out, dtype=x.dtype)
 
     return pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b, h // tile_h),
         in_specs=[
-            pl.BlockSpec((1, h + 2, w + 2, c_in), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((c_in, c_mid), lambda i: (0, 0)),
-            pl.BlockSpec((1, c_mid), lambda i: (0, 0)),
-            pl.BlockSpec((3, 3, c_mid, c_mid), lambda i: (0, 0, 0, 0)),
-            pl.BlockSpec((1, c_mid), lambda i: (0, 0)),
-            pl.BlockSpec((c_mid, c_out), lambda i: (0, 0)),
-            pl.BlockSpec((1, c_out), lambda i: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # padded image in HBM
+            pl.BlockSpec((c_in, c_mid), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, c_mid), lambda i, j: (0, 0)),
+            pl.BlockSpec((3, 3, c_mid, c_mid), lambda i, j: (0, 0, 0, 0)),
+            pl.BlockSpec((1, c_mid), lambda i, j: (0, 0)),
+            pl.BlockSpec((c_mid, c_out), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, c_out), lambda i, j: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, h, w, c_out), lambda i: (i, 0, 0, 0)),
+        out_specs=pl.BlockSpec((1, tile_h, w, c_out), lambda i, j: (i, j, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h, w, c_out), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tile_h + 2, w + 2, c_in), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
         interpret=interpret or jax.default_backend() != "tpu",
     )(xp, w1, b1r, w2, b2r, w3, b3r)
 
