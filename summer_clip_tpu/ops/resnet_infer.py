@@ -67,7 +67,7 @@ def _avgpool2(x):
 
 def _bottleneck_kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
                        o_ref, x_vmem, dma_sem, *, tile_h: int, width: int,
-                       c_in: int, c_mid: int, c_out: int, dtype):
+                       ww: int, c_in: int, c_mid: int, c_out: int, dtype):
     """One (image, row-tile) program.
 
     The padded image stays in HBM (``x_hbm``: (B, H+2, W+2, c_in)); each
@@ -85,8 +85,8 @@ def _bottleneck_kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     copy.wait()
 
     height = tile_h
-    x = x_vmem[:].astype(dtype)                     # (th+2, W+2, c_in)
-    hh, ww = height + 2, width + 2
+    x = x_vmem[:].astype(dtype)                     # (th+2, ww, c_in)
+    hh = height + 2
 
     # conv1: 1x1 over the padded region (so conv2 has its 1-px halo in mid)
     x2d = x.reshape(hh * ww, c_in)
@@ -158,11 +158,14 @@ def fused_bottleneck(x: jax.Array, w1, b1, w2, b2, w3, b3, *,
     assert c_in == c_out, "fused path requires identity residual"
     tile_h = _pick_tile_h(h, w, c_in, c_mid, c_out)
 
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # Mosaic requires HBM slice sublane dims aligned to 8: pad the width
+    # (second-to-minor) dimension of the halo array up to a multiple of 8.
+    ww = -(-(w + 2) // 8) * 8
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, ww - (w + 1)), (0, 0)))
     b1r, b2r, b3r = (jnp.reshape(t, (1, -1)) for t in (b1, b2, b3))
 
     kernel = functools.partial(
-        _bottleneck_kernel, tile_h=tile_h, width=w, c_in=c_in,
+        _bottleneck_kernel, tile_h=tile_h, width=w, ww=ww, c_in=c_in,
         c_mid=c_mid, c_out=c_out, dtype=x.dtype)
 
     return pl.pallas_call(
@@ -180,7 +183,7 @@ def fused_bottleneck(x: jax.Array, w1, b1, w2, b2, w3, b3, *,
         out_specs=pl.BlockSpec((1, tile_h, w, c_out), lambda i, j: (i, j, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h, w, c_out), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((tile_h + 2, w + 2, c_in), x.dtype),
+            pltpu.VMEM((tile_h + 2, ww, c_in), x.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret or jax.default_backend() != "tpu",
