@@ -66,26 +66,46 @@ def _avgpool2(x):
 # ---------------------------------------------------------------------------
 
 def _bottleneck_kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
-                       o_ref, x_vmem, dma_sem, *, tile_h: int, width: int,
+                       o_ref, x_vmem, dma_sems, *, tile_h: int, width: int,
                        ww: int, c_in: int, c_mid: int, c_out: int, dtype):
-    """One (image, row-tile) program.
+    """One (image, row-tile) program with double-buffered halo DMA.
 
-    The padded image stays in HBM (``x_hbm``: (B, H+2, W+2, c_in)); each
-    program DMAs its (tile_h + 2)-row halo window into VMEM scratch — halo
-    windows overlap, which block indexing cannot express. All intermediate
-    activations live in VMEM; o_ref: (1, tile_h, W, c_out).
+    The padded image stays in HBM (``x_hbm``: (B, H+2, ww, c_in)); halo
+    windows overlap, which block indexing cannot express, so each program
+    DMAs its (tile_h + 2)-row window into one of two VMEM slots — and
+    prefetches the NEXT program's window into the other slot, hiding the
+    copy behind this program's matmuls (scratch persists across the grid).
+    o_ref: (1, tile_h, W, c_out).
     """
     from jax.experimental.pallas import tpu as pltpu
 
     i = pl.program_id(0)
     j = pl.program_id(1)
-    copy = pltpu.make_async_copy(
-        x_hbm.at[i, pl.ds(j * tile_h, tile_h + 2)], x_vmem, dma_sem)
-    copy.start()
-    copy.wait()
+    num_j = pl.num_programs(1)
+    step = i * num_j + j
+    total = pl.num_programs(0) * num_j
+    slot = jax.lax.rem(step, 2)
+    nslot = jax.lax.rem(step + 1, 2)
+
+    def dma_for(img, row, target_slot):
+        return pltpu.make_async_copy(
+            x_hbm.at[img, pl.ds(row * tile_h, tile_h + 2)],
+            x_vmem.at[target_slot], dma_sems.at[target_slot])
+
+    @pl.when(step == 0)
+    def _():
+        dma_for(i, j, slot).start()
+
+    @pl.when(step + 1 < total)
+    def _():
+        i2 = jax.lax.div(step + 1, num_j)
+        j2 = jax.lax.rem(step + 1, num_j)
+        dma_for(i2, j2, nslot).start()
+
+    dma_for(i, j, slot).wait()
 
     height = tile_h
-    x = x_vmem[:].astype(dtype)                     # (th+2, ww, c_in)
+    x = x_vmem[slot].astype(dtype)                  # (th+2, ww, c_in)
     hh = height + 2
 
     # conv1: 1x1 over the padded region (so conv2 has its 1-px halo in mid)
@@ -97,7 +117,7 @@ def _bottleneck_kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     # image: flax pads conv2's input with zeros, not relu(bias). Tile-halo
     # rows inside the image are genuine conv1 outputs and stay. The mask is
     # built in flattened (hh*ww, 1) form — Mosaic cannot shape-cast bools.
-    h_total = pl.num_programs(1) * height
+    h_total = num_j * height
     flat = jax.lax.broadcasted_iota(jnp.int32, (hh * ww, 1), 0)
     row_global = j * height + flat // ww   # row in the padded full image
     col = flat % ww
@@ -106,13 +126,16 @@ def _bottleneck_kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     mid = jnp.where(interior, mid, 0.0)
     mid = mid.astype(dtype).reshape(hh, ww, c_mid)
 
-    # conv2: 3x3 as 9 shifted (H*W, c_mid) @ (c_mid, c_mid) matmuls
-    acc = jnp.zeros((height * width, c_mid), jnp.float32)
-    for dy in range(3):
-        for dx in range(3):
-            patch = mid[dy:dy + height, dx:dx + width, :].reshape(height * width, c_mid)
-            w2 = w2_ref[dy, dx].astype(dtype)
-            acc += jnp.dot(patch, w2, preferred_element_type=jnp.float32)
+    # conv2: 3x3 as ONE (H*W, 9*c_mid) @ (9*c_mid, c_mid) matmul — packing
+    # the taps into the contraction dim feeds the MXU a K of 9*c_mid
+    # instead of nine skinny K=c_mid passes. w2_ref is pre-packed
+    # (9*c_mid, c_mid) in (dy, dx) row-major tap order.
+    patches = jnp.concatenate([
+        mid[dy:dy + height, dx:dx + width, :].reshape(height * width, c_mid)
+        for dy in range(3) for dx in range(3)
+    ], axis=1)                                      # (H*W, 9*c_mid)
+    w2 = w2_ref[:].astype(dtype)
+    acc = jnp.dot(patches, w2, preferred_element_type=jnp.float32)
     mid2 = jnp.maximum(acc + b2_ref[0].astype(jnp.float32), 0.0).astype(dtype)
 
     # conv3: 1x1 to c_out
@@ -130,8 +153,9 @@ def _pick_tile_h(h: int, w: int, c_in: int, c_mid: int, c_out: int,
                  budget: int = 6 * 1024 * 1024) -> int:
     """Largest divisor of h whose tile activations fit the VMEM budget."""
     for th in sorted({d for d in range(1, h + 1) if h % d == 0}, reverse=True):
-        est = ((th + 2) * (w + 2) * c_in * 2          # x scratch bf16
+        est = (2 * (th + 2) * (w + 2) * c_in * 2      # x scratch bf16, 2 slots
                + (th + 2) * (w + 2) * c_mid * 4      # conv1 out f32
+               + th * w * 9 * c_mid * 2              # packed conv2 patches bf16
                + th * w * c_mid * 4                  # conv2 acc f32
                + th * w * c_out * 4                  # conv3 out f32
                + 2 * th * w * c_out * 2)             # out block x2 buffers
@@ -163,6 +187,8 @@ def fused_bottleneck(x: jax.Array, w1, b1, w2, b2, w3, b3, *,
     ww = -(-(w + 2) // 8) * 8
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, ww - (w + 1)), (0, 0)))
     b1r, b2r, b3r = (jnp.reshape(t, (1, -1)) for t in (b1, b2, b3))
+    # pack the 3x3 taps into the contraction dim: (dy, dx) row-major
+    w2_packed = jnp.reshape(w2, (9 * c_mid, c_mid))
 
     kernel = functools.partial(
         _bottleneck_kernel, tile_h=tile_h, width=w, ww=ww, c_in=c_in,
@@ -175,7 +201,7 @@ def fused_bottleneck(x: jax.Array, w1, b1, w2, b2, w3, b3, *,
             pl.BlockSpec(memory_space=pltpu.ANY),   # padded image in HBM
             pl.BlockSpec((c_in, c_mid), lambda i, j: (0, 0)),
             pl.BlockSpec((1, c_mid), lambda i, j: (0, 0)),
-            pl.BlockSpec((3, 3, c_mid, c_mid), lambda i, j: (0, 0, 0, 0)),
+            pl.BlockSpec((9 * c_mid, c_mid), lambda i, j: (0, 0)),
             pl.BlockSpec((1, c_mid), lambda i, j: (0, 0)),
             pl.BlockSpec((c_mid, c_out), lambda i, j: (0, 0)),
             pl.BlockSpec((1, c_out), lambda i, j: (0, 0)),
@@ -183,11 +209,11 @@ def fused_bottleneck(x: jax.Array, w1, b1, w2, b2, w3, b3, *,
         out_specs=pl.BlockSpec((1, tile_h, w, c_out), lambda i, j: (i, j, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h, w, c_out), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((tile_h + 2, ww, c_in), x.dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, tile_h + 2, ww, c_in), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret or jax.default_backend() != "tpu",
-    )(xp, w1, b1r, w2, b2r, w3, b3r)
+    )(xp, w1, b1r, w2_packed, b2r, w3, b3r)
 
 
 # ---------------------------------------------------------------------------
