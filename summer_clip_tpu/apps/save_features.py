@@ -54,8 +54,19 @@ def save_split_features(cfg, session, store: FeatureStore, dataset_cfg, key: str
 def run(cfg) -> None:
     logging.info("Start!")
     logger = make_logger(cfg.exp.project, cfg.exp.name, C.to_container(cfg))
+    # data-parallel extraction across all visible chips when batches divide
+    import jax
+
+    from summer_clip_tpu.parallel import create_mesh, distributed_init
+
+    distributed_init()
+    n_dev = len(jax.devices())
+    mesh = None
+    if n_dev > 1 and int(cfg.data.batch_size) % n_dev == 0:
+        mesh = create_mesh(data=n_dev, model=1)
+        logger.log_info(f"Sharding extraction batches over {n_dev} devices")
     session = create_clip_session(cfg.clip.model_name, cfg.clip.get("checkpoint_path"),
-                                  cfg.clip.get("dtype"), logger=logger)
+                                  cfg.clip.get("dtype"), mesh=mesh, logger=logger)
     store = FeatureStore(cfg.store.root)
     model_tag = session.cfg.name.replace("/", "")
     if cfg.get("train_dataset") is not None:
