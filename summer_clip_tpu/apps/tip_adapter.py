@@ -29,12 +29,23 @@ from summer_clip_tpu.store import FeatureStore
 class TipAdapterTrainer(BaseTrainer):
     dataset_view_cls = DatasetView
 
+    def setup_mesh(self):
+        import jax
+
+        from summer_clip_tpu.parallel import create_mesh, distributed_init
+
+        distributed_init()
+        n = len(jax.devices())
+        bs = int(self.cfg.data.batch_size)
+        self.mesh = create_mesh(data=n, model=1) if (n > 1 and bs % n == 0) else None
+
     def setup_model(self):
         cfg = self.cfg
         self.store = FeatureStore(f"./caches/{cfg.dataset}")
         self.session = create_clip_session(cfg.clip.model_name,
                                            cfg.clip.get("checkpoint_path"),
-                                           cfg.clip.get("dtype"), logger=self.logger)
+                                           cfg.clip.get("dtype"), mesh=self.mesh,
+                                           logger=self.logger)
         size = self.session.input_size
         bs = int(cfg.data.batch_size)
         shots = int(cfg.shots)

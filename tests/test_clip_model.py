@@ -233,3 +233,10 @@ class TestRemat:
         f1 = m1.apply(v, imgs, method=m1.encode_image)
         f2 = m2.apply(v, imgs, method=m2.encode_image)
         np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-5)
+
+
+class TestTokenizerUnicode:
+    def test_unicode_roundtrip(self):
+        t = tok.get_tokenizer()
+        for s in ["héllo wörld", "naïve café", "日本語 テスト"]:
+            assert t.decode(t.encode(s)) == s
