@@ -103,7 +103,7 @@ def create_clip_session(model_name: str,
                         dtype: tp.Optional[str] = None,
                         mesh: tp.Optional[jax.sharding.Mesh] = None,
                         logger: tp.Optional[tp.Any] = None,
-                        remat: bool = False) -> ClipSession:
+                        remat: tp.Optional[bool] = None) -> ClipSession:
     """Build a session from a config: converted checkpoint if provided,
     otherwise randomly-initialized towers (smoke/synthetic runs)."""
     jdtype = resolve_dtype(dtype)
@@ -114,7 +114,7 @@ def create_clip_session(model_name: str,
     else:
         if checkpoint_path and logger:
             logger.log_info(f"WARNING: checkpoint {checkpoint_path} not found — random init")
-        model, cfg, variables = init_clip(model_name, dtype=jdtype, remat=remat)
+        model, cfg, variables = init_clip(model_name, dtype=jdtype, remat=bool(remat))
     return ClipSession(model, cfg, variables, mesh=mesh)
 
 

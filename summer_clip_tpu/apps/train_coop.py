@@ -85,7 +85,7 @@ class CoOpTrainer(BaseTrainer):
         cfg = self.cfg
         self.session = create_clip_session(cfg.clip.model_name,
                                            cfg.clip.get("checkpoint_path"),
-                                           cfg.clip.get("dtype"), logger=self.logger)
+                                           cfg.clip.get("dtype"), remat=cfg.clip.get("remat"), logger=self.logger)
         self.clip_embs_table = self.session.token_embedding_table()  # (V, D_text)
         self.logit_scale = self.session.logit_scale
 
