@@ -63,21 +63,26 @@ def _pad_axis(x: jax.Array, axis: int, target: int) -> jax.Array:
     return jnp.pad(x, pad)
 
 
-def _pick_blocks(d_p: int, c_p: int, block_q: int,
-                 budget_bytes: int = 12 * 1024 * 1024) -> tp.Tuple[int, int]:
-    """Choose (block_n, block_b) fitting the VMEM budget.
+def _pick_blocks(d_p: int, c_p: int, v_bytes: int = 4,
+                 budget_bytes: int = 13 * 1024 * 1024) -> tp.Tuple[int, int, int]:
+    """Choose (block_q, block_n, block_b) fitting the VMEM budget.
 
-    Mosaic double-buffers each block across grid steps, so the footprint is
-    ~2 * 4B * (bq*dp + bn*dp + bn*cp + bb*bq*cp). Prefer a large cache block
-    (MXU efficiency on the affinity matmul), then as much beta batching as
-    fits (affinity reuse).
+    The kernel's HBM traffic is dominated by re-reading the cache features +
+    values once per (beta-chunk, query-block): traffic ∝ num_bb * (Nt/bq).
+    So maximize block_q FIRST (cuts cache re-reads linearly), then the beta
+    chunk (affinity reuse), then the cache block. Footprint (Mosaic
+    double-buffers in/out blocks; f/out blocks are index-invariant along the
+    inner cache axis so they stay resident):
+      2*(bn*dp*4 + bn*cp*v) + bq*dp*4 + 2*bb*bq*cp*4 + bq*bn*4 (aff).
     """
-    for bn in (1024, 512, 256, 128):
+    for bq in (512, 384, 256, 128):
         for bb in (8, 4, 2, 1):
-            need = 2 * 4 * (block_q * d_p + bn * d_p + bn * c_p + bb * block_q * c_p)
-            if need <= budget_bytes:
-                return bn, bb
-    return 128, 1
+            for bn in (1024, 512, 256, 128):
+                need = (2 * bn * d_p * 4 + 2 * bn * c_p * v_bytes
+                        + bq * d_p * 4 + 2 * bb * bq * c_p * 4 + bq * bn * 4)
+                if need <= budget_bytes:
+                    return bq, bn, bb
+    return 128, 128, 1
 
 
 @functools.partial(
@@ -86,7 +91,8 @@ def _pick_blocks(d_p: int, c_p: int, block_q: int,
 )
 def cache_attention(test_features: jax.Array, cache_features: jax.Array,
                     cache_values: jax.Array, betas: jax.Array, *,
-                    block_q: int = 128, block_n: tp.Optional[int] = None,
+                    block_q: tp.Optional[int] = None,
+                    block_n: tp.Optional[int] = None,
                     block_b: tp.Optional[int] = None,
                     interpret: bool = False,
                     compute_dtype: tp.Any = None) -> jax.Array:
@@ -110,7 +116,9 @@ def cache_attention(test_features: jax.Array, cache_features: jax.Array,
 
     d_p = _ceil_to(d, 128)
     c_p = _ceil_to(max(c, 128), 128)
-    auto_bn, auto_bb = _pick_blocks(d_p, c_p, block_q)
+    v_bytes = jnp.dtype(cache_values.dtype).itemsize
+    auto_bq, auto_bn, auto_bb = _pick_blocks(d_p, c_p, v_bytes)
+    block_q = block_q or auto_bq
     block_n = block_n or auto_bn
     block_b = block_b or auto_bb
     nt_p = _ceil_to(nt, block_q)
