@@ -107,3 +107,25 @@ class TestFlashAttentionGrad:
         g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
         for gf, gr in zip(g_flash, g_ref):
             np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=5e-4, rtol=5e-4)
+
+
+class TestBlockChooser:
+    def test_traffic_aware_blocks(self):
+        """block_q=512 at CLIP-scale shapes is the perf-critical choice
+        (cache re-reads scale with Nt/block_q) — guard it."""
+        from summer_clip_tpu.ops.cache_kernels import _pick_blocks
+
+        bq, bn, bb = _pick_blocks(1024, 1024, v_bytes=2)
+        assert bq == 512, (bq, bn, bb)
+        assert bn >= 128 and bb >= 1
+        # footprint must respect the budget
+        need = (2 * bn * 1024 * 4 + 2 * bn * 1024 * 2
+                + bq * 1024 * 4 + 2 * bb * bq * 1024 * 4 + bq * bn * 4)
+        assert need <= 13 * 1024 * 1024
+
+    def test_small_shapes_still_fit(self):
+        from summer_clip_tpu.ops.cache_kernels import _pick_blocks
+
+        for d_p, c_p, vb in [(128, 128, 4), (1024, 128, 2), (128, 1024, 4)]:
+            bq, bn, bb = _pick_blocks(d_p, c_p, vb)
+            assert bq >= 128 and bn >= 128 and bb >= 1
