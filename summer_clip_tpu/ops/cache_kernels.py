@@ -64,24 +64,28 @@ def _pad_axis(x: jax.Array, axis: int, target: int) -> jax.Array:
 
 
 def _pick_blocks(d_p: int, c_p: int, v_bytes: int = 4,
-                 budget_bytes: int = 13 * 1024 * 1024) -> tp.Tuple[int, int, int]:
+                 budget_bytes: int = 14 * 1024 * 1024) -> tp.Tuple[int, int, int]:
     """Choose (block_q, block_n, block_b) fitting the VMEM budget.
 
     The kernel's HBM traffic is dominated by re-reading the cache features +
-    values once per (beta-chunk, query-block): traffic ∝ num_bb * (Nt/bq).
-    So maximize block_q FIRST (cuts cache re-reads linearly), then the beta
-    chunk (affinity reuse), then the cache block. Footprint (Mosaic
-    double-buffers in/out blocks; f/out blocks are index-invariant along the
-    inner cache axis so they stay resident):
+    values once per (beta-chunk, query-block): traffic ∝ (B/bb) * (Nt/bq).
+    Candidates below are ordered by MEASURED v5e time at CLIP scales
+    (Nt=50k, D=1024, C=1000; Nc 16k and 131k — see docs/KERNELS.md):
+    (256,256,4) beat (512,128,2)/(256,512,2) by 15-20% and the naive
+    (128,512,2) by >2x at 131k rows. Footprint (Mosaic double-buffers
+    in/out blocks; f/out blocks are index-invariant along the inner cache
+    axis so they stay resident):
       2*(bn*dp*4 + bn*cp*v) + bq*dp*4 + 2*bb*bq*cp*4 + bq*bn*4 (aff).
     """
-    for bq in (512, 384, 256, 128):
-        for bb in (8, 4, 2, 1):
-            for bn in (1024, 512, 256, 128):
-                need = (2 * bn * d_p * 4 + 2 * bn * c_p * v_bytes
-                        + bq * d_p * 4 + 2 * bb * bq * c_p * 4 + bq * bn * 4)
-                if need <= budget_bytes:
-                    return bq, bn, bb
+    candidates = [
+        (256, 256, 4), (256, 512, 2), (512, 128, 2), (256, 256, 2),
+        (128, 512, 2), (128, 256, 2), (128, 256, 1), (128, 128, 1),
+    ]
+    for bq, bn, bb in candidates:
+        need = (2 * bn * d_p * 4 + 2 * bn * c_p * v_bytes
+                + bq * d_p * 4 + 2 * bb * bq * c_p * 4 + bq * bn * 4)
+        if need <= budget_bytes:
+            return bq, bn, bb
     return 128, 128, 1
 
 

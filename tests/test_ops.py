@@ -116,12 +116,11 @@ class TestBlockChooser:
         from summer_clip_tpu.ops.cache_kernels import _pick_blocks
 
         bq, bn, bb = _pick_blocks(1024, 1024, v_bytes=2)
-        assert bq == 512, (bq, bn, bb)
-        assert bn >= 128 and bb >= 1
+        assert (bq, bn, bb) == (256, 256, 4), (bq, bn, bb)
         # footprint must respect the budget
         need = (2 * bn * 1024 * 4 + 2 * bn * 1024 * 2
                 + bq * 1024 * 4 + 2 * bb * bq * 1024 * 4 + bq * bn * 4)
-        assert need <= 13 * 1024 * 1024
+        assert need <= 14 * 1024 * 1024
 
     def test_small_shapes_still_fit(self):
         from summer_clip_tpu.ops.cache_kernels import _pick_blocks
