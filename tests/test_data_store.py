@@ -215,3 +215,39 @@ class TestPrefetch:
         assert len(out) == 5
         for i, b in enumerate(out):
             np.testing.assert_array_equal(np.asarray(b["x"]), np.full((2,), i))
+
+
+class TestFeaturesIO:
+    def test_resolve_from_store_key_and_paths(self, tmp_path):
+        import torch
+
+        from summer_clip_tpu.apps.features_io import resolve_array
+
+        store = FeatureStore(tmp_path / "s")
+        feats = np.random.RandomState(0).rand(6, 4).astype(np.float32)
+        store.save("k", features=feats)
+        got = resolve_array(store, "k", None, "features")
+        np.testing.assert_array_equal(np.asarray(got), feats)
+
+        # .npy path
+        p = tmp_path / "f.npy"
+        np.save(p, feats)
+        np.testing.assert_array_equal(np.asarray(resolve_array(None, None, str(p))), feats)
+
+        # reference-made .pt: features transpose, outs stay (N, C)
+        t = torch.from_numpy(feats.T.copy())  # (emb_dim, N) reference layout
+        pt = tmp_path / "f.pt"
+        torch.save(t, pt)
+        np.testing.assert_allclose(np.asarray(resolve_array(None, None, str(pt), "features")), feats)
+        outs = torch.from_numpy(feats.copy())  # (N, C) layout
+        pt2 = tmp_path / "o.pt"
+        torch.save(outs, pt2)
+        np.testing.assert_allclose(np.asarray(resolve_array(None, None, str(pt2), "outs")), feats)
+
+    def test_missing_both_raises(self):
+        import pytest as _pytest
+
+        from summer_clip_tpu.apps.features_io import resolve_array
+
+        with _pytest.raises(AssertionError):
+            resolve_array(None, None, None)
