@@ -26,6 +26,7 @@ import datetime
 import functools
 import importlib
 import itertools
+import logging
 import os
 import re
 import sys
@@ -245,17 +246,31 @@ def _select_path(root: ConfigNode, path: str) -> tp.Any:
     return cur
 
 
+def _eval_resolver(ref: str) -> tp.Optional[str]:
+    """Built-in ``${now:FMT}`` resolver (hydra's run-dir timestamp idiom)."""
+    if ref.startswith("now:"):
+        return datetime.datetime.now().strftime(ref[len("now:"):])
+    return None
+
+
 def _resolve_interp(value: str, root: ConfigNode, _depth: int = 0) -> tp.Any:
     if _depth > 16:
         raise RecursionError(f"Interpolation loop while resolving {value!r}")
     full = _INTERP_RE.fullmatch(value)
     if full:
+        ref = full.group(1).strip()
+        resolved = _eval_resolver(ref)
+        if resolved is not None:
+            return resolved
         # whole-string interpolation keeps the referenced value's type
-        return _select_path(root, full.group(1).strip())
+        return _select_path(root, ref)
 
     def sub(m: re.Match) -> str:
-        ref = _select_path(root, m.group(1).strip())
-        return str(ref)
+        ref = m.group(1).strip()
+        resolved = _eval_resolver(ref)
+        if resolved is not None:
+            return resolved
+        return str(_select_path(root, ref))
 
     out = _INTERP_RE.sub(sub, value)
     if out != value and _INTERP_RE.search(out):
@@ -532,24 +547,43 @@ def instantiate_all(cfg: tp.Any) -> tp.Generator[tp.Tuple[tp.Any, tp.Dict[str, t
 # App entry-point decorator (reference: @hydra.main + conf/hydra_setup.yaml)
 # ---------------------------------------------------------------------------
 
-def _make_run_dir(base: tp.Union[str, Path] = "outputs") -> Path:
+def _make_run_dir(base: tp.Union[str, Path] = "outputs",
+                  pattern: tp.Optional[str] = None) -> Path:
+    """Create a fresh run dir; ``pattern`` is a resolved ``hydra.run.dir``
+    value (relative patterns are rooted at ``base``'s parent = the launch cwd)."""
     now = datetime.datetime.now()
-    run_dir = Path(base) / now.strftime("%Y-%m-%d") / now.strftime("%H-%M-%S")
+    if pattern is not None:
+        run_dir = Path(pattern)
+        if not run_dir.is_absolute():
+            run_dir = Path(base).parent / run_dir
+    else:
+        run_dir = Path(base) / now.strftime("%Y-%m-%d") / now.strftime("%H-%M-%S")
+    first = run_dir
     suffix = 0
     while run_dir.exists():
         suffix += 1
-        run_dir = Path(base) / now.strftime("%Y-%m-%d") / f"{now.strftime('%H-%M-%S')}-{suffix}"
+        run_dir = first.with_name(f"{first.name}-{suffix}")
     run_dir.mkdir(parents=True)
     return run_dir
 
 
 def main(config_path: tp.Union[str, Path], config_name: str,
-         version_base: tp.Optional[str] = None, chdir: bool = True):
+         version_base: tp.Optional[str] = None, chdir: tp.Optional[bool] = None):
     """App decorator: compose config from CLI args, create a run dir, call fn.
 
-    Mirrors the reference launch contract: each run executes in a fresh
-    ``outputs/<date>/<time>/`` working dir containing ``.hydra/config.yaml``
-    (reference ``conf/hydra_setup.yaml:2-3``).
+    Mirrors the reference launch contract (``conf/hydra_setup.yaml``): each
+    run executes in a fresh run dir containing ``.hydra/config.yaml``. The
+    composed config's ``hydra:`` node is honored and stripped before the app
+    sees the config, exactly like hydra itself:
+
+    - ``hydra.job.chdir``   — chdir into the run dir for the app's duration
+      (reference ``conf/hydra_setup.yaml:2-3``); the decorator's ``chdir``
+      argument, when not None, overrides it.
+    - ``hydra.run.dir``     — run-dir pattern, ``${now:FMT}`` resolved
+      (hydra's ``outputs/<date>/<time>`` default).
+    - ``hydra.job_logging`` — when a ``json`` file formatter is configured
+      (reference ``conf/hydra_setup.yaml:4-11``), attach a JSON-formatted
+      ``<config_name>.log`` file handler in the run dir.
     """
     del version_base
 
@@ -561,19 +595,35 @@ def main(config_path: tp.Union[str, Path], config_name: str,
             caller_file = Path(sys.modules[fn.__module__].__file__ or ".").parent
             conf_dir = (caller_file / config_path).resolve()
             cfg = compose(conf_dir, config_name, overrides)
+            hydra_cfg = to_container(cfg.pop("hydra", {}), resolve=True) if "hydra" in cfg else {}
+            job_cfg = hydra_cfg.get("job") or {}
+            do_chdir = chdir if chdir is not None else bool(job_cfg.get("chdir", True))
+            run_pattern = (hydra_cfg.get("run") or {}).get("dir")
             old_cwd = os.getcwd()
-            run_dir = _make_run_dir(Path(old_cwd) / "outputs")
+            run_dir = _make_run_dir(Path(old_cwd) / "outputs", pattern=run_pattern)
             hydra_dir = run_dir / ".hydra"
             hydra_dir.mkdir()
             (hydra_dir / "config.yaml").write_text(to_yaml(cfg))
             (hydra_dir / "overrides.yaml").write_text(yaml.safe_dump(overrides))
-            if chdir:
+            log_logger, log_handler = None, None
+            fmts = (hydra_cfg.get("job_logging") or {}).get("formatters") or {}
+            if "json" in fmts:
+                from summer_clip_tpu.core.log_utils import setup_json_logging
+                log_path = run_dir / f"{config_name}.log"
+                log_logger = setup_json_logging(log_path)
+                log_handler = next(h for h in log_logger.handlers
+                                   if isinstance(h, logging.FileHandler)
+                                   and h.baseFilename == str(log_path.resolve()))
+            if do_chdir:
                 os.chdir(run_dir)
             try:
                 return fn(cfg, **kw)
             finally:
-                if chdir:
+                if do_chdir:
                     os.chdir(old_cwd)
+                if log_handler is not None:
+                    log_logger.removeHandler(log_handler)
+                    log_handler.close()
 
         wrapper.__wrapped_config__ = (config_path, config_name)
         return wrapper

@@ -136,6 +136,54 @@ def test_main_decorator_creates_run_dir(tmp_path, monkeypatch):
     assert len(cfg_files) == 1
 
 
+def test_main_decorator_honors_hydra_setup(tmp_path, monkeypatch):
+    """hydra.run.dir / job.chdir / job_logging from the composed config drive
+    the launcher (reference conf/hydra_setup.yaml semantics)."""
+    _write(tmp_path / "conf", "hydra_setup.yaml",
+           "hydra:\n"
+           "  job:\n"
+           "    chdir: false\n"
+           "  run:\n"
+           "    dir: runs/${now:%Y}/trial\n"
+           "  job_logging:\n"
+           "    formatters:\n"
+           "      json:\n"
+           "        format: '%(message)s'\n")
+    _write(tmp_path / "conf", "app.yaml",
+           "defaults:\n  - hydra_setup\n  - _self_\nmeta:\n  seed: 3\n")
+    monkeypatch.chdir(tmp_path)
+
+    import types, sys, json, datetime
+
+    mod = types.ModuleType("fake_app_mod2")
+    mod.__file__ = str(tmp_path / "fake_app.py")
+    sys.modules["fake_app_mod2"] = mod
+
+    holder = {}
+
+    def app(cfg):
+        import logging, os
+        holder["cwd"] = os.getcwd()
+        holder["has_hydra"] = "hydra" in cfg
+        logging.getLogger("x").info({"type": "probe", "v": 1})
+
+    app.__module__ = "fake_app_mod2"
+    C.main("conf", "app")(app)(argv=[])
+
+    assert holder["cwd"] == str(tmp_path), "job.chdir=false must keep launch cwd"
+    assert not holder["has_hydra"], "hydra node must be stripped from the app cfg"
+    year = datetime.datetime.now().strftime("%Y")
+    run_dir = tmp_path / "runs" / year / "trial"
+    assert (run_dir / ".hydra" / "config.yaml").exists(), "run.dir pattern must be used"
+    log_file = run_dir / "app.log"
+    assert log_file.exists(), "job_logging json formatter must create <app>.log"
+    records = [json.loads(line) for line in log_file.read_text().splitlines()]
+    assert any(r.get("type") == "probe" for r in records)
+    # a second run must not collide with the existing run dir
+    C.main("conf", "app")(app)(argv=[])
+    assert (tmp_path / "runs" / year / "trial-1" / ".hydra" / "config.yaml").exists()
+
+
 def test_missing_raises():
     cfg = C.ConfigNode({"a": "???"})
     with pytest.raises((KeyError, AttributeError)):
