@@ -170,15 +170,18 @@ def convert_state_dict(sd: tp.Mapping[str, np.ndarray]) -> tp.Dict[str, tp.Any]:
                     "bn2": _bn_stats(sd, f"{p}.bn2"),
                     "bn3": _bn_stats(sd, f"{p}.bn3"),
                 }
-                if f"{p}.downsample.1.weight" in sd:
-                    # torch: downsample = Sequential(AvgPool, Conv(1), BN(2))
-                    bparams["downsample_conv"] = _conv(sd, f"{p}.downsample.1")
-                    bparams["downsample_bn"] = _bn_params(sd, f"{p}.downsample.2")
-                    bstats["downsample_bn"] = _bn_stats(sd, f"{p}.downsample.2")
-                elif f"{p}.downsample.0.weight" in sd:
-                    bparams["downsample_conv"] = _conv(sd, f"{p}.downsample.0")
-                    bparams["downsample_bn"] = _bn_params(sd, f"{p}.downsample.1")
-                    bstats["downsample_bn"] = _bn_stats(sd, f"{p}.downsample.1")
+                ds_conv = next(
+                    (f"{p}.downsample.{j}" for j in (0, 1)
+                     if sd.get(f"{p}.downsample.{j}.weight") is not None
+                     and sd[f"{p}.downsample.{j}.weight"].ndim == 4),
+                    None)
+                if ds_conv is not None:
+                    # OpenAI layout: Sequential(AvgPool ("-1"), Conv ("0"), BN ("1"))
+                    # — the conv is the 4-D weight, the BN follows it.
+                    j = int(ds_conv.rsplit(".", 1)[1])
+                    bparams["downsample_conv"] = _conv(sd, ds_conv)
+                    bparams["downsample_bn"] = _bn_params(sd, f"{p}.downsample.{j + 1}")
+                    bstats["downsample_bn"] = _bn_stats(sd, f"{p}.downsample.{j + 1}")
                 v[name_fx] = bparams
                 vstats[name_fx] = bstats
         v["attnpool"] = {
