@@ -77,10 +77,40 @@ def _default_bpe_path() -> tp.Optional[Path]:
     env = os.environ.get("CLIP_BPE_PATH")
     if env and Path(env).exists():
         return Path(env)
-    here = Path(__file__).parent / "assets" / "bpe_simple_vocab_16e6.txt.gz"
-    if here.exists():
-        return here
+    assets = Path(__file__).parent / "assets"
+    for cand in ("bpe_simple_vocab_16e6.txt.gz", "merges.txt", "tokenizer.json"):
+        if (assets / cand).exists():
+            return assets / cand
     return None
+
+
+def _load_merges(bpe_path: Path) -> tp.List[tp.Tuple[str, str]]:
+    """Merge table from any of the three public formats:
+
+    - openai ``bpe_simple_vocab_16e6.txt.gz`` (header line + merges),
+    - HF ``merges.txt`` (``#version`` header + merges),
+    - HF tokenizers ``tokenizer.json`` (``model.merges`` list).
+    """
+    if bpe_path.name.endswith(".json"):
+        import json
+
+        blob = json.loads(bpe_path.read_text(encoding="utf-8"))
+        raw = blob["model"]["merges"]
+        out: tp.List[tp.Tuple[str, str]] = []
+        for m in raw:  # either "a b" strings or ["a", "b"] pairs
+            a, b = m.split(" ") if isinstance(m, str) else m
+            out.append((a, b))
+        return out
+    is_gz = str(bpe_path).endswith(".gz")
+    opener = gzip.open if is_gz else open
+    with opener(bpe_path, "rt", encoding="utf-8") as f:  # type: ignore[arg-type]
+        lines = f.read().split("\n")
+    # the openai .gz asset always carries a header line (its loader drops
+    # line 0 unconditionally); HF merges.txt marks it with ``#version``
+    if lines and (is_gz or lines[0].startswith("#version") or " " not in lines[0]):
+        lines = lines[1:]
+    lines = lines[: 49152 - 256 - 2]
+    return [tuple(line.split()) for line in lines if line]  # type: ignore[misc]
 
 
 class SimpleTokenizer:
@@ -91,15 +121,7 @@ class SimpleTokenizer:
 
         merges: tp.List[tp.Tuple[str, str]] = []
         if bpe_path is not None and Path(bpe_path).exists():
-            opener = gzip.open if str(bpe_path).endswith(".gz") else open
-            with opener(bpe_path, "rt", encoding="utf-8") as f:  # type: ignore[arg-type]
-                lines = f.read().split("\n")
-            # accept both the openai asset (header + 48894 merges) and the
-            # HF CLIPTokenizer merges.txt (``#version`` header, same merges)
-            if lines and (lines[0].startswith("#version") or " " not in lines[0]):
-                lines = lines[1:]
-            lines = lines[: 49152 - 256 - 2]
-            merges = [tuple(line.split()) for line in lines if line]  # type: ignore[misc]
+            merges = _load_merges(Path(bpe_path))
         self.has_merges = bool(merges)
 
         vocab = list(self.byte_encoder.values())
