@@ -44,12 +44,17 @@ class ClipGPTTrainer(BaseTrainer):
     def setup_mesh(self):
         n = len(jax.devices())
         bs = int(self.cfg.data_loader.train.batch_size)
-        if n > 1 and bs % n == 0:
-            self.mesh = create_mesh(data=n, model=1)
+        tp = int(self.cfg.training.get("tp", 1))
+        assert n % max(tp, 1) == 0, f"tp={tp} does not divide {n} devices"
+        dp = n // max(tp, 1)
+        if n > 1 and bs % dp == 0:
+            self.mesh = create_mesh(data=dp, model=tp)
+            if tp > 1:
+                self.logger.log_info(f"mesh: data={dp} x model={tp} (Megatron TP)")
         else:
             if n > 1:
                 self.logger.log_info(
-                    f"WARNING: batch size {bs} not divisible by {n} devices — "
+                    f"WARNING: batch size {bs} not divisible by {dp} data shards — "
                     f"running single-device")
             self.mesh = None
 
@@ -89,7 +94,14 @@ class ClipGPTTrainer(BaseTrainer):
             self.params["clip_emb"] = jnp.asarray(
                 variables["params"]["text"]["token_embedding"]["embedding"])
         if self.mesh is not None:
-            self.params = replicate(self.params, self.mesh)
+            if self.mesh.shape["model"] > 1:
+                from summer_clip_tpu.parallel import check_tp_divisibility, shard_params_tp
+
+                check_tp_divisibility(gpt_cfg.n_embd, gpt_cfg.n_head,
+                                      self.mesh.shape["model"])
+                self.params = shard_params_tp(self.params, self.mesh)
+            else:
+                self.params = replicate(self.params, self.mesh)
 
     def setup_optimizer(self):
         ocfg = self.cfg.optim
@@ -127,9 +139,18 @@ class ClipGPTTrainer(BaseTrainer):
         if clip_norm:
             base = optax.chain(optax.clip_by_global_norm(clip_norm), base)
         self.tx = with_grad_accum(base, accum)
+        # opt state inherits the params' shardings (replicated for DP,
+        # Megatron specs for TP): zeros_like preserves placement. Only the
+        # fresh scalars optax creates (step counts) need explicit
+        # replication — a blanket device_put would clobber the TP layout.
         self.opt_state = self.tx.init(self.params)
         if self.mesh is not None:
-            self.opt_state = replicate(self.opt_state, self.mesh)
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            repl = NamedSharding(self.mesh, PartitionSpec())
+            self.opt_state = jax.tree_util.tree_map(
+                lambda x: x if isinstance(getattr(x, "sharding", None), NamedSharding)
+                else jax.device_put(x, repl), self.opt_state)
 
     def setup_loss(self):
         model, tx = self.model, self.tx
