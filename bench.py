@@ -114,15 +114,111 @@ def bench_cache_affinity(nt: int = 8192, nc: int = 131072, d: int = 1024,
     return qps
 
 
+def bench_imagenet_scale_cache(nt: int = 50176, nc: int = 1281024, d: int = 1024,
+                               c: int = 1000, n_betas: int = 8) -> None:
+    """The thesis workload at FULL ImageNet scale: 50k test rows vs the whole
+    1.28M-row train cache, 8-beta sweep (reference does one dense (Nt, Nc)
+    matmul per beta on GPU — image_attention.py:106-110). Data is generated
+    and normalized on-device (a 2.6GB bf16 cache would crawl through the
+    tunnel). One launch = the full sweep."""
+    import jax
+    import jax.numpy as jnp
+
+    from summer_clip_tpu.ops.cache_kernels import cache_attention
+
+    key = jax.random.PRNGKey(0)
+    kf, kc, kl = jax.random.split(key, 3)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def make_rows(k, n):
+        x = jax.random.normal(k, (n, d), jnp.bfloat16)
+        inv = jax.lax.rsqrt(jnp.sum(x.astype(jnp.float32) ** 2, -1, keepdims=True))
+        return (x.astype(jnp.float32) * inv).astype(jnp.bfloat16)
+
+    f = make_rows(kf, n=nt)
+    cf = make_rows(kc, n=nc)
+    labels = jax.random.randint(kl, (nc,), 0, c)
+    values = jax.nn.one_hot(labels, c, dtype=jnp.int8)
+    betas = jnp.linspace(0.1, 11.5, n_betas)
+    jax.block_until_ready((f, cf, values))
+
+    t0 = time.perf_counter()
+    float(jnp.sum(cache_attention(f, cf, values, betas)))
+    log(f"[bench] imagenet-cache compile+first-run: {time.perf_counter() - t0:.1f}s")
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(jnp.sum(cache_attention(f, cf, values, betas)))
+        dt = min(dt, time.perf_counter() - t0)
+    log(f"[bench] imagenet-scale cache sweep (Nt={nt}, Nc={nc}, {n_betas} betas): "
+        f"{dt:.2f}s/launch = {nt / dt:.0f} queries/s "
+        f"(~{2.0 * nt * nc * (d + n_betas * c) / dt / 1e12:.0f} TFLOP/s)")
+
+
+def bench_image_attention_combo(nt: int = 19850, nc: int = 19850, d: int = 1024,
+                                c: int = 397) -> None:
+    """One full image_attention grid combo at SUN397 scale, end-to-end like
+    the app's train_loop: host-side top-16-per-class selection, fused 8-beta
+    kernel sweep, jitted (beta x 7-alpha) accuracy grid (reference hot loop:
+    image_attention.py:100-120)."""
+    import jax
+    import jax.numpy as jnp
+
+    from summer_clip_tpu.methods.cache import (
+        cache_logits_for_betas, select_topk_per_label,
+    )
+
+    rng = np.random.RandomState(0)
+    feats = rng.randn(nc, d).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    test = rng.randn(nt, d).astype(np.float32)
+    test /= np.linalg.norm(test, axis=1, keepdims=True)
+    outs = rng.randn(nc, c).astype(np.float32)
+    test_labels = jnp.asarray(rng.randint(0, c, nt))
+    clip_logits = jnp.asarray(rng.randn(nt, c).astype(np.float32))
+    alphas = jnp.asarray([0.0, 0.1, 0.5, 1.0, 2.0, 3.0, 4.0])
+    betas = [0.1, 1.0, 1.5, 3.5, 5.5, 7.5, 9.5, 11.5]
+
+    @jax.jit
+    def grid_acc(cache_logits_b):
+        def eval_beta(one):
+            def eval_alpha(a):
+                logits = clip_logits + a * one
+                top = jax.lax.top_k(logits, 5)[1]
+                return (top[:, 0] == test_labels).astype(jnp.float32).mean()
+            return jax.vmap(eval_alpha)(alphas)
+        return jax.vmap(eval_beta)(cache_logits_b)
+
+    def combo():
+        preds = outs.argmax(1)                       # pseudo-labels
+        idx = select_topk_per_label(preds, outs.max(1), 16)
+        sel_feats, sel_outs = feats[idx], outs[idx]
+        values = np.zeros((len(idx), c), np.float32)
+        values[np.arange(len(idx)), preds[idx]] = 1.0
+        cache_b = cache_logits_for_betas(test, sel_feats, values, betas)
+        return np.asarray(grid_acc(cache_b))
+
+    accs = combo()  # compile + warm
+    t0 = time.perf_counter()
+    accs = combo()
+    dt = time.perf_counter() - t0
+    log(f"[bench] image_attention combo @ SUN397 scale (top16/class, 8 betas x 7 alphas): "
+        f"{dt * 1e3:.0f}ms end-to-end ({accs.size} grid points; includes the "
+        f"per-combo host->device cache upload, which rides the remote-TPU tunnel here)")
+
+
 def main() -> None:
     import jax
 
     log(f"[bench] backend={jax.default_backend()} devices={jax.devices()}")
     ips = bench_encode("RN50", batch=128, iters=256)
-    try:
-        bench_cache_affinity()
-    except Exception as e:  # secondary metric must not sink the primary
-        log(f"[bench] cache affinity bench failed: {e}")
+    for fn in (bench_cache_affinity, bench_imagenet_scale_cache, bench_image_attention_combo):
+        try:
+            fn()
+        except Exception as e:  # secondary metrics must not sink the primary
+            log(f"[bench] {fn.__name__} failed: {e}")
     print(json.dumps({
         "metric": "CLIP RN50 feature extraction throughput (224px, bf16, steady-state)",
         "value": round(ips, 1),

@@ -212,12 +212,16 @@ class CacheValueStrategy(ABC):
 
 
 class HardCacheStrategy(CacheValueStrategy):
-    """One-hot of the predicted class (half precision in the reference)."""
+    """One-hot of the predicted class (half precision in the reference).
+
+    Emitted as int8: exact for one-hots, and the measured-fastest value
+    operand of the fused kernel (1 byte/entry of HBM value traffic;
+    docs/KERNELS.md round-2 sweep)."""
 
     def transform(self, cache_outs):
         n, c = cache_outs.shape
-        out = np.zeros((n, c), np.float32)
-        out[np.arange(n), cache_outs.argmax(axis=1)] = 1.0
+        out = np.zeros((n, c), np.int8)
+        out[np.arange(n), cache_outs.argmax(axis=1)] = 1
         return out
 
 
@@ -278,33 +282,47 @@ def cache_logits_for_betas(test_features, cache_features, cache_values,
 
     import jax
 
+    on_tpu = jax.default_backend() == "tpu"
+    f_dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
     def _host_prep(x: np.ndarray, do_norm: bool) -> np.ndarray:
         """Normalize + pad rows to the kernel's max block on HOST memory.
 
         At ImageNet scale the cache is ~5GB; normalizing/padding on device
         would transiently double HBM per sweep step. Row counts aligned to
         1024 make the in-kernel pad a no-op (padded rows carry zero values,
-        so results are exact).
+        so results are exact). Float features ship bf16 on TPU (the kernel's
+        matmuls run bf16 regardless — halves transfer + HBM traffic);
+        integer values (int8 one-hots) pass through unchanged.
         """
-        x = np.asarray(x, np.float32)
-        if do_norm:
-            x = x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+        x = np.asarray(x)
+        if np.issubdtype(x.dtype, np.floating):
+            x = x.astype(np.float32)
+            if do_norm:
+                x = x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
         rows = x.shape[0]
         target = -(-rows // 1024) * 1024
         if target != rows:
-            x = np.concatenate([x, np.zeros((target - rows, x.shape[1]), np.float32)])
+            x = np.concatenate([x, np.zeros((target - rows, x.shape[1]), x.dtype)])
         return x
 
-    v_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    def _value_dtype(v) -> tp.Any:
+        if jnp.issubdtype(jnp.asarray(v[:1]).dtype, jnp.integer):
+            return jnp.int8 if on_tpu else jnp.float32
+        return jnp.bfloat16 if on_tpu else jnp.float32
+
     if isinstance(cache_features, np.ndarray):
-        c = jnp.asarray(_host_prep(cache_features, normalize))
-        v = jnp.asarray(_host_prep(np.asarray(cache_values), False), v_dtype)
+        c = jnp.asarray(_host_prep(cache_features, normalize), f_dtype)
+        vp = _host_prep(np.asarray(cache_values), False)
+        v = jnp.asarray(vp, _value_dtype(vp))
     else:
         c = jnp.asarray(cache_features, jnp.float32)
         if normalize:
             c = c / jnp.maximum(jnp.linalg.norm(c, axis=-1, keepdims=True), 1e-12)
-        v = jnp.asarray(cache_values, v_dtype)
+        c = c.astype(f_dtype)
+        v = jnp.asarray(cache_values, _value_dtype(cache_values))
     f = jnp.asarray(test_features, jnp.float32)
     if normalize:
         f = f / jnp.maximum(jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-12)
+    f = f.astype(f_dtype)
     return cache_attention_auto(f, c, v, jnp.asarray(list(betas), jnp.float32), **kernel_kwargs)

@@ -63,27 +63,30 @@ def _pad_axis(x: jax.Array, axis: int, target: int) -> jax.Array:
     return jnp.pad(x, pad)
 
 
-def _pick_blocks(d_p: int, c_p: int, v_bytes: int = 4,
+def _pick_blocks(d_p: int, c_p: int, v_bytes: int = 2, f_bytes: int = 2,
                  budget_bytes: int = 14 * 1024 * 1024) -> tp.Tuple[int, int, int]:
     """Choose (block_q, block_n, block_b) fitting the VMEM budget.
 
     The kernel's HBM traffic is dominated by re-reading the cache features +
     values once per (beta-chunk, query-block): traffic ∝ (B/bb) * (Nt/bq).
     Candidates below are ordered by MEASURED v5e time at CLIP scales
-    (Nt=50k, D=1024, C=1000; Nc 16k and 131k — see docs/KERNELS.md):
-    (256,256,4) beat (512,128,2)/(256,512,2) by 15-20% and the naive
-    (128,512,2) by >2x at 131k rows. Footprint (Mosaic double-buffers
-    in/out blocks; f/out blocks are index-invariant along the inner cache
-    axis so they stay resident):
-      2*(bn*dp*4 + bn*cp*v) + bq*dp*4 + 2*bb*bq*cp*4 + bq*bn*4 (aff).
+    (Nt=8k, Nc=131k, D=1024, C=1000, 8 betas — see docs/KERNELS.md):
+    round-2 sweep with bf16 features + int8 one-hot values: (128,512,8)
+    59.2k q/s > (128,256,8) 57.2k > (256,512,4) 55.0k > round-1's
+    (256,256,4) 53-54k. block_b=8 runs ONE affinity pass for the whole
+    reference beta grid; the freed FLOPs beat the larger out-block cost.
+    Footprint (Mosaic double-buffers in/out blocks; f/out blocks are
+    index-invariant along the inner cache axis so they stay resident):
+      2*(bn*dp*f + bn*cp*v) + bq*dp*f + 2*bb*bq*cp*4 + bq*bn*4 (aff).
     """
     candidates = [
-        (256, 256, 4), (256, 512, 2), (512, 128, 2), (256, 256, 2),
-        (128, 512, 2), (128, 256, 2), (128, 256, 1), (128, 128, 1),
+        (128, 512, 8), (128, 256, 8), (256, 512, 4), (256, 256, 4),
+        (256, 512, 2), (512, 128, 2), (256, 256, 2), (128, 512, 2),
+        (128, 256, 2), (128, 256, 1), (128, 128, 1),
     ]
     for bq, bn, bb in candidates:
-        need = (2 * bn * d_p * 4 + 2 * bn * c_p * v_bytes
-                + bq * d_p * 4 + 2 * bb * bq * c_p * 4 + bq * bn * 4)
+        need = (2 * bn * d_p * f_bytes + 2 * bn * c_p * v_bytes
+                + bq * d_p * f_bytes + 2 * bb * bq * c_p * 4 + bq * bn * 4)
         if need <= budget_bytes:
             return bq, bn, bb
     return 128, 128, 1
@@ -118,10 +121,25 @@ def cache_attention(test_features: jax.Array, cache_features: jax.Array,
     if compute_dtype is None:
         compute_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
 
+    # Pre-cast float operands to the compute dtype IN HBM: the kernel casts
+    # before the matmuls anyway, so this is numerically identical but halves
+    # the dominant HBM traffic (cache features + values re-read once per
+    # (beta-chunk, query-block)). Integer values (int8 one-hots) pass through
+    # and convert on the VPU per block.
+    def _to_compute(x: jax.Array) -> jax.Array:
+        if jnp.issubdtype(x.dtype, jnp.floating) and x.dtype != compute_dtype:
+            return x.astype(compute_dtype)
+        return x
+
+    test_features = _to_compute(test_features)
+    cache_features = _to_compute(cache_features)
+    cache_values = _to_compute(cache_values)
+
     d_p = _ceil_to(d, 128)
     c_p = _ceil_to(max(c, 128), 128)
     v_bytes = jnp.dtype(cache_values.dtype).itemsize
-    auto_bq, auto_bn, auto_bb = _pick_blocks(d_p, c_p, v_bytes)
+    f_bytes = jnp.dtype(cache_features.dtype).itemsize
+    auto_bq, auto_bn, auto_bb = _pick_blocks(d_p, c_p, v_bytes, f_bytes)
     block_q = block_q or auto_bq
     block_n = block_n or auto_bn
     block_b = block_b or auto_bb
@@ -157,6 +175,9 @@ def cache_attention(test_features: jax.Array, cache_features: jax.Array,
             fq, cn, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                            # (block_q, block_n) f32
+        # one (bq, bn) @ (bn, cp) matmul per beta. (A packed variant fusing
+        # all betas into one (bb*bq, bn) matmul was tried in round 2 and
+        # fails Mosaic compilation at every viable block shape.)
         for bi in range(block_b):
             beta = beta_ref[bb_idx, bi]
             w = jnp.exp(-beta * (1.0 - aff)).astype(compute_dtype)
@@ -181,7 +202,8 @@ def cache_attention(test_features: jax.Array, cache_features: jax.Array,
         cost_estimate=pl.CostEstimate(
             flops=2 * nt_p * nc_p * d_p * (b_p // block_b)
             + b_p * (2 * nt_p * nc_p * c_p + 2 * nt_p * nc_p),
-            bytes_accessed=(nt_p * d_p + nc_p * d_p + nc_p * c_p + b_p * nt_p * c_p) * 4,
+            bytes_accessed=(nt_p * d_p * f_bytes + nc_p * d_p * f_bytes
+                            + nc_p * c_p * v_bytes + b_p * nt_p * c_p * 4),
             transcendentals=b_p * nt_p * nc_p,
         ),
     )(bet2d, f, cf, v)

@@ -111,15 +111,16 @@ class TestFlashAttentionGrad:
 
 class TestBlockChooser:
     def test_traffic_aware_blocks(self):
-        """block_q=512 at CLIP-scale shapes is the perf-critical choice
-        (cache re-reads scale with Nt/block_q) — guard it."""
+        """(128, 512, 8) is the round-2 measured-best choice at CLIP scales
+        with bf16 features + int8 one-hot values (block_b=8 = one affinity
+        pass for the whole reference beta grid) — guard it."""
         from summer_clip_tpu.ops.cache_kernels import _pick_blocks
 
-        bq, bn, bb = _pick_blocks(1024, 1024, v_bytes=2)
-        assert (bq, bn, bb) == (256, 256, 4), (bq, bn, bb)
+        bq, bn, bb = _pick_blocks(1024, 1024, v_bytes=1, f_bytes=2)
+        assert (bq, bn, bb) == (128, 512, 8), (bq, bn, bb)
         # footprint must respect the budget
-        need = (2 * bn * 1024 * 4 + 2 * bn * 1024 * 2
-                + bq * 1024 * 4 + 2 * bb * bq * 1024 * 4 + bq * bn * 4)
+        need = (2 * bn * 1024 * 2 + 2 * bn * 1024 * 1
+                + bq * 1024 * 2 + 2 * bb * bq * 1024 * 4 + bq * bn * 4)
         assert need <= 14 * 1024 * 1024
 
     def test_small_shapes_still_fit(self):
