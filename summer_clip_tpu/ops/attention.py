@@ -26,12 +26,17 @@ from jax.experimental import pallas as pl
 
 __all__ = ["mha_reference", "flash_attention", "flash_attention_ad", "multi_head_attention"]
 
-# Auto-selection policy for the fused kernel. At this workload's sequence
-# lengths (77-577) XLA's fused attention is often on par or faster than a
-# Pallas kernel whose 64-wide heads pad to 128 lanes; the kernel pays off
-# when the (T, T) score matrix stops fitting comfortably (long caches /
-# big T). Both knobs are overridable at runtime (and by `use_flash=`).
-FLASH_ENABLED = True
+# Auto-selection policy for the fused kernel. MEASURED on v5e (round 2,
+# tools/bench_flash_gpt.py, steady-state): at every shape this workload
+# reaches — 77-577 tower tokens AND the one previously-gated shape,
+# gpt2-large at ctx 1024 (20 heads x 64, batch 8) — XLA's fused attention
+# wins (3.64ms vs 6.09ms fwd; fwd+bwd identical since the backward is the
+# XLA recompute VJP either way). The 64-wide heads pad to 128 lanes in the
+# Pallas kernel; there is no production shape where it pays off, so
+# auto-selection is OFF by default. The kernel stays available
+# (`use_flash=True`, or flip FLASH_ENABLED) for genuinely long contexts,
+# and remains oracle-tested.
+FLASH_ENABLED = False
 FLASH_MIN_KV = 1024
 
 
