@@ -27,7 +27,9 @@ __all__ = ["convert_state_dict", "load_torch_state_dict", "detect_model_name", "
 def _np(x) -> np.ndarray:
     if hasattr(x, "detach"):
         x = x.detach().cpu().float().numpy()
-    return np.asarray(x, np.float32)
+    # copy: torch's .numpy() SHARES storage — without it, later mutation of
+    # the torch model would silently alias the converted params
+    return np.array(x, np.float32, copy=True)
 
 
 def load_torch_state_dict(path: tp.Union[str, Path]) -> tp.Dict[str, np.ndarray]:

@@ -267,7 +267,9 @@ def convert_hf_gpt2(sd: tp.Mapping[str, tp.Any], n_layer: int) -> dict:
         t = sd[key]
         if hasattr(t, "detach"):
             t = t.detach().cpu().float().numpy()
-        return np.asarray(t, np.float32)
+        # copy: torch's .numpy() SHARES storage — without it, later mutation
+        # of the torch model would silently alias the converted params
+        return np.array(t, np.float32, copy=True)
 
     def pfx(key):  # both `transformer.*` and bare layouts appear in the wild
         return key if key in sd else f"transformer.{key}"
