@@ -73,6 +73,15 @@ class TipAdapterTrainer(BaseTrainer):
         self.logger.log_info("Loading visual features and labels from test set.")
         self.test_features, self.test_labels = self.preload_features("test", test_view, bs)
 
+        fcfg = cfg.get("finetune")
+        if fcfg and bool(fcfg.get("enabled", False)):
+            # Tip-Adapter-F trains on the (un-augmented) few-shot train split
+            self.logger.log_info("Loading train features for Tip-Adapter-F.")
+            self.train_features, self.train_labels = self.preload_features(
+                "train_eval", self.dataset_view_cls(
+                    str(cfg.dataset), "train", root, shots,
+                    input_size=size, seed=int(cfg.meta.random_state)), bs)
+
     # -- cache construction ------------------------------------------------------
     def build_cache_model(self, train_view: DatasetView, batch_size: int
                           ) -> tp.Tuple[np.ndarray, np.ndarray]:
@@ -140,6 +149,50 @@ class TipAdapterTrainer(BaseTrainer):
             self.logger.log_info(f"**** Tip-Adapter's searched test accuracy: {acc_best:.2f}. ****")
             self.logger.log_info({"type": "tip_searched", "beta": best_beta,
                                   "alpha": best_alpha, "acc1": acc_best})
+
+        fcfg = cfg.get("finetune")
+        if fcfg and bool(fcfg.get("enabled", False)):
+            self.run_finetune(clip_logits, beta, alpha)
+
+    def run_finetune(self, clip_logits, beta: float, alpha: float) -> None:
+        """Tip-Adapter-F: trainable cache keys (not in the reference —
+        the published fine-tuned variant, BASELINE.json recipe 4)."""
+        cfg = self.cfg
+        fcfg = cfg.finetune
+        train_clip = 100.0 * self.train_features @ self.clip_weights.T
+        keys_f = tip_methods.finetune_cache_keys(
+            self.train_features, self.train_labels, train_clip,
+            self.cache_keys, self.cache_values, beta, alpha,
+            epochs=int(fcfg.get("epochs", 20)), lr=float(fcfg.get("lr", 1e-3)),
+            batch_size=int(fcfg.get("batch_size", 256)),
+            seed=int(cfg.meta.random_state),
+            log_fn=self.logger.log_info_wandb)
+        self.store.save(f"cache_{cfg.shots}shots_finetuned", features=keys_f,
+                        extra={"values": self.cache_values})
+
+        tip_f = tip_methods.tip_logits(clip_logits, self.test_features,
+                                       keys_f, self.cache_values, beta, alpha)
+        acc_f = accuracy(np.asarray(tip_f), self.test_labels)[0]
+        self.logger.log_info(f"**** Tip-Adapter-F's test accuracy: {acc_f:.2f}. ****")
+        self.logger.log_info({"type": "tipf_result", "beta": beta, "alpha": alpha,
+                              "acc1": acc_f})
+
+        if bool(cfg.search_hp):
+            feats = self.val_features if len(self.val_features) else self.test_features
+            labels = self.val_labels if len(self.val_features) else self.test_labels
+            v_clip = 100.0 * feats @ self.clip_weights.T
+            b_beta, b_alpha, b_acc = tip_methods.search_hp(
+                feats, labels, v_clip, keys_f, self.cache_values,
+                search_scale=list(cfg.search_scale), search_step=list(cfg.search_step),
+                log_fn=self.logger.log_info_wandb)
+            tip_fb = tip_methods.tip_logits(clip_logits, self.test_features,
+                                            keys_f, self.cache_values, b_beta, b_alpha)
+            acc_fb = accuracy(np.asarray(tip_fb), self.test_labels)[0]
+            self.logger.log_info(
+                f"**** Tip-Adapter-F searched test accuracy: {acc_fb:.2f} "
+                f"(beta={b_beta:.2f}, alpha={b_alpha:.2f}). ****")
+            self.logger.log_info({"type": "tipf_searched", "beta": b_beta,
+                                  "alpha": b_alpha, "acc1": acc_fb})
 
 
 @C.main(config_path="../conf", config_name="tip_adapter")

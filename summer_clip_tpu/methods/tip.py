@@ -113,6 +113,68 @@ def search_hp(features: tp.Union[np.ndarray, jax.Array],
     return best[1], best[2], best[0]
 
 
+def finetune_cache_keys(train_features: np.ndarray, train_labels: np.ndarray,
+                        clip_logits_train: np.ndarray,
+                        cache_keys: np.ndarray, cache_values: np.ndarray,
+                        beta: float, alpha: float, *,
+                        epochs: int = 20, lr: float = 1e-3,
+                        batch_size: int = 256, weight_decay: float = 0.01,
+                        seed: int = 0,
+                        log_fn: tp.Optional[tp.Callable[[dict], None]] = None
+                        ) -> np.ndarray:
+    """Tip-Adapter-F: fine-tune the cache keys as a linear layer.
+
+    The published trainable variant of Tip-Adapter (the reference vendors
+    only the training-free one — this is an extension named in the
+    BASELINE.json recipe list): the cache keys become the weight of a
+    bias-free linear layer initialized from the training-free cache;
+    values stay frozen one-hots. Loss = CE over
+    ``clip_logits + alpha * exp(-beta(1 - f @ keys^T)) @ values`` on the
+    few-shot train set; AdamW + cosine decay, mini-batched.
+
+    Returns the trained keys (NK, D), ready for :func:`tip_logits` /
+    :func:`search_hp`.
+    """
+    import optax
+
+    f = jnp.asarray(train_features, jnp.float32)
+    y = jnp.asarray(train_labels, jnp.int32)
+    cl = jnp.asarray(clip_logits_train, jnp.float32)
+    vals = jnp.asarray(cache_values, jnp.float32)
+    keys = jnp.asarray(cache_keys, jnp.float32)
+
+    n = f.shape[0]
+    batch_size = min(batch_size, n)
+    steps_per_epoch = max(n // batch_size, 1)
+    tx = optax.adamw(optax.cosine_decay_schedule(lr, max(epochs * steps_per_epoch, 1)),
+                     weight_decay=weight_decay, eps=1e-4)
+    opt_state = tx.init(keys)
+
+    @jax.jit
+    def step(keys, opt_state, fb, yb, clb):
+        def loss_of(k):
+            affinity = fb @ k.T
+            cache = jnp.exp(-beta * (1.0 - affinity)) @ vals
+            logits = clb + alpha * cache
+            return optax.softmax_cross_entropy_with_integer_labels(logits, yb).mean()
+        loss, grads = jax.value_and_grad(loss_of)(keys)
+        updates, opt_state = tx.update(grads, opt_state, keys)
+        return optax.apply_updates(keys, updates), opt_state, loss
+
+    rng = np.random.RandomState(seed)
+    for epoch in range(int(epochs)):
+        order = rng.permutation(n)
+        losses = []
+        for s in range(steps_per_epoch):
+            idx = jnp.asarray(order[s * batch_size:(s + 1) * batch_size])
+            keys, opt_state, loss = step(keys, opt_state, f[idx], y[idx], cl[idx])
+            losses.append(float(loss))
+        if log_fn:
+            log_fn({"type": "tipf_epoch", "epoch": epoch,
+                    "loss": float(np.mean(losses))})
+    return np.asarray(keys)
+
+
 def cls_acc(logits, labels, topk: int = 1) -> float:
     """Top-k accuracy in percent (reference utils.py:10-15 contract)."""
     return accuracy(logits, labels, topk=(topk,))[0]

@@ -122,6 +122,25 @@ class TestTipAdapter:
         assert any(r.get("type") == "tip_result" for r in recs)
         assert any(r.get("type") == "tip_searched" for r in recs)
 
+    def test_tip_adapter_f_finetunes(self, rundir):
+        """Tip-Adapter-F: trainable cache keys must reduce the train CE and
+        produce finetuned + searched records."""
+        from summer_clip_tpu.apps import tip_adapter
+
+        tip_adapter.run(argv=[
+            "dataset=synthetic", "clip=test_vit", "root_path=''",
+            "shots=4", "augment_epoch=1", "data.batch_size=8",
+            "search_step=[4,3]", "search_scale=[7,3]",
+            "finetune.enabled=true", "finetune.epochs=8", "finetune.lr=0.01",
+        ])
+        recs = _records(rundir)
+        epochs = [r for r in recs if r.get("type") == "tipf_epoch"]
+        assert len(epochs) == 8
+        assert epochs[-1]["loss"] < epochs[0]["loss"]
+        res = [r for r in recs if r.get("type") == "tipf_result"]
+        assert res and np.isfinite(res[-1]["acc1"])
+        assert any(r.get("type") == "tipf_searched" for r in recs)
+
 
 class TestTrainEvalAdapter:
     def test_train_then_eval(self, rundir):
