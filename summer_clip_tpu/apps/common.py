@@ -40,6 +40,19 @@ class ClipSession:
         self.variables = variables
         self.mesh = mesh
 
+        from summer_clip_tpu.data.transforms import CLIP_MEAN, CLIP_STD
+
+        mean = jnp.asarray(CLIP_MEAN)
+        std = jnp.asarray(CLIP_STD)
+
+        def prep(images):
+            """uint8 batches normalize ON DEVICE (the host ships raw bytes —
+            4x less host->device transfer; XLA fuses this into the stem)."""
+            if images.dtype == jnp.uint8:
+                images = images.astype(jnp.float32) / 255.0
+                images = (images - mean) / std
+            return images
+
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -51,13 +64,13 @@ class ClipSession:
             @jax.jit
             def encode_image(variables, images):
                 images = jax.lax.with_sharding_constraint(images, img_shard)
-                return model.apply(variables, images, method=model.encode_image)
+                return model.apply(variables, prep(images), method=model.encode_image)
         else:
             self._data_sharding = None
 
             @jax.jit
             def encode_image(variables, images):
-                return model.apply(variables, images, method=model.encode_image)
+                return model.apply(variables, prep(images), method=model.encode_image)
 
         @jax.jit
         def encode_text(variables, tokens):

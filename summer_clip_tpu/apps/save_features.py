@@ -32,6 +32,11 @@ def save_split_features(cfg, session, store: FeatureStore, dataset_cfg, key: str
                         save_outs: bool, logger) -> None:
     view = C.instantiate(dataset_cfg)
     view.transform.input_size = session.input_size
+    if hasattr(view.transform, "device_normalize"):
+        # ship raw uint8 to the chip; normalization fuses into the jitted
+        # encode (4x less host->device transfer). The native C++ pipeline
+        # pre-normalizes on host and is unaffected.
+        view.transform.device_normalize = bool(cfg.data.get("device_normalize", False))
     batcher = view.batcher(batch_size=int(cfg.data.batch_size))
     logger.log_info(f"Extracting features for {key}: {len(view)} images")
 

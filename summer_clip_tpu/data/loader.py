@@ -28,7 +28,8 @@ __all__ = ["Batch", "ImageBatcher", "labels_of", "prefetch_to_device", "pad_to_b
 
 
 class Batch(tp.NamedTuple):
-    images: tp.Optional[np.ndarray]   # (B, H, W, 3) float32, or None (label-only)
+    images: tp.Optional[np.ndarray]   # (B, H, W, 3) float32 normalized, or uint8
+                                      # raw (device_normalize), or None (label-only)
     labels: np.ndarray                # (B,) int32
     indices: np.ndarray               # (B,) int32 — position in the dataset
     mask: np.ndarray                  # (B,) bool — False on tail padding
@@ -153,7 +154,9 @@ class ImageBatcher:
                 else:
                     with cf.ThreadPoolExecutor(max_workers=min(self.num_threads, max(1, len(idx)))) as inner:
                         imgs = list(inner.map(self._decode_one, idx, [int(i) for i in idx]))
-                    images = np.stack(imgs).astype(np.float32)
+                    images = np.stack(imgs)
+                    if images.dtype != np.uint8:  # device_normalize ships raw bytes
+                        images = images.astype(np.float32)
                 labels = np.asarray([self.data[i].label for i in idx], np.int32)
                 mask = np.ones(len(idx), bool)
                 return Batch(

@@ -61,14 +61,23 @@ def _resize_shorter(img: Image.Image, size: int) -> Image.Image:
 
 
 class EvalTransform:
-    """CLIP eval preprocess: resize(shorter->S, bicubic), center crop S, normalize."""
+    """CLIP eval preprocess: resize(shorter->S, bicubic), center crop S, normalize.
 
-    def __init__(self, input_size: int = 224):
+    ``device_normalize=True`` emits uint8 HWC instead of normalized float32:
+    the /255 + mean/std normalization then runs on-device inside the jitted
+    encode (ClipSession), cutting host->device transfer 4x. Same math, same
+    order — results match the float path to f32 rounding.
+    """
+
+    def __init__(self, input_size: int = 224, device_normalize: bool = False):
         self.input_size = input_size
+        self.device_normalize = device_normalize
 
     def __call__(self, img: Image.Image, rng: tp.Optional[np.random.Generator] = None) -> np.ndarray:
         img = _resize_shorter(img, self.input_size)
         img = _center_crop(img, self.input_size)
+        if self.device_normalize:
+            return np.ascontiguousarray(np.asarray(img, np.uint8))
         return _normalize(_to_float_hwc(img))
 
 
@@ -78,11 +87,12 @@ class TrainTransform:
     def __init__(self, input_size: int = 224,
                  scale: tp.Tuple[float, float] = (0.5, 1.0),
                  ratio: tp.Tuple[float, float] = (3 / 4, 4 / 3),
-                 hflip_p: float = 0.5):
+                 hflip_p: float = 0.5, device_normalize: bool = False):
         self.input_size = input_size
         self.scale = scale
         self.ratio = ratio
         self.hflip_p = hflip_p
+        self.device_normalize = device_normalize
 
     def __call__(self, img: Image.Image, rng: tp.Optional[np.random.Generator] = None) -> np.ndarray:
         rng = rng or np.random.default_rng()
@@ -112,6 +122,11 @@ class TrainTransform:
             crop = (left, top, left + cw, top + ch)
 
         img = img.resize((self.input_size, self.input_size), Image.BICUBIC, box=crop)
+        if self.device_normalize:
+            arr8 = np.asarray(img, np.uint8)
+            if rng.random() < self.hflip_p:
+                arr8 = arr8[:, ::-1, :]
+            return np.ascontiguousarray(arr8)
         arr = _to_float_hwc(img)
         if rng.random() < self.hflip_p:
             arr = arr[:, ::-1, :]

@@ -64,6 +64,36 @@ class TestTransforms:
         b = t(self._img(), np.random.default_rng(7))
         np.testing.assert_array_equal(a, b)
 
+    def test_device_normalize_uint8_path_matches_float(self):
+        """uint8 transform output + host-side replica of the device normalize
+        must equal the float32 transform output exactly (same math/order)."""
+        img = self._img()
+        f = D.EvalTransform(32)(img)
+        u = D.EvalTransform(32, device_normalize=True)(img)
+        assert u.dtype == np.uint8 and u.shape == f.shape
+        renorm = (u.astype(np.float32) / 255.0 - D.CLIP_MEAN) / D.CLIP_STD
+        np.testing.assert_allclose(renorm, f, atol=1e-6)
+        # train path: identical crop/flip decisions given the same rng
+        tf = D.TrainTransform(16)(img, np.random.default_rng(3))
+        tu = D.TrainTransform(16, device_normalize=True)(img, np.random.default_rng(3))
+        renorm = (tu.astype(np.float32) / 255.0 - D.CLIP_MEAN) / D.CLIP_STD
+        np.testing.assert_allclose(renorm, tf, atol=1e-6)
+
+    def test_session_encodes_uint8_batch_like_float(self):
+        """ClipSession normalizes uint8 batches on device; features must match
+        the pre-normalized float path."""
+        import jax.numpy as jnp
+
+        from summer_clip_tpu.apps.common import create_clip_session
+
+        session = create_clip_session("test-vit")
+        rng = np.random.RandomState(0)
+        raw = rng.randint(0, 256, (4, 32, 32, 3)).astype(np.uint8)
+        normed = (raw.astype(np.float32) / 255.0 - D.CLIP_MEAN) / D.CLIP_STD
+        f_u8 = np.asarray(session.encode_image(raw))
+        f_f32 = np.asarray(session.encode_image(jnp.asarray(normed)))
+        np.testing.assert_allclose(f_u8, f_f32, atol=2e-5, rtol=2e-5)
+
 
 class TestSyntheticAndBatching:
     def test_synthetic_dataset(self):
