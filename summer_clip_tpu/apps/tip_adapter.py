@@ -52,10 +52,14 @@ class TipAdapterTrainer(BaseTrainer):
         root = str(cfg.root_path)
 
         self.logger.log_info("Preparing dataset.")
+        dn = bool(cfg.data.get("device_normalize", False))
         train_view = self.dataset_view_cls(str(cfg.dataset), "train", root, shots,
-                                           input_size=size, is_train=True, seed=int(cfg.meta.random_state))
-        val_view = self.dataset_view_cls(str(cfg.dataset), "val", root, -1, input_size=size)
-        test_view = self.dataset_view_cls(str(cfg.dataset), "test", root, -1, input_size=size)
+                                           input_size=size, is_train=True, seed=int(cfg.meta.random_state),
+                                           device_normalize=dn)
+        val_view = self.dataset_view_cls(str(cfg.dataset), "val", root, -1, input_size=size,
+                                         device_normalize=dn)
+        test_view = self.dataset_view_cls(str(cfg.dataset), "test", root, -1, input_size=size,
+                                          device_normalize=dn)
         self.num_classes = train_view.base.num_classes
 
         self.logger.log_info("Getting textual features as CLIP's classifier.")
@@ -80,7 +84,8 @@ class TipAdapterTrainer(BaseTrainer):
             self.train_features, self.train_labels = self.preload_features(
                 "train_eval", self.dataset_view_cls(
                     str(cfg.dataset), "train", root, shots,
-                    input_size=size, seed=int(cfg.meta.random_state)), bs)
+                    input_size=size, seed=int(cfg.meta.random_state),
+                    device_normalize=dn), bs)
 
     # -- cache construction ------------------------------------------------------
     def build_cache_model(self, train_view: DatasetView, batch_size: int

@@ -27,7 +27,7 @@ class DatasetView:
     def __init__(self, dataset: str, split: str, root_path: str, shots: int = -1,
                  input_size: int = 224, is_train: bool = False,
                  use_custom_preprocess: bool = False, load_images: bool = True,
-                 seed: int = 0, **dataset_kwargs):
+                 seed: int = 0, device_normalize: bool = False, **dataset_kwargs):
         rng = np.random.default_rng(seed)
         self.base: DatasetBase = build_dataset(dataset, root_path, shots, rng=rng, **dataset_kwargs)
         self.split = split
@@ -36,9 +36,9 @@ class DatasetView:
         self.is_train = is_train
         self.input_size = input_size
         if is_train or use_custom_preprocess:
-            self.transform: tp.Any = TrainTransform(input_size)
+            self.transform: tp.Any = TrainTransform(input_size, device_normalize=device_normalize)
         else:
-            self.transform = EvalTransform(input_size)
+            self.transform = EvalTransform(input_size, device_normalize=device_normalize)
 
     @staticmethod
     def _select_split(dataset: DatasetBase, split: str) -> tp.List[Datum]:
