@@ -45,6 +45,21 @@ def _one_hot(labels: np.ndarray, num_classes: int) -> np.ndarray:
     return out
 
 
+@jax.jit
+def _device_hard_values(outs: jax.Array, valid: jax.Array) -> jax.Array:
+    """One-hot of the predicted class, zeroed past ``valid`` (pad rows)."""
+    v = jax.nn.one_hot(jnp.argmax(outs, axis=1), outs.shape[1], dtype=jnp.int8)
+    mask = (jnp.arange(outs.shape[0]) < valid)[:, None]
+    return v * mask.astype(v.dtype)
+
+
+@jax.jit
+def _device_softmax_values(outs: jax.Array, valid: jax.Array, scale: jax.Array) -> jax.Array:
+    v = jax.nn.softmax(scale * outs.astype(jnp.float32), axis=1)
+    mask = (jnp.arange(outs.shape[0]) < valid)[:, None]
+    return v * mask
+
+
 class ImageAttention(BaseTrainer):
     # -- setup ---------------------------------------------------------------
     def setup_mesh(self):
@@ -104,8 +119,12 @@ class ImageAttention(BaseTrainer):
 
         # device-resident, pre-normalized cache: strategy selections become
         # device gathers instead of re-uploading the (N, D) matrix per combo
-        # (single-device path; the sharded path keeps host arrays)
+        # (single-device path; the sharded path keeps host arrays). The outs
+        # matrix is resident too, so Hard/Softmax VALUE strategies compute on
+        # device — at ImageNet scale the per-combo value upload alone is
+        # ~1.3GB, now zero.
         self._cache_dev = None
+        self._outs_dev = None
         self._cache_rows = self.origin_cache_image_features.shape[0]
         if self.mesh is None:
             cn = self.origin_cache_image_features
@@ -116,6 +135,10 @@ class ImageAttention(BaseTrainer):
             if pad:
                 cn = np.concatenate([cn, np.zeros((pad, cn.shape[1]), np.float32)])
             self._cache_dev = jnp.asarray(cn)
+            co = self.origin_cache_image_outs
+            if pad:
+                co = np.concatenate([co, np.zeros((pad, co.shape[1]), np.float32)])
+            self._outs_dev = jnp.asarray(co)
         tf = self.test_image_features
         self._test_norm = jnp.asarray(
             tf / np.maximum(np.linalg.norm(tf, axis=-1, keepdims=True), 1e-12))
@@ -124,6 +147,7 @@ class ImageAttention(BaseTrainer):
     def build_cache(self, strategy, feats: np.ndarray, outs: np.ndarray
                     ) -> tp.Tuple[np.ndarray, np.ndarray, dict]:
         self._last_inds: tp.Optional[np.ndarray] = None
+        self._outs_replaced = False
         if not isinstance(strategy, cache_methods.IndexedCacheStrategy):
             cf, co = strategy.transform(feats, outs)
             return cf, co, {}
@@ -139,6 +163,7 @@ class ImageAttention(BaseTrainer):
             info.update(acc1=a1, acc5=a5)
             if self.cfg.cache.get("replace_outs_with_golds", False):
                 co = _one_hot(labels, co.shape[1])
+                self._outs_replaced = True
                 a1, a5 = compute_accuracy(co, labels)
                 info.update(acc1_replace=a1, acc5_replace=a5)
         return cf, co, info
@@ -200,6 +225,31 @@ class ImageAttention(BaseTrainer):
                 self._sweep_weights_values(cf, co, strategy_params, weights_cfg,
                                            value_cfg, alphas, evaluate)
 
+    def _device_values(self, value_strategy) -> tp.Optional[jax.Array]:
+        """Compute the value matrix ON DEVICE from the resident outs, padded
+        in lockstep with the feature gather (pad rows carry zero values).
+        Returns None when the device path doesn't apply (sharded mesh,
+        non-indexed selection, replaced outs, or an unknown strategy)."""
+        if (self._cache_dev is None or self._outs_dev is None
+                or self._last_inds is None or self._outs_replaced):
+            return None
+        inds = self._last_inds
+        identity = (len(inds) == self._cache_rows
+                    and bool((inds == np.arange(self._cache_rows)).all()))
+        if identity:
+            outs_sel, valid = self._outs_dev, self._cache_rows
+        else:
+            pad = (-len(inds)) % 1024
+            inds_p = np.concatenate([inds, np.zeros(pad, inds.dtype)]) if pad else inds
+            outs_sel = jnp.take(self._outs_dev, jnp.asarray(inds_p), axis=0)
+            valid = len(inds)
+        if isinstance(value_strategy, cache_methods.HardCacheStrategy):
+            return _device_hard_values(outs_sel, jnp.asarray(valid))
+        if isinstance(value_strategy, cache_methods.SoftmaxCacheStrategy):
+            scale = float(value_strategy.clip_scale) * float(value_strategy.scale)
+            return _device_softmax_values(outs_sel, jnp.asarray(valid), jnp.asarray(scale))
+        return None
+
     def _fused_cache_logits(self, cache_features, values, betas):
         if self.mesh is not None:
             from summer_clip_tpu.parallel import sharded_cache_logits
@@ -227,10 +277,15 @@ class ImageAttention(BaseTrainer):
                 pad = (-len(inds)) % 1024
                 inds_p = np.concatenate([inds, np.zeros(pad, inds.dtype)]) if pad else inds
                 cf_dev = jnp.take(self._cache_dev, jnp.asarray(inds_p), axis=0)
-            values_p = (np.concatenate([values, np.zeros((pad, values.shape[1]), np.float32)])
-                        if pad else values)
-            return cache_attention_auto(self._test_norm, cf_dev,
-                                        jnp.asarray(values_p, v_dtype),
+            if isinstance(values, jax.Array):
+                # device-computed values (already padded + pad rows zeroed)
+                assert values.shape[0] == cf_dev.shape[0], (values.shape, cf_dev.shape)
+                values_dev = values
+            else:
+                values_p = (np.concatenate([values, np.zeros((pad, values.shape[1]), np.float32)])
+                            if pad else values)
+                values_dev = jnp.asarray(values_p, v_dtype)
+            return cache_attention_auto(self._test_norm, cf_dev, values_dev,
                                         jnp.asarray(list(betas), jnp.float32))
         return cache_logits_for_betas(self.test_image_features, cache_features,
                                       values, betas)
@@ -242,7 +297,11 @@ class ImageAttention(BaseTrainer):
         all_tip = all(isinstance(w, cache_methods.TipAdapterWeightsStrategy)
                       for w, _ in weights_list)
         for value_strategy, value_params in C.instantiate_all(value_cfg):
-            values = value_strategy.transform(cache_outs)
+            # device-resident values only feed the fused kernel path; the
+            # generic dense fallback multiplies host matrices directly
+            values = self._device_values(value_strategy) if all_tip else None
+            if values is None:
+                values = value_strategy.transform(cache_outs)
             if all_tip:
                 betas = [w.beta for w, _ in weights_list]
                 for s in range(0, len(betas), beta_chunk):

@@ -560,3 +560,53 @@ class TestResidentCachePath:
             jnp.asarray(fn), jnp.asarray(cn[inds]), jnp.asarray(values[inds]),
             jnp.asarray(betas)))
         np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-3)
+
+    def test_device_values_match_host_strategies(self):
+        """`_device_values` (on-device Hard/Softmax from resident outs) must
+        reproduce the host strategies exactly, and feed `_fused_cache_logits`
+        to the same result as host-built value matrices."""
+        import jax.numpy as jnp
+        from summer_clip_tpu.apps.image_attention import ImageAttention
+        from summer_clip_tpu.methods.cache import HardCacheStrategy, SoftmaxCacheStrategy
+        from summer_clip_tpu.ops.cache_kernels import cache_attention_reference
+
+        rng = np.random.RandomState(1)
+        nt, nc, d, c = 6, 41, 8, 7
+        f = rng.randn(nt, d).astype(np.float32)
+        cache = rng.randn(nc, d).astype(np.float32)
+        outs = rng.randn(nc, c).astype(np.float32)
+        fn = f / np.linalg.norm(f, axis=1, keepdims=True)
+        cn = cache / np.linalg.norm(cache, axis=1, keepdims=True)
+
+        app = ImageAttention.__new__(ImageAttention)
+        app.mesh = None
+        app._test_norm = jnp.asarray(fn)
+        app._cache_rows = nc
+        app._outs_replaced = False
+        pad = (-nc) % 1024
+        app._cache_dev = jnp.asarray(np.concatenate([cn, np.zeros((pad, d), np.float32)]))
+        app._outs_dev = jnp.asarray(np.concatenate([outs, np.zeros((pad, c), np.float32)]))
+        betas = [1.0, 5.5]
+
+        for inds in (np.arange(nc), np.asarray([2, 5, 13, 40])):
+            app._last_inds = inds
+            for strat in (HardCacheStrategy(), SoftmaxCacheStrategy(clip_scale=100.0, scale=0.05)):
+                dev = app._device_values(strat)
+                assert dev is not None
+                host = np.asarray(strat.transform(outs[inds]), np.float32)
+                # pad rows must be exactly zero, valid rows must match host
+                np.testing.assert_allclose(np.asarray(dev[:len(inds)], np.float32),
+                                           host, atol=1e-6, rtol=1e-6)
+                assert not np.asarray(dev[len(inds):]).any()
+                got = np.asarray(app._fused_cache_logits(cache[inds], dev, betas))
+                ref = np.asarray(cache_attention_reference(
+                    jnp.asarray(fn), jnp.asarray(cn[inds]), jnp.asarray(host),
+                    jnp.asarray(betas)))
+                np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-3)
+
+        # guard rails: replaced outs / missing resident outs must fall back
+        app._outs_replaced = True
+        assert app._device_values(HardCacheStrategy()) is None
+        app._outs_replaced = False
+        app._outs_dev = None
+        assert app._device_values(HardCacheStrategy()) is None
