@@ -159,16 +159,16 @@ def bench_imagenet_scale_cache(nt: int = 50176, nc: int = 1281024, d: int = 1024
 
 def bench_image_attention_combo(nt: int = 19850, nc: int = 19850, d: int = 1024,
                                 c: int = 397) -> None:
-    """One full image_attention grid combo at SUN397 scale, end-to-end like
-    the app's train_loop: host-side top-16-per-class selection, fused 8-beta
-    kernel sweep, jitted (beta x 7-alpha) accuracy grid (reference hot loop:
-    image_attention.py:100-120)."""
+    """One full image_attention grid combo at SUN397 scale, end-to-end through
+    the app's own resident-cache hot path: host-side top-16-per-class
+    selection, device gather of the resident normalized cache, on-device Hard
+    values, fused 8-beta kernel sweep, jitted (beta x 7-alpha) accuracy grid
+    (reference hot loop: image_attention.py:100-120)."""
     import jax
     import jax.numpy as jnp
 
-    from summer_clip_tpu.methods.cache import (
-        cache_logits_for_betas, select_topk_per_label,
-    )
+    from summer_clip_tpu.apps.image_attention import ImageAttention
+    from summer_clip_tpu.methods.cache import HardCacheStrategy, select_topk_per_label
 
     rng = np.random.RandomState(0)
     feats = rng.randn(nc, d).astype(np.float32)
@@ -181,6 +181,17 @@ def bench_image_attention_combo(nt: int = 19850, nc: int = 19850, d: int = 1024,
     alphas = jnp.asarray([0.0, 0.1, 0.5, 1.0, 2.0, 3.0, 4.0])
     betas = [0.1, 1.0, 1.5, 3.5, 5.5, 7.5, 9.5, 11.5]
 
+    # the app's device-resident state (image_attention.setup_model)
+    app = ImageAttention.__new__(ImageAttention)
+    app.mesh = None
+    app._test_norm = jnp.asarray(test)
+    app._cache_rows = nc
+    app._outs_replaced = False
+    pad = (-nc) % 1024
+    app._cache_dev = jnp.asarray(np.concatenate([feats, np.zeros((pad, d), np.float32)]))
+    app._outs_dev = jnp.asarray(np.concatenate([outs, np.zeros((pad, c), np.float32)]))
+    hard = HardCacheStrategy()
+
     @jax.jit
     def grid_acc(cache_logits_b):
         def eval_beta(one):
@@ -192,12 +203,11 @@ def bench_image_attention_combo(nt: int = 19850, nc: int = 19850, d: int = 1024,
         return jax.vmap(eval_beta)(cache_logits_b)
 
     def combo():
-        preds = outs.argmax(1)                       # pseudo-labels
+        preds = outs.argmax(1)                       # pseudo-labels (host)
         idx = select_topk_per_label(preds, outs.max(1), 16)
-        sel_feats, sel_outs = feats[idx], outs[idx]
-        values = np.zeros((len(idx), c), np.float32)
-        values[np.arange(len(idx)), preds[idx]] = 1.0
-        cache_b = cache_logits_for_betas(test, sel_feats, values, betas)
+        app._last_inds = idx
+        values = app._device_values(hard)            # device one-hot, zero upload
+        cache_b = app._fused_cache_logits(feats[idx], values, betas)
         return np.asarray(grid_acc(cache_b))
 
     accs = combo()  # compile + warm
@@ -205,8 +215,8 @@ def bench_image_attention_combo(nt: int = 19850, nc: int = 19850, d: int = 1024,
     accs = combo()
     dt = time.perf_counter() - t0
     log(f"[bench] image_attention combo @ SUN397 scale (top16/class, 8 betas x 7 alphas): "
-        f"{dt * 1e3:.0f}ms end-to-end ({accs.size} grid points; includes the "
-        f"per-combo host->device cache upload, which rides the remote-TPU tunnel here)")
+        f"{dt * 1e3:.0f}ms end-to-end ({accs.size} grid points; resident-cache "
+        f"path — selection gathers and Hard values run on device, zero per-combo upload)")
 
 
 def main() -> None:
