@@ -60,6 +60,13 @@ def _device_softmax_values(outs: jax.Array, valid: jax.Array, scale: jax.Array) 
     return v * mask
 
 
+class _ShardedValueSpec(tp.NamedTuple):
+    """Marker: compute this value strategy per-shard on the resident mesh
+    cache (``parallel.ShardedResidentCache``) instead of on the host."""
+    kind: str            # "hard" | "softmax"
+    scale: float
+
+
 class ImageAttention(BaseTrainer):
     # -- setup ---------------------------------------------------------------
     def setup_mesh(self):
@@ -118,14 +125,21 @@ class ImageAttention(BaseTrainer):
         self.logger.log_info(f"original-data-size: {self.origin_cache_image_outs.shape[0]}")
 
         # device-resident, pre-normalized cache: strategy selections become
-        # device gathers instead of re-uploading the (N, D) matrix per combo
-        # (single-device path; the sharded path keeps host arrays). The outs
-        # matrix is resident too, so Hard/Softmax VALUE strategies compute on
-        # device — at ImageNet scale the per-combo value upload alone is
-        # ~1.3GB, now zero.
+        # device gathers (single-device) or an N-byte row mask (sharded mesh:
+        # ShardedResidentCache) instead of re-uploading the (N, D) matrix per
+        # combo. The outs matrix is resident too, so Hard/Softmax VALUE
+        # strategies compute on device — at ImageNet scale the per-combo
+        # value upload alone is ~1.3GB, now zero.
         self._cache_dev = None
         self._outs_dev = None
+        self._resident_shards = None
         self._cache_rows = self.origin_cache_image_features.shape[0]
+        if self.mesh is not None:
+            from summer_clip_tpu.parallel import ShardedResidentCache
+
+            self._resident_shards = ShardedResidentCache(
+                self.origin_cache_image_features, self.origin_cache_image_outs,
+                self.mesh, axis="model")
         if self.mesh is None:
             cn = self.origin_cache_image_features
             cn = cn / np.maximum(np.linalg.norm(cn, axis=-1, keepdims=True), 1e-12)
@@ -225,13 +239,23 @@ class ImageAttention(BaseTrainer):
                 self._sweep_weights_values(cf, co, strategy_params, weights_cfg,
                                            value_cfg, alphas, evaluate)
 
-    def _device_values(self, value_strategy) -> tp.Optional[jax.Array]:
+    def _device_values(self, value_strategy) -> tp.Union[jax.Array, _ShardedValueSpec, None]:
         """Compute the value matrix ON DEVICE from the resident outs, padded
         in lockstep with the feature gather (pad rows carry zero values).
-        Returns None when the device path doesn't apply (sharded mesh,
-        non-indexed selection, replaced outs, or an unknown strategy)."""
-        if (self._cache_dev is None or self._outs_dev is None
-                or self._last_inds is None or self._outs_replaced):
+        On the sharded mesh path, return a `_ShardedValueSpec` marker so the
+        strategy computes per-shard inside the resident shard_map instead.
+        Returns None when the device path doesn't apply (non-indexed
+        selection, replaced outs, or an unknown strategy)."""
+        if self._last_inds is None or self._outs_replaced:
+            return None
+        if self._resident_shards is not None:
+            if isinstance(value_strategy, cache_methods.HardCacheStrategy):
+                return _ShardedValueSpec("hard", 1.0)
+            if isinstance(value_strategy, cache_methods.SoftmaxCacheStrategy):
+                return _ShardedValueSpec(
+                    "softmax", float(value_strategy.clip_scale) * float(value_strategy.scale))
+            return None
+        if self._cache_dev is None or self._outs_dev is None:
             return None
         inds = self._last_inds
         identity = (len(inds) == self._cache_rows
@@ -252,6 +276,11 @@ class ImageAttention(BaseTrainer):
 
     def _fused_cache_logits(self, cache_features, values, betas):
         if self.mesh is not None:
+            if isinstance(values, _ShardedValueSpec):
+                # resident mesh path: the only per-combo upload is the row mask
+                return self._resident_shards.logits(
+                    self._test_norm, self._last_inds, list(betas),
+                    kind=values.kind, scale=values.scale)
             from summer_clip_tpu.parallel import sharded_cache_logits
 
             c = jnp.asarray(cache_features, jnp.float32)

@@ -4,7 +4,7 @@ from summer_clip_tpu.parallel.mesh import (  # noqa: F401
     create_mesh, distributed_init, replicate, shard_batch,
 )
 from summer_clip_tpu.parallel.sharded_cache import (  # noqa: F401
-    sharded_cache_logits, pad_cache_for_mesh,
+    sharded_cache_logits, pad_cache_for_mesh, ShardedResidentCache,
 )
 from summer_clip_tpu.parallel.tp import (  # noqa: F401
     gpt2_tp_spec, shard_params_tp, check_tp_divisibility,

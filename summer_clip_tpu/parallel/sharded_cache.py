@@ -20,9 +20,12 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
+import numpy as np
+from jax.sharding import NamedSharding
+
 from summer_clip_tpu.ops.cache_kernels import cache_attention_auto, cache_attention_reference
 
-__all__ = ["sharded_cache_logits", "pad_cache_for_mesh"]
+__all__ = ["sharded_cache_logits", "pad_cache_for_mesh", "ShardedResidentCache"]
 
 
 def pad_cache_for_mesh(cache_features: jnp.ndarray, cache_values: jnp.ndarray,
@@ -65,3 +68,89 @@ def sharded_cache_logits(test_features: jnp.ndarray, cache_features: jnp.ndarray
     return compute(jnp.asarray(test_features, jnp.float32),
                    jnp.asarray(cache_features, jnp.float32),
                    jnp.asarray(cache_values, jnp.float32), betas)
+
+
+class ShardedResidentCache:
+    """Cache features + outs RESIDENT on the mesh, rows sharded over ``axis``.
+
+    The grid-sweep analog of the single-device resident path
+    (``apps/image_attention.py``): the normalized (N, D) features and the raw
+    (N, C) outs are uploaded once, sharded ``P(axis, None)``. Each grid combo
+    then costs one tiny host->device transfer — an N-byte row mask — instead
+    of re-sharding ~GBs of features + values:
+
+    - **selection** is the mask (unselected/pad rows get zero value vectors,
+      which contribute exactly nothing — the kernel's padding invariant), so
+      no cross-shard gather / all-to-all ever happens; each shard masks its
+      own rows,
+    - **Hard / Softmax value strategies** compute per-shard on device from
+      the resident outs,
+    - the only collective is the final ``psum`` of the per-shard partial
+      (B, Nt, C) logits over ICI.
+
+    Trade-off vs a compacted gather: masked rows still ride through the
+    kernel (shard-local flops on unselected rows), which is the right trade
+    on TPU — static shapes, one compile, zero re-upload, no a2a.
+    """
+
+    def __init__(self, cache_features: np.ndarray, cache_outs: np.ndarray,
+                 mesh: Mesh, axis: str = "model"):
+        self.mesh, self.axis = mesh, axis
+        self.n_rows = int(cache_features.shape[0])
+        n_shards = mesh.shape[axis]
+        cf = np.asarray(cache_features, np.float32)
+        cf = cf / np.maximum(np.linalg.norm(cf, axis=1, keepdims=True), 1e-12)
+        co = np.asarray(cache_outs, np.float32)
+        pad = (-self.n_rows) % n_shards
+        if pad:
+            cf = np.concatenate([cf, np.zeros((pad, cf.shape[1]), np.float32)])
+            co = np.concatenate([co, np.zeros((pad, co.shape[1]), np.float32)])
+        self.padded_rows = cf.shape[0]
+        spec = NamedSharding(mesh, P(axis, None))
+        self.features = jax.device_put(jnp.asarray(cf), spec)
+        self.outs = jax.device_put(jnp.asarray(co), spec)
+        self._compute: tp.Dict[str, tp.Callable] = {}
+
+    def _build(self, kind: str) -> tp.Callable:
+        axis = self.axis
+        other_axes = [a for a in self.mesh.axis_names if a != axis]
+
+        @functools.partial(
+            shard_map, mesh=self.mesh,
+            in_specs=(P(), P(axis, None), P(axis, None), P(axis), P(), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+        def compute(f, c_shard, o_shard, m_shard, b, scale):
+            if kind == "hard":
+                v = jax.nn.one_hot(jnp.argmax(o_shard, axis=1), o_shard.shape[1],
+                                   dtype=jnp.float32)
+            elif kind == "softmax":
+                v = jax.nn.softmax(scale * o_shard, axis=1)
+            else:  # pragma: no cover - guarded by logits()
+                raise ValueError(kind)
+            v = v * m_shard[:, None]
+            if jax.default_backend() == "tpu":
+                part = cache_attention_auto(f, c_shard, v, b)
+            else:
+                part = cache_attention_reference(f, c_shard, v, b)
+            part = jax.lax.psum(part, axis)
+            for a in other_axes:
+                part = jax.lax.pmean(part, a)
+            return part
+
+        return compute
+
+    def logits(self, test_norm: jnp.ndarray, inds: np.ndarray, betas,
+               kind: str = "hard", scale: float = 1.0) -> jnp.ndarray:
+        """(B, Nt, C) fused cache logits for the selected rows ``inds``."""
+        if kind not in ("hard", "softmax"):
+            raise ValueError(f"unknown value kind: {kind}")
+        if kind not in self._compute:
+            self._compute[kind] = self._build(kind)
+        mask = np.zeros(self.padded_rows, np.float32)
+        mask[np.asarray(inds)] = 1.0
+        betas = jnp.atleast_1d(jnp.asarray(betas, jnp.float32))
+        return self._compute[kind](jnp.asarray(test_norm, jnp.float32),
+                                   self.features, self.outs, jnp.asarray(mask),
+                                   betas, jnp.asarray(scale, jnp.float32))

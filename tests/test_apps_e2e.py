@@ -539,6 +539,7 @@ class TestResidentCachePath:
 
         app = ImageAttention.__new__(ImageAttention)
         app.mesh = None
+        app._resident_shards = None
         app._test_norm = jnp.asarray(fn)
         app._cache_rows = nc
         pad = (-nc) % 1024
@@ -580,6 +581,7 @@ class TestResidentCachePath:
 
         app = ImageAttention.__new__(ImageAttention)
         app.mesh = None
+        app._resident_shards = None
         app._test_norm = jnp.asarray(fn)
         app._cache_rows = nc
         app._outs_replaced = False

@@ -5,7 +5,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from summer_clip_tpu.ops.cache_kernels import cache_attention_reference
-from summer_clip_tpu.parallel import create_mesh, sharded_cache_logits, shard_batch, replicate
+from summer_clip_tpu.parallel import (
+    ShardedResidentCache, create_mesh, sharded_cache_logits, shard_batch, replicate,
+)
 
 
 class TestMesh:
@@ -40,6 +42,38 @@ class TestShardedCache:
         ref = cache_attention_reference(jnp.asarray(f), jnp.asarray(cache),
                                         jnp.asarray(values), betas)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+    def test_resident_cache_matches_dense_oracle(self, devices8):
+        """Mask-selected resident shards == dense oracle on the compacted
+        subset, for both value kinds, identity and strict-subset selection."""
+        mesh = create_mesh(data=2, model=4, devices=devices8)
+        rng = np.random.RandomState(2)
+        nt, nc, d, c = 9, 37, 16, 5  # nc not divisible by 4 -> pad rows exist
+        f = rng.randn(nt, d).astype(np.float32)
+        f /= np.linalg.norm(f, axis=1, keepdims=True)
+        cache = rng.randn(nc, d).astype(np.float32)
+        outs = rng.randn(nc, c).astype(np.float32)
+        cn = cache / np.linalg.norm(cache, axis=1, keepdims=True)
+        betas = [0.5, 5.5]
+        scale = 100.0 * 0.05
+
+        resident = ShardedResidentCache(cache, outs, mesh, axis="model")
+        assert resident.padded_rows % 4 == 0
+
+        def softmax(x):
+            e = np.exp(x - x.max(axis=1, keepdims=True))
+            return e / e.sum(axis=1, keepdims=True)
+
+        for inds in (np.arange(nc), np.asarray([1, 4, 9, 16, 25, 36])):
+            hard = np.zeros((len(inds), c), np.float32)
+            hard[np.arange(len(inds)), outs[inds].argmax(1)] = 1.0
+            for kind, host_vals in (("hard", hard), ("softmax", softmax(scale * outs[inds]))):
+                got = resident.logits(jnp.asarray(f), inds, betas, kind=kind, scale=scale)
+                ref = cache_attention_reference(
+                    jnp.asarray(f), jnp.asarray(cn[inds]), jnp.asarray(host_vals),
+                    jnp.asarray(betas))
+                np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                           atol=1e-4, rtol=1e-4)
 
     def test_data_axis_sharding(self, devices8):
         mesh = create_mesh(data=8, model=1, devices=devices8)
