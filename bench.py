@@ -18,8 +18,11 @@ import time
 import numpy as np
 
 
+_T0 = time.perf_counter()
+
+
 def log(msg: str) -> None:
-    print(msg, file=sys.stderr, flush=True)
+    print(f"[t={time.perf_counter() - _T0:6.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
 def bench_encode(model_name: str = "RN50", batch: int = 128, iters: int = 256,
@@ -44,8 +47,12 @@ def bench_encode(model_name: str = "RN50", batch: int = 128, iters: int = 256,
     rng = jax.random.PRNGKey(0)
     images = jax.random.normal(rng, (batch, cfg.image_resolution, cfg.image_resolution, 3),
                                dtype if jax.default_backend() == "tpu" else jnp.float32)
-    variables = model.init(rng, jnp.zeros((1, cfg.image_resolution, cfg.image_resolution, 3), jnp.float32),
-                           jnp.zeros((1, cfg.context_length), jnp.int32))
+    # jit the init: eager flax init dispatches hundreds of tiny ops, each
+    # paying a tunnel round-trip (~3min measured); one jitted (and
+    # persistently cached) program instead
+    variables = jax.jit(model.init)(
+        rng, jnp.zeros((1, cfg.image_resolution, cfg.image_resolution, 3), jnp.float32),
+        jnp.zeros((1, cfg.context_length), jnp.int32))
 
     @jax.jit
     def encode_checksum(variables, images):
@@ -87,14 +94,17 @@ def bench_cache_affinity(nt: int = 8192, nc: int = 131072, d: int = 1024,
 
     from summer_clip_tpu.ops.cache_kernels import cache_attention_auto
 
-    rng = np.random.RandomState(0)
-    f = jnp.asarray(rng.randn(nt, d).astype(np.float32))
+    # generate the synthetic problem ON DEVICE: host randn + upload of the
+    # (Nc, D) cache and (Nc, C) values is ~770MB through the remote-TPU
+    # tunnel (measured ~100s of the bench budget)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    f = jax.random.normal(k1, (nt, d), jnp.float32)
     f = f / jnp.linalg.norm(f, axis=1, keepdims=True)
-    cache = jnp.asarray(rng.randn(nc, d).astype(np.float32))
+    cache = jax.random.normal(k2, (nc, d), jnp.float32)
     cache = cache / jnp.linalg.norm(cache, axis=1, keepdims=True)
     # bf16 one-hot values: the production path (methods.cache) ships values
     # in bf16 — f32 values cost ~30% kernel time in extra HBM traffic
-    values = jnp.asarray(np.eye(c, dtype=np.float32)[rng.randint(0, c, nc)], jnp.bfloat16)
+    values = jax.nn.one_hot(jax.random.randint(k3, (nc,), 0, c), c, dtype=jnp.bfloat16)
     betas = jnp.linspace(1.0, 11.5, n_betas)
 
     t0 = time.perf_counter()
@@ -184,6 +194,7 @@ def bench_image_attention_combo(nt: int = 19850, nc: int = 19850, d: int = 1024,
     # the app's device-resident state (image_attention.setup_model)
     app = ImageAttention.__new__(ImageAttention)
     app.mesh = None
+    app._resident_shards = None
     app._test_norm = jnp.asarray(test)
     app._cache_rows = nc
     app._outs_replaced = False
@@ -222,19 +233,33 @@ def bench_image_attention_combo(nt: int = 19850, nc: int = 19850, d: int = 1024,
 def main() -> None:
     import jax
 
+    import os
+
+    # Persistent compilation cache: compiles ride the remote-TPU tunnel here
+    # and have been observed to take 10-570s for the SAME program depending on
+    # server load; a local executable cache makes repeat bench runs immune.
+    # Repo-local so it survives across driver sessions (gitignored).
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
     log(f"[bench] backend={jax.default_backend()} devices={jax.devices()}")
     ips = bench_encode("RN50", batch=128, iters=256)
-    for fn in (bench_cache_affinity, bench_imagenet_scale_cache, bench_image_attention_combo):
-        try:
-            fn()
-        except Exception as e:  # secondary metrics must not sink the primary
-            log(f"[bench] {fn.__name__} failed: {e}")
+    # primary metric FIRST: remote-compile-cache misses on the tunneled chip
+    # can put the secondaries past a driver timeout, and the JSON line must
+    # never be lost to them
     print(json.dumps({
         "metric": "CLIP RN50 feature extraction throughput (224px, bf16, steady-state)",
         "value": round(ips, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / 10000.0, 4),
-    }))
+    }), flush=True)
+    for fn in (bench_cache_affinity, bench_imagenet_scale_cache, bench_image_attention_combo):
+        try:
+            fn()
+        except Exception as e:  # secondary metrics must not sink the primary
+            log(f"[bench] {fn.__name__} failed: {e}")
 
 
 if __name__ == "__main__":
