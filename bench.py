@@ -12,6 +12,7 @@ queries/sec for the fused Tip-Adapter/CLIP-search kernel) go to stderr.
 from __future__ import annotations
 
 import json
+import math
 import sys
 import time
 
@@ -79,7 +80,7 @@ def bench_encode(model_name: str = "RN50", batch: int = 128, iters: int = 256,
         checksum = float(sum(outs))  # one fetch closes the window
         dt = time.perf_counter() - t0
         best_ips = max(best_ips, batch * iters / dt)
-        assert checksum == checksum, "non-finite checksum"
+        assert math.isfinite(checksum), "non-finite checksum"
     log(f"[bench] {model_name} encode steady-state: {best_ips:.0f} img/s "
         f"(batch={batch}, {iters} batches/window)")
     return best_ips
@@ -233,16 +234,11 @@ def bench_image_attention_combo(nt: int = 19850, nc: int = 19850, d: int = 1024,
 def main() -> None:
     import jax
 
-    import os
+    from summer_clip_tpu.core.compile_cache import enable_persistent_cache
 
-    # Persistent compilation cache: compiles ride the remote-TPU tunnel here
-    # and have been observed to take 10-570s for the SAME program depending on
-    # server load; a local executable cache makes repeat bench runs immune.
-    # Repo-local so it survives across driver sessions (gitignored).
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    # tunnel compiles are 10-570s for the same program; cache executables
+    # locally (repo-local dir, survives across driver sessions, gitignored)
+    enable_persistent_cache()
 
     log(f"[bench] backend={jax.default_backend()} devices={jax.devices()}")
     ips = bench_encode("RN50", batch=128, iters=256)

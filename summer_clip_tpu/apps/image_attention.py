@@ -239,6 +239,32 @@ class ImageAttention(BaseTrainer):
                 self._sweep_weights_values(cf, co, strategy_params, weights_cfg,
                                            value_cfg, alphas, evaluate)
 
+    def _selection_dev(self) -> tp.Optional[tp.Tuple[jax.Array, tp.Optional[jax.Array], int]]:
+        """(features, outs, valid_rows) of the current selection gathered
+        from the single-device resident cache, rows padded to the kernel's
+        max block. Identity selections reuse the resident matrices as-is.
+        Memoized per selection (keyed on the `_last_inds` array identity) so
+        `_device_values` and `_fused_cache_logits` share one gather."""
+        if self._cache_dev is None or self._last_inds is None:
+            return None
+        outs_dev = getattr(self, "_outs_dev", None)
+        cached = getattr(self, "_sel_cache", None)
+        if cached is None or cached[0] is not self._last_inds or cached[1] is not outs_dev:
+            inds = self._last_inds
+            identity = (len(inds) == self._cache_rows
+                        and bool((inds == np.arange(self._cache_rows)).all()))
+            if identity:
+                sel = (self._cache_dev, outs_dev, self._cache_rows)
+            else:
+                pad = (-len(inds)) % 1024
+                inds_p = np.concatenate([inds, np.zeros(pad, inds.dtype)]) if pad else inds
+                inds_j = jnp.asarray(inds_p)
+                outs = (jnp.take(outs_dev, inds_j, axis=0)
+                        if outs_dev is not None else None)
+                sel = (jnp.take(self._cache_dev, inds_j, axis=0), outs, len(inds))
+            self._sel_cache = (inds, outs_dev, sel)
+        return self._sel_cache[2]
+
     def _device_values(self, value_strategy) -> tp.Union[jax.Array, _ShardedValueSpec, None]:
         """Compute the value matrix ON DEVICE from the resident outs, padded
         in lockstep with the feature gather (pad rows carry zero values).
@@ -255,18 +281,10 @@ class ImageAttention(BaseTrainer):
                 return _ShardedValueSpec(
                     "softmax", float(value_strategy.clip_scale) * float(value_strategy.scale))
             return None
-        if self._cache_dev is None or self._outs_dev is None:
+        sel = self._selection_dev()
+        if sel is None or sel[1] is None:
             return None
-        inds = self._last_inds
-        identity = (len(inds) == self._cache_rows
-                    and bool((inds == np.arange(self._cache_rows)).all()))
-        if identity:
-            outs_sel, valid = self._outs_dev, self._cache_rows
-        else:
-            pad = (-len(inds)) % 1024
-            inds_p = np.concatenate([inds, np.zeros(pad, inds.dtype)]) if pad else inds
-            outs_sel = jnp.take(self._outs_dev, jnp.asarray(inds_p), axis=0)
-            valid = len(inds)
+        _, outs_sel, valid = sel
         if isinstance(value_strategy, cache_methods.HardCacheStrategy):
             return _device_hard_values(outs_sel, jnp.asarray(valid))
         if isinstance(value_strategy, cache_methods.SoftmaxCacheStrategy):
@@ -289,28 +307,20 @@ class ImageAttention(BaseTrainer):
                                         jnp.asarray(values, jnp.float32),
                                         jnp.asarray(list(betas), jnp.float32),
                                         self.mesh, axis="model")
-        if self._cache_dev is not None and self._last_inds is not None:
+        sel = self._selection_dev()
+        if sel is not None:
             # device gather of the pre-normalized resident cache; row counts
             # pad to the kernel's max block with zero VALUE rows (exact)
             from summer_clip_tpu.ops.cache_kernels import cache_attention_auto
 
-            v_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
-            inds = self._last_inds
-            identity = (len(inds) == self._cache_rows
-                        and bool((inds == np.arange(self._cache_rows)).all()))
-            if identity:
-                # AllLogits-style selection: reuse the resident matrix as-is
-                cf_dev = self._cache_dev
-                pad = cf_dev.shape[0] - self._cache_rows
-            else:
-                pad = (-len(inds)) % 1024
-                inds_p = np.concatenate([inds, np.zeros(pad, inds.dtype)]) if pad else inds
-                cf_dev = jnp.take(self._cache_dev, jnp.asarray(inds_p), axis=0)
+            cf_dev, _, valid = sel
+            pad = cf_dev.shape[0] - valid
             if isinstance(values, jax.Array):
                 # device-computed values (already padded + pad rows zeroed)
                 assert values.shape[0] == cf_dev.shape[0], (values.shape, cf_dev.shape)
                 values_dev = values
             else:
+                v_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
                 values_p = (np.concatenate([values, np.zeros((pad, values.shape[1]), np.float32)])
                             if pad else values)
                 values_dev = jnp.asarray(values_p, v_dtype)

@@ -182,9 +182,25 @@ class ClipGPTTrainer(BaseTrainer):
         if model_path and Path(model_path).exists():
             loaded = ckpt.load_checkpoint(Path(model_path),
                                           params_target=self.params)
-            self.params = loaded["params"]
+
+            def _restore_placement(new, old):
+                # checkpoint arrays arrive host-resident; re-apply the live
+                # sharding (replicated for DP, Megatron specs for TP) so the
+                # jitted step doesn't see params/opt_state layouts diverge
+                sh = getattr(old, "sharding", None)
+                return jax.device_put(new, sh) if sh is not None else new
+
+            if self.mesh is not None:
+                self.params = jax.tree_util.tree_map(
+                    _restore_placement, loaded["params"], self.params)
+            else:
+                self.params = loaded["params"]
             if "opt_state" in loaded and pcfg.get("optimizer"):
-                self.opt_state = loaded["opt_state"]
+                if self.mesh is not None:
+                    self.opt_state = jax.tree_util.tree_map(
+                        _restore_placement, loaded["opt_state"], self.opt_state)
+                else:
+                    self.opt_state = loaded["opt_state"]
             self.logger.log_info(f"Resumed from {model_path}")
 
     def evaluate(self) -> tp.Tuple[float, float]:

@@ -26,7 +26,6 @@ import datetime
 import functools
 import importlib
 import itertools
-import logging
 import os
 import re
 import sys
@@ -610,10 +609,7 @@ def main(config_path: tp.Union[str, Path], config_name: str,
             if "json" in fmts:
                 from summer_clip_tpu.core.log_utils import setup_json_logging
                 log_path = run_dir / f"{config_name}.log"
-                log_logger = setup_json_logging(log_path)
-                log_handler = next(h for h in log_logger.handlers
-                                   if isinstance(h, logging.FileHandler)
-                                   and h.baseFilename == str(log_path.resolve()))
+                log_logger, log_handler = setup_json_logging(log_path)
             if do_chdir:
                 os.chdir(run_dir)
             try:

@@ -58,8 +58,14 @@ def _jsonable(obj: tp.Any) -> tp.Any:
 
 
 def setup_json_logging(log_file: tp.Union[str, Path], name: tp.Optional[str] = None,
-                       level: int = logging.INFO) -> logging.Logger:
-    """Attach a JSON-formatted file handler + plain stdout handler."""
+                       level: int = logging.INFO
+                       ) -> tp.Tuple[logging.Logger, logging.FileHandler]:
+    """Attach a JSON-formatted file handler + plain stdout handler.
+
+    Returns the logger AND the file handler it created, so callers can
+    detach exactly that handler later (path comparison is unreliable —
+    ``FileHandler.baseFilename`` and ``Path.resolve()`` canonicalize
+    symlinks differently)."""
     logger = logging.getLogger(name)
     logger.setLevel(level)
     fh = logging.FileHandler(log_file)
@@ -70,7 +76,7 @@ def setup_json_logging(log_file: tp.Union[str, Path], name: tp.Optional[str] = N
         sh = logging.StreamHandler()
         sh.setFormatter(logging.Formatter("[%(asctime)s][%(name)s][%(levelname)s] %(message)s"))
         logger.addHandler(sh)
-    return logger
+    return logger, fh
 
 
 class NullExpLogger:

@@ -22,7 +22,7 @@ import typing as tp
 import numpy as np
 
 from summer_clip_tpu.data.core import Datum
-from summer_clip_tpu.data.transforms import EvalTransform, load_image
+from summer_clip_tpu.data.transforms import CLIP_MEAN, CLIP_STD, EvalTransform, load_image
 
 __all__ = ["Batch", "ImageBatcher", "labels_of", "prefetch_to_device", "pad_to_batch"]
 
@@ -150,7 +150,13 @@ class ImageBatcher:
                     images, ok = preprocess_batch(paths, size, num_threads=self.num_threads)
                     if not ok.all():  # decode failures fall back to PIL
                         for row in np.flatnonzero(~ok):
-                            images[row] = self._decode_one(int(idx[row]), int(idx[row]))
+                            dec = self._decode_one(int(idx[row]), int(idx[row]))
+                            if dec.dtype == np.uint8:
+                                # device_normalize transform emits raw uint8, but
+                                # native batches are host-normalized float32 —
+                                # normalize the fallback row to match
+                                dec = (dec.astype(np.float32) / 255.0 - CLIP_MEAN) / CLIP_STD
+                            images[row] = dec
                 else:
                     with cf.ThreadPoolExecutor(max_workers=min(self.num_threads, max(1, len(idx)))) as inner:
                         imgs = list(inner.map(self._decode_one, idx, [int(i) for i in idx]))

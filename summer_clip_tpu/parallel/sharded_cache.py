@@ -107,8 +107,11 @@ class ShardedResidentCache:
             co = np.concatenate([co, np.zeros((pad, co.shape[1]), np.float32)])
         self.padded_rows = cf.shape[0]
         spec = NamedSharding(mesh, P(axis, None))
-        self.features = jax.device_put(jnp.asarray(cf), spec)
-        self.outs = jax.device_put(jnp.asarray(co), spec)
+        # device_put straight from host numpy: each device receives only its
+        # row shard (staging through jnp.asarray would commit the full ~GBs
+        # array to one chip first)
+        self.features = jax.device_put(cf, spec)
+        self.outs = jax.device_put(co, spec)
         self._compute: tp.Dict[str, tp.Callable] = {}
 
     def _build(self, kind: str) -> tp.Callable:

@@ -19,22 +19,19 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: the suite is dominated by recompiles of the
-# same tower/step programs across test modules (~10min cold); cache compiled
-# executables on disk so repeat runs land under half that (VERDICT.md #10).
-_cache_dir = os.environ.get(
-    "JAX_TEST_COMPILATION_CACHE",
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-
 import sys
 from pathlib import Path
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
+
+# Persistent compilation cache: the suite is dominated by recompiles of the
+# same tower/step programs across test modules (~10min cold); cache compiled
+# executables on disk so repeat runs land under half that (VERDICT.md #10).
+from summer_clip_tpu.core.compile_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache(os.environ.get("JAX_TEST_COMPILATION_CACHE"))
 
 import pytest  # noqa: E402
 

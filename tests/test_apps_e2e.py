@@ -522,6 +522,49 @@ class TestGptResumeAndFull:
         assert len(resumed) >= 1
 
 
+class TestResumePreservesTpSharding:
+    def test_resume_preserves_tp_sharding(self, rundir, monkeypatch):
+        """pretrained.model under training.tp=2 must re-apply the Megatron
+        shardings to the loaded params (regression: checkpoint host arrays
+        silently dropped the TP layout while opt_state kept it)."""
+        import jax
+        from jax.sharding import NamedSharding
+
+        from summer_clip_tpu.apps import tokenize_dataset, train_gpt
+
+        tokenize_dataset.run(argv=[
+            "max_length=12", "source.n_docs=8", f"output_path={rundir}/c.npy"])
+        common = [
+            "clip_gpt.gpt_config=test-gpt", "clip_gpt.clip_emb_dim=16",
+            "clip_gpt.adapters.emb_hid_dim=16", "clip_gpt.adapters.head_hid_dim=16",
+            f"dataset.train.tokens_path={rundir}/c.npy",
+            f"dataset.val.tokens_path={rundir}/c.npy",
+            "data_loader.train.batch_size=4", "data_loader.val.batch_size=4",
+            "training.epochs_num=1", "training.grad_accum_steps=1",
+            "training.evals_per_epoch=1", "training.info_steps=100",
+            "training.tp=2", "clip_gpt.train_full=true",
+        ]
+        train_gpt.run(argv=common)
+        ckpts = sorted(rundir.rglob("checkpoints/epoch_1/step_*"))
+        assert ckpts
+
+        captured = {}
+        orig = train_gpt.run_trainer
+
+        def capturing(cls, cfg):
+            trainer = orig(cls, cfg)
+            captured["trainer"] = trainer
+            return trainer
+
+        monkeypatch.setattr(train_gpt, "run_trainer", capturing)
+        train_gpt.run(argv=common + [f"pretrained.model={ckpts[-1]}"])
+        params = captured["trainer"].params
+        shardings = [x.sharding for x in jax.tree_util.tree_leaves(params)]
+        assert all(isinstance(s, NamedSharding) for s in shardings)
+        assert any(any(ax is not None for ax in s.spec) for s in shardings), \
+            "no loaded param kept a Megatron TP PartitionSpec"
+
+
 class TestResidentCachePath:
     def test_gather_and_identity_match_reference(self):
         """Unit-level check of ImageAttention's device-resident fast paths."""

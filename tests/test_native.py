@@ -42,7 +42,31 @@ class TestNativePreprocess:
         assert ok.tolist() == [True, False]
         assert np.abs(imgs[1]).max() == 0.0
 
-    def test_batcher_uses_native_path(self, jpegs):
+    def test_fallback_row_normalized_under_device_normalize(self, jpegs, monkeypatch):
+        """A PIL-fallback row inside a native batch must be host-normalized
+        even when the transform ships raw uint8 (device_normalize=True) —
+        regression for silent 0-255-into-float32 corruption."""
+        real = native.preprocess_batch
+
+        def native_fails_row1(paths, out_size, num_threads=0, out=None):
+            imgs, ok = real(paths, out_size, num_threads=num_threads, out=out)
+            ok = ok.copy()
+            ok[1] = False
+            imgs[1] = 0.0
+            return imgs, ok
+
+        monkeypatch.setattr(native, "preprocess_batch", native_fails_row1)
+        data = [Datum(impath=p, label=i % 2) for i, p in enumerate(jpegs[:2])]
+        b = ImageBatcher(data, batch_size=2,
+                         transform=EvalTransform(32, device_normalize=True),
+                         use_native=True)
+        batch = list(b)[0]
+        assert batch.images.dtype == np.float32
+        # the fallback row must match the host-normalized PIL reference,
+        # not raw 0-255 bytes
+        ref = EvalTransform(32)(load_image(str(jpegs[1])))
+        assert np.abs(batch.images[1] - ref).mean() < 0.03
+        assert np.abs(batch.images[1]).max() < 4.0
         data = [Datum(impath=p, label=i % 2) for i, p in enumerate(jpegs)]
         b = ImageBatcher(data, batch_size=2, transform=EvalTransform(32))
         assert b.use_native
