@@ -65,12 +65,21 @@ class ClipSession:
             def encode_image(variables, images):
                 images = jax.lax.with_sharding_constraint(images, img_shard)
                 return model.apply(variables, prep(images), method=model.encode_image)
+
+            @jax.jit
+            def encode_image_preproj(variables, images):
+                images = jax.lax.with_sharding_constraint(images, img_shard)
+                return model.apply(variables, prep(images), method=model.encode_image_preproj)
         else:
             self._data_sharding = None
 
             @jax.jit
             def encode_image(variables, images):
                 return model.apply(variables, prep(images), method=model.encode_image)
+
+            @jax.jit
+            def encode_image_preproj(variables, images):
+                return model.apply(variables, prep(images), method=model.encode_image_preproj)
 
         @jax.jit
         def encode_text(variables, tokens):
@@ -81,12 +90,20 @@ class ClipSession:
             return model.apply(variables, embeds, lens, method=model.encode_text_embeds)
 
         self._encode_image = encode_image
+        self._encode_image_preproj = encode_image_preproj
         self._encode_text = encode_text
         self._encode_text_embeds = encode_text_embeds
 
     # bound single-arg closures for methods-layer helpers ---------------------
     def encode_image(self, images) -> jax.Array:
         return self._encode_image(self.variables, jnp.asarray(images))
+
+    def encode_image_preproj(self, images) -> jax.Array:
+        return self._encode_image_preproj(self.variables, jnp.asarray(images))
+
+    def vision_projection(self) -> np.ndarray:
+        """(width, embed_dim) final vision projection W0 (ViT towers)."""
+        return np.asarray(self.variables["params"]["visual"]["proj"], np.float32)
 
     def encode_text(self, tokens) -> jax.Array:
         return self._encode_text(self.variables, jnp.asarray(tokens))
@@ -132,20 +149,23 @@ def create_clip_session(model_name: str,
 
 
 def extract_image_features(session: ClipSession, batcher: tp.Iterable[Batch],
-                           progress_fn: tp.Optional[tp.Callable[[int], None]] = None
+                           progress_fn: tp.Optional[tp.Callable[[int], None]] = None,
+                           preproj: bool = False
                            ) -> tp.Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Stream batches through encode_image -> (features (N,D), labels, indices).
 
     Padded tail rows are dropped via the batch mask. Device->host copies
     overlap the next batch's compute (features fetched asynchronously).
+    ``preproj=True`` extracts pre-projection features (ProLIP substrate).
     """
+    encode = session._encode_image_preproj if preproj else session._encode_image
     feats_parts: tp.List[jax.Array] = []
     labels_parts: tp.List[np.ndarray] = []
     index_parts: tp.List[np.ndarray] = []
     masks: tp.List[np.ndarray] = []
     n_done = 0
     for batch in prefetch_to_device(batcher, size=2):
-        f = session._encode_image(session.variables, batch.images)
+        f = encode(session.variables, batch.images)
         feats_parts.append(f)  # stays on device; gathered at the end
         labels_parts.append(np.asarray(batch.labels))
         index_parts.append(np.asarray(batch.indices))

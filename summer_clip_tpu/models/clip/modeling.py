@@ -133,7 +133,7 @@ class VisionTransformer(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, images: jax.Array) -> jax.Array:
+    def __call__(self, images: jax.Array, apply_proj: bool = True) -> jax.Array:
         b, h, w, _ = images.shape
         grid = h // self.patch_size
         x = nn.Conv(
@@ -159,6 +159,12 @@ class VisionTransformer(nn.Module):
 
         proj = self.param("proj", nn.initializers.normal(self.width ** -0.5),
                           (self.width, self.output_dim), jnp.float32)
+        if not apply_proj:
+            # pre-projection pooled features (width-dim): the substrate for
+            # projection fine-tuning (ProLIP — methods/prolip.py). The proj
+            # param is declared above either way so the variable tree is
+            # identical across both call paths.
+            return x
         return jnp.dot(x, proj.astype(self.dtype), preferred_element_type=jnp.float32).astype(self.dtype)
 
 
@@ -336,6 +342,15 @@ class CLIP(nn.Module):
 
     def encode_image(self, images: jax.Array) -> jax.Array:
         return self.visual(images)
+
+    def encode_image_preproj(self, images: jax.Array) -> jax.Array:
+        """Pooled features BEFORE the final vision projection (ViT only) —
+        the trainable substrate of ProLIP projection fine-tuning."""
+        if not isinstance(self.visual, VisionTransformer):
+            raise TypeError("pre-projection features are defined for ViT "
+                            "towers (the ResNet projection lives inside its "
+                            "attention pool)")
+        return self.visual(images, apply_proj=False)
 
     def encode_text(self, token_ids: jax.Array) -> jax.Array:
         return self.text(token_ids)

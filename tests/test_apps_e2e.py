@@ -142,6 +142,55 @@ class TestTipAdapter:
         assert any(r.get("type") == "tipf_searched" for r in recs)
 
 
+class TestProLip:
+    def test_prolip_improves_over_zero_shot(self, rundir):
+        """ProLIP projection fine-tuning (arXiv:2410.05270): the tuned W must
+        beat the zero-shot projection on the synthetic few-shot task, and
+        training records + the saved projection must exist."""
+        from summer_clip_tpu.apps import train_prolip
+
+        train_prolip.run(argv=[
+            "dataset=synthetic", "clip=test_vit", "root_path=''",
+            "shots=8", "data.batch_size=8",
+            "train.epochs=60", "train.lr=0.003",
+        ])
+        recs = _records(rundir)
+        zs = [r for r in recs if r.get("type") == "zero_shot"]
+        res = [r for r in recs if r.get("type") == "prolip_result"]
+        assert zs and res
+        assert res[-1]["acc1"] >= zs[-1]["acc1"], \
+            f"ProLIP {res[-1]['acc1']} did not improve on zero-shot {zs[-1]['acc1']}"
+        tr = [r for r in recs if r.get("type") == "prolip_train"]
+        assert len(tr) >= 2 and tr[-1]["ce"] < tr[0]["ce"]
+        assert list(rundir.rglob("caches/*/prolip_proj_8shots*"))
+
+    def test_preproj_features_match_tower(self):
+        """encode_image_preproj @ W0 must equal encode_image exactly (modulo
+        dtype) — the invariant that makes the tuned W a drop-in swap."""
+        import jax.numpy as jnp
+
+        from summer_clip_tpu.apps.common import create_clip_session
+
+        session = create_clip_session("test-vit", dtype="float32")
+        rng = np.random.RandomState(0)
+        images = rng.rand(4, session.input_size, session.input_size, 3).astype(np.float32)
+        full = np.asarray(session.encode_image(images), np.float32)
+        pre = np.asarray(session.encode_image_preproj(images), np.float32)
+        W0 = session.vision_projection()
+        np.testing.assert_allclose(pre @ W0, full, atol=2e-4, rtol=2e-4)
+
+    def test_preproj_raises_for_resnet_towers(self):
+        import pytest
+
+        from summer_clip_tpu.apps.common import create_clip_session
+
+        session = create_clip_session("test-rn", dtype="float32")
+        rng = np.random.RandomState(0)
+        images = rng.rand(2, session.input_size, session.input_size, 3).astype(np.float32)
+        with pytest.raises(TypeError, match="ViT"):
+            session.encode_image_preproj(images)
+
+
 class TestTrainEvalAdapter:
     def test_train_then_eval(self, rundir):
         from summer_clip_tpu.apps import save_features, train_adapter, eval_adapter
