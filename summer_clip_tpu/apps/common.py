@@ -133,9 +133,15 @@ def create_clip_session(model_name: str,
                         dtype: tp.Optional[str] = None,
                         mesh: tp.Optional[jax.sharding.Mesh] = None,
                         logger: tp.Optional[tp.Any] = None,
-                        remat: tp.Optional[bool] = None) -> ClipSession:
+                        remat: tp.Optional[bool] = None,
+                        proj_path: tp.Optional[str] = None) -> ClipSession:
     """Build a session from a config: converted checkpoint if provided,
-    otherwise randomly-initialized towers (smoke/synthetic runs)."""
+    otherwise randomly-initialized towers (smoke/synthetic runs).
+
+    ``proj_path``: optional ``.npy`` with a (width, embed_dim) vision
+    projection to swap into the tower — how a ProLIP-tuned W
+    (apps/train_prolip.py) drops into any downstream workload.
+    """
     jdtype = resolve_dtype(dtype)
     if checkpoint_path and Path(checkpoint_path).exists():
         model, cfg, variables = load_clip_ckpt(checkpoint_path, dtype=jdtype)
@@ -145,6 +151,15 @@ def create_clip_session(model_name: str,
         if checkpoint_path and logger:
             logger.log_info(f"WARNING: checkpoint {checkpoint_path} not found — random init")
         model, cfg, variables = init_clip(model_name, dtype=jdtype, remat=bool(remat))
+    if proj_path:
+        W = np.load(proj_path)
+        old = variables["params"]["visual"].get("proj")
+        assert old is not None, "proj swap is defined for ViT towers only"
+        assert W.shape == old.shape, f"projection shape {W.shape} != tower {old.shape}"
+        variables = jax.tree_util.tree_map(lambda x: x, variables)  # shallow-safe copy
+        variables["params"]["visual"]["proj"] = jnp.asarray(W, jnp.float32)
+        if logger:
+            logger.log_info(f"Swapped vision projection from {proj_path}")
     return ClipSession(model, cfg, variables, mesh=mesh)
 
 

@@ -71,7 +71,8 @@ def run(cfg) -> None:
         mesh = create_mesh(data=n_dev, model=1)
         logger.log_info(f"Sharding extraction batches over {n_dev} devices")
     session = create_clip_session(cfg.clip.model_name, cfg.clip.get("checkpoint_path"),
-                                  cfg.clip.get("dtype"), mesh=mesh, logger=logger)
+                                  cfg.clip.get("dtype"), mesh=mesh, logger=logger,
+                                  proj_path=cfg.clip.get("proj_path"))
     store = FeatureStore(cfg.store.root)
     model_tag = session.cfg.name.replace("/", "")
     if cfg.get("train_dataset") is not None:

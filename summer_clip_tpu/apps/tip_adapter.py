@@ -45,7 +45,8 @@ class TipAdapterTrainer(BaseTrainer):
         self.session = create_clip_session(cfg.clip.model_name,
                                            cfg.clip.get("checkpoint_path"),
                                            cfg.clip.get("dtype"), mesh=self.mesh,
-                                           logger=self.logger)
+                                           logger=self.logger,
+                                           proj_path=cfg.clip.get("proj_path"))
         size = self.session.input_size
         bs = int(cfg.data.batch_size)
         shots = int(cfg.shots)

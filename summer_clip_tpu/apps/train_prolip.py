@@ -67,10 +67,12 @@ class ProLipTrainer(BaseTrainer):
             self.session, test_view.batcher(batch_size=bs), preproj=True)
         self.W0 = self.session.vision_projection()
 
-    def _top1(self, W: np.ndarray) -> float:
+    def _top1(self, W: np.ndarray, split: str = "test") -> float:
+        feats, labels = ((self.test_pre, self.test_labels) if split == "test"
+                         else (self.train_pre, self.train_labels))
         logits = np.asarray(prolip.prolip_logits(
-            self.test_pre, W, self.classifier, float(self.cfg.train.scale)))
-        return accuracy(logits, self.test_labels)[0]
+            feats, W, self.classifier, float(self.cfg.train.scale)))
+        return accuracy(logits, labels)[0]
 
     def train_loop(self):
         tcfg = self.cfg.train
@@ -88,11 +90,17 @@ class ProLipTrainer(BaseTrainer):
         self.logger.log_info(f"**** ProLIP's test accuracy: {acc:.2f}. ****")
         self.logger.log_info({"type": "prolip_result", "acc1": acc,
                               "acc1_zero_shot": acc0,
+                              "acc1_train": self._top1(W, "train"),
+                              "acc1_train_zero_shot": self._top1(self.W0, "train"),
                               "epochs": int(tcfg.epochs), "lr": float(tcfg.lr)})
         self.store.save(f"prolip_proj_{self.cfg.shots}shots", features=W,
                         meta={"model": self.session.cfg.name,
                               "shots": int(self.cfg.shots),
                               "acc1": float(acc)})
+        # plain .npy for the clip.proj_path swap knob (create_clip_session)
+        np.save("prolip_proj.npy", W)
+        self.logger.log_info({"type": "prolip_proj_saved",
+                              "proj_path": "prolip_proj.npy"})
 
 
 @C.main(config_path="../conf", config_name="train_prolip")
