@@ -34,10 +34,18 @@ from summer_clip_tpu.store import load_array
 
 
 def lm_loss_fn(logits: jax.Array, ids: jax.Array) -> jax.Array:
-    """Causal-LM shifted CE with labels == inputs (HF collator semantics)."""
-    logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, ids[:, 1:, None], axis=-1)[..., 0]
-    return nll.mean()
+    """Causal-LM shifted CE with labels == inputs (HF collator semantics).
+
+    Written as ``logsumexp - target_logit`` so the normalized (B, T, V) f32
+    log-softmax array is never materialized — only a fused f32 reduction and
+    a one-element-per-row gather. The train step is HBM-roofline-bound
+    (docs/KERNELS.md: 81GB/step at gpt2 b8) and the vocab head is its
+    widest tensor, so this is pure traffic savings at identical math.
+    """
+    lg = logits[:, :-1]
+    tgt = jnp.take_along_axis(lg, ids[:, 1:, None], axis=-1)[..., 0].astype(jnp.float32)
+    lse = jax.scipy.special.logsumexp(lg.astype(jnp.float32), axis=-1)
+    return (lse - tgt).mean()
 
 
 class ClipGPTTrainer(BaseTrainer):

@@ -38,12 +38,12 @@ def main(batch: int = 8, ctx: int = 1024, name: str = "gpt2") -> None:
     tx = optax.adamw(3e-4, weight_decay=0.01)
     opt_state = tx.init(params)
 
+    from summer_clip_tpu.apps.train_gpt import lm_loss_fn
+
     @jax.jit
     def train_step(params, opt_state, ids):
         def loss_of(p):
-            logits = model.apply({"params": p}, ids)["logits"]
-            logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), -1)
-            return -jnp.take_along_axis(logp, ids[:, 1:, None], axis=-1).mean()
+            return lm_loss_fn(model.apply({"params": p}, ids)["logits"], ids)
         loss, grads = jax.value_and_grad(loss_of)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
