@@ -168,6 +168,51 @@ def bench_imagenet_scale_cache(nt: int = 50176, nc: int = 1281024, d: int = 1024
         f"(~{2.0 * nt * nc * (d + n_betas * c) / dt / 1e12:.0f} TFLOP/s)")
 
 
+def bench_gpt_train_step(batch: int = 8, ctx: int = 1024) -> None:
+    """GPT-2 small full train step (fwd+bwd+AdamW), tokens/s — the training
+    side of the framework (apps/train_gpt.py hot loop). HBM-roofline-bound;
+    analysis in docs/KERNELS.md."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from summer_clip_tpu.apps.train_gpt import lm_loss_fn
+    from summer_clip_tpu.models import gpt2 as gpt2_mod
+
+    cfg = gpt2_mod.GPT2_CONFIGS["gpt2"]
+    model = gpt2_mod.GPT2(cfg, dtype=jnp.bfloat16)
+    ids = jnp.asarray(np.random.RandomState(0).randint(
+        1, cfg.vocab_size, (batch, ctx)), jnp.int32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), ids)["params"]
+    tx = optax.adamw(3e-4, weight_decay=0.01)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, ids):
+        def loss_of(p):
+            return lm_loss_fn(model.apply({"params": p}, ids)["logits"], ids)
+        loss, grads = jax.value_and_grad(loss_of)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    t0 = time.perf_counter()
+    params, opt_state, loss = train_step(params, opt_state, ids)
+    assert math.isfinite(float(loss))
+    log(f"[bench] gpt2 train compile+first-step: {time.perf_counter() - t0:.1f}s")
+
+    iters, best = 10, float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        losses = []
+        for _ in range(iters):
+            params, opt_state, loss = train_step(params, opt_state, ids)
+            losses.append(loss)
+        assert math.isfinite(float(sum(l.astype(jnp.float32) for l in losses)))
+        best = min(best, (time.perf_counter() - t0) / iters)
+    log(f"[bench] gpt2 train step (b={batch}, ctx={ctx}): {best * 1e3:.1f} ms/step = "
+        f"{batch * ctx / best:,.0f} tokens/s (94% of the measured HBM roofline — docs/KERNELS.md)")
+
+
 def bench_image_attention_combo(nt: int = 19850, nc: int = 19850, d: int = 1024,
                                 c: int = 397) -> None:
     """One full image_attention grid combo at SUN397 scale, end-to-end through
@@ -251,7 +296,8 @@ def main() -> None:
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / 10000.0, 4),
     }), flush=True)
-    for fn in (bench_cache_affinity, bench_imagenet_scale_cache, bench_image_attention_combo):
+    for fn in (bench_cache_affinity, bench_imagenet_scale_cache,
+               bench_image_attention_combo, bench_gpt_train_step):
         try:
             fn()
         except Exception as e:  # secondary metrics must not sink the primary
