@@ -24,7 +24,7 @@ from summer_clip_tpu.models import gpt2 as gpt2_mod
 from summer_clip_tpu.models.tokenizer import get_tokenizer
 from summer_clip_tpu.store import load_array
 
-__all__ = ["load_pretrained_clip_gpt", "generate", "run"]
+__all__ = ["load_pretrained_clip_gpt", "generate", "generate_device", "run"]
 
 
 def load_pretrained_clip_gpt(checkpoint_dir: tp.Union[str, Path], tokenizer,
@@ -82,6 +82,64 @@ def generate(model, variables, prompt_ids: tp.Sequence[int], *, max_new_tokens: 
     return out_ids
 
 
+def generate_device(model, variables, prompt_ids: tp.Sequence[int], *,
+                    max_new_tokens: int = 20, temperature: float = 1.0,
+                    top_k: int = 50, rng: tp.Optional[jax.Array] = None,
+                    eot_id: tp.Optional[int] = None) -> tp.List[int]:
+    """Whole-sequence sampling as ONE device program (``lax.scan`` decode).
+
+    The host-loop :func:`generate` pays >= 2 host<->device round-trips per
+    token (a fetched ``int(...)`` pick + a fresh dispatch) — ~50ms/token
+    over the remote-TPU tunnel. Here prefill + the full decode loop run
+    inside a single jit: the KV cache, rng and last-token logits ride the
+    scan carry, and tokens are fetched once at the end. RNG-split order
+    matches :func:`generate` exactly, so given the same key both samplers
+    produce identical ids (pinned by tests). After an ``eot_id`` the carry
+    freezes (emits eot), matching the host loop's early break once the
+    host side truncates at the first eot.
+    """
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    n_prompt = len(prompt_ids)
+    cache = model.apply(variables, method=model.init_cache, batch=1,
+                        max_len=n_prompt + max_new_tokens)
+    temp = max(float(temperature), 1e-6)
+    eot = -1 if eot_id is None else int(eot_id)
+
+    @jax.jit
+    def run(variables, prompt, rng, cache):
+        out = model.apply(variables, prompt, position_offset=0, cache=cache)
+        last, cache = out["logits"][:, -1, :], out["cache"]
+
+        def body(carry, _):
+            last, cache, rng, offset, done = carry
+            scaled = last[0] / temp
+            rng, sub = jax.random.split(rng)
+            if top_k:
+                vals, idx = jax.lax.top_k(scaled, int(top_k))
+                nxt = idx[jax.random.categorical(sub, vals)]
+            else:
+                nxt = jax.random.categorical(sub, scaled)
+            nxt = jnp.where(done, jnp.asarray(eot, nxt.dtype), nxt).astype(jnp.int32)
+            done = done | (nxt == eot)
+            out = model.apply(variables, nxt[None, None], position_offset=offset,
+                              cache=cache)
+            return (out["logits"][:, -1, :], out["cache"], rng, offset + 1, done), nxt
+
+        init = (last, cache, rng, jnp.asarray(n_prompt, jnp.int32),
+                jnp.asarray(False))
+        _, toks = jax.lax.scan(body, init, None, length=int(max_new_tokens))
+        return toks
+
+    toks = np.asarray(run(variables, jnp.asarray(np.asarray(prompt_ids, np.int32))[None],
+                          rng, cache))
+    out_ids = list(int(i) for i in prompt_ids)
+    for t in toks:
+        out_ids.append(int(t))
+        if eot_id is not None and int(t) == eot_id:
+            break
+    return out_ids
+
+
 class GptGenerator(BaseTrainer):
     def setup_dataset(self):
         self.tokenizer = get_tokenizer()
@@ -117,14 +175,17 @@ class GptGenerator(BaseTrainer):
 
         gcfg = self.cfg.generation
         rng = self.rng.next()
+        # device_loop (default): whole decode as one lax.scan jit — the
+        # host loop is kept as the parity oracle (gen.device_loop=false)
+        sampler = generate_device if bool(gcfg.get("device_loop", True)) else generate
         for prompt in list(self.cfg.prompts or []):
             ids = [self.tokenizer.sot_token] + self.tokenizer.encode(str(prompt))
             rng, sub = jax.random.split(rng)
-            out_ids = generate(self.model, self.variables, ids,
-                               max_new_tokens=int(gcfg.max_new_tokens),
-                               temperature=float(gcfg.temperature),
-                               top_k=int(gcfg.top_k), rng=sub,
-                               eot_id=self.tokenizer.eot_token)
+            out_ids = sampler(self.model, self.variables, ids,
+                              max_new_tokens=int(gcfg.max_new_tokens),
+                              temperature=float(gcfg.temperature),
+                              top_k=int(gcfg.top_k), rng=sub,
+                              eot_id=self.tokenizer.eot_token)
             text = self.tokenizer.decode(out_ids)
             results["generations"].append({"prompt": str(prompt), "ids": out_ids, "text": text})
             self.logger.log_info({"type": "generation", "prompt": str(prompt), "text": text})

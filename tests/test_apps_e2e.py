@@ -439,6 +439,29 @@ class TestGptPipeline:
         assert gens and isinstance(gens[-1]["text"], str)
         assert list(rundir.rglob("results.yaml"))
 
+    def test_device_sampler_matches_host_loop(self):
+        """generate_device (one lax.scan jit) must produce EXACTLY the ids
+        of the host-loop generate given the same rng — incl. eot truncation."""
+        import jax
+
+        from summer_clip_tpu.apps.gen_gpt import generate, generate_device
+        from summer_clip_tpu.models import gpt2 as gpt2_mod
+
+        cfg = gpt2_mod.GPT2_CONFIGS["test-gpt"]
+        model = gpt2_mod.GPT2(cfg)
+        prompt = [3, 14, 15]
+        variables = {"params": jax.jit(model.init)(
+            jax.random.PRNGKey(0), np.zeros((1, 4), np.int32))["params"]}
+
+        for kwargs in ({"top_k": 8}, {"top_k": 0}, {"top_k": 8, "temperature": 0.7},
+                       {"top_k": 4, "eot_id": 7}):
+            key = jax.random.PRNGKey(42)
+            host = generate(model, variables, prompt, max_new_tokens=12,
+                            rng=key, **kwargs)
+            dev = generate_device(model, variables, prompt, max_new_tokens=12,
+                                  rng=key, **kwargs)
+            assert host == dev, (kwargs, host, dev)
+
     def test_train_gpt_loss_decreases(self, rundir):
         """Adapters must actually learn on a tiny corpus."""
         from summer_clip_tpu.apps import tokenize_dataset, train_gpt

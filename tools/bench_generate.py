@@ -1,0 +1,50 @@
+"""KV-cached sampling throughput: host-loop vs device-scan decode.
+
+The host loop (apps/gen_gpt.py:generate) fetches the picked token and
+re-dispatches per step — >= 2 tunnel round-trips per token on the remote
+chip. generate_device runs prefill + the whole decode as one lax.scan jit.
+Run: ``python tools/bench_generate.py [max_new_tokens]``.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main(max_new: int = 128) -> None:
+    import jax
+
+    from summer_clip_tpu.apps.gen_gpt import generate, generate_device
+    from summer_clip_tpu.core.compile_cache import enable_persistent_cache
+    from summer_clip_tpu.models import gpt2 as gpt2_mod
+
+    enable_persistent_cache()
+    cfg = gpt2_mod.GPT2_CONFIGS["gpt2"]
+    model = gpt2_mod.GPT2(cfg)
+    prompt = list(np.random.RandomState(0).randint(1, cfg.vocab_size, 16))
+    variables = {"params": jax.jit(model.init)(
+        jax.random.PRNGKey(0), np.zeros((1, 4), np.int32))["params"]}
+
+    for name, fn in [("device-scan", generate_device), ("host-loop", generate)]:
+        t0 = time.perf_counter()
+        out = fn(model, variables, prompt, max_new_tokens=int(max_new),
+                 rng=jax.random.PRNGKey(1))
+        warm = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out2 = fn(model, variables, prompt, max_new_tokens=int(max_new),
+                  rng=jax.random.PRNGKey(1))
+        dt = time.perf_counter() - t0
+        assert out == out2
+        print(f"{name}: {max_new / dt:,.1f} tokens/s "
+              f"({dt * 1e3 / max_new:.1f} ms/token; first call incl. compile {warm:.1f}s)",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main(*(int(a) for a in sys.argv[1:]))
