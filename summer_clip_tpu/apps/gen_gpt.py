@@ -85,7 +85,8 @@ def generate(model, variables, prompt_ids: tp.Sequence[int], *, max_new_tokens: 
 def generate_device(model, variables, prompt_ids: tp.Sequence[int], *,
                     max_new_tokens: int = 20, temperature: float = 1.0,
                     top_k: int = 50, rng: tp.Optional[jax.Array] = None,
-                    eot_id: tp.Optional[int] = None) -> tp.List[int]:
+                    eot_id: tp.Optional[int] = None,
+                    approx_top_k: bool = False) -> tp.List[int]:
     """Whole-sequence sampling as ONE device program (``lax.scan`` decode).
 
     The host-loop :func:`generate` pays >= 2 host<->device round-trips per
@@ -114,7 +115,14 @@ def generate_device(model, variables, prompt_ids: tp.Sequence[int], *,
             last, cache, rng, offset, done = carry
             scaled = last[0] / temp
             rng, sub = jax.random.split(rng)
-            if top_k:
+            if top_k and approx_top_k:
+                # TPU-native approximate top-k: O(V) on the VPU vs the full
+                # sort lax.top_k lowers to. Trades exact host-loop parity
+                # for boundary-of-top-k approximation (recall ~0.95), hence
+                # opt-in (generation.approx_top_k).
+                vals, idx = jax.lax.approx_max_k(scaled, int(top_k))
+                nxt = idx[jax.random.categorical(sub, vals)]
+            elif top_k:
                 vals, idx = jax.lax.top_k(scaled, int(top_k))
                 nxt = idx[jax.random.categorical(sub, vals)]
             else:
@@ -181,11 +189,13 @@ class GptGenerator(BaseTrainer):
         for prompt in list(self.cfg.prompts or []):
             ids = [self.tokenizer.sot_token] + self.tokenizer.encode(str(prompt))
             rng, sub = jax.random.split(rng)
+            extra = ({"approx_top_k": bool(gcfg.get("approx_top_k", False))}
+                     if sampler is generate_device else {})
             out_ids = sampler(self.model, self.variables, ids,
                               max_new_tokens=int(gcfg.max_new_tokens),
                               temperature=float(gcfg.temperature),
                               top_k=int(gcfg.top_k), rng=sub,
-                              eot_id=self.tokenizer.eot_token)
+                              eot_id=self.tokenizer.eot_token, **extra)
             text = self.tokenizer.decode(out_ids)
             results["generations"].append({"prompt": str(prompt), "ids": out_ids, "text": text})
             self.logger.log_info({"type": "generation", "prompt": str(prompt), "text": text})

@@ -57,7 +57,9 @@ def _device_hard_values(outs: jax.Array, valid: jax.Array) -> jax.Array:
 def _device_softmax_values(outs: jax.Array, valid: jax.Array, scale: jax.Array) -> jax.Array:
     v = jax.nn.softmax(scale * outs.astype(jnp.float32), axis=1)
     mask = (jnp.arange(outs.shape[0]) < valid)[:, None]
-    return v * mask
+    v = v * mask
+    # bf16 value operand: the kernel's measured-fastest dtype (docs/KERNELS.md)
+    return v.astype(jnp.bfloat16) if jax.default_backend() == "tpu" else v
 
 
 class _ShardedValueSpec(tp.NamedTuple):

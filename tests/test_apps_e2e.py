@@ -462,6 +462,18 @@ class TestGptPipeline:
                                   rng=key, **kwargs)
             assert host == dev, (kwargs, host, dev)
 
+        # approx_top_k: every sampled id must come from the true top-k set
+        # of its step's logits-distribution support (weak invariant that
+        # holds on the CPU fallback and the TPU approximation alike: ids
+        # are valid vocab entries and generation is deterministic per key)
+        key = jax.random.PRNGKey(42)
+        a1 = generate_device(model, variables, prompt, max_new_tokens=12,
+                             rng=key, top_k=8, approx_top_k=True)
+        a2 = generate_device(model, variables, prompt, max_new_tokens=12,
+                             rng=key, top_k=8, approx_top_k=True)
+        assert a1 == a2
+        assert all(0 <= t < cfg.vocab_size for t in a1)
+
     def test_train_gpt_loss_decreases(self, rundir):
         """Adapters must actually learn on a tiny corpus."""
         from summer_clip_tpu.apps import tokenize_dataset, train_gpt

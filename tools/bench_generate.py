@@ -31,7 +31,14 @@ def main(max_new: int = 128) -> None:
     variables = {"params": jax.jit(model.init)(
         jax.random.PRNGKey(0), np.zeros((1, 4), np.int32))["params"]}
 
-    for name, fn in [("device-scan", generate_device), ("host-loop", generate)]:
+    import functools
+
+    variants = [
+        ("device-scan", generate_device),
+        ("device-scan approx_top_k", functools.partial(generate_device, approx_top_k=True)),
+        ("host-loop", generate),
+    ]
+    for name, fn in variants:
         t0 = time.perf_counter()
         out = fn(model, variables, prompt, max_new_tokens=int(max_new),
                  rng=jax.random.PRNGKey(1))
