@@ -24,7 +24,8 @@ from summer_clip_tpu.models import gpt2 as gpt2_mod
 from summer_clip_tpu.models.tokenizer import get_tokenizer
 from summer_clip_tpu.store import load_array
 
-__all__ = ["load_pretrained_clip_gpt", "generate", "generate_device", "run"]
+__all__ = ["load_pretrained_clip_gpt", "generate", "generate_device",
+           "generate_device_batched", "run"]
 
 
 def load_pretrained_clip_gpt(checkpoint_dir: tp.Union[str, Path], tokenizer,
@@ -146,6 +147,77 @@ def generate_device(model, variables, prompt_ids: tp.Sequence[int], *,
         if eot_id is not None and int(t) == eot_id:
             break
     return out_ids
+
+
+def generate_device_batched(model, variables, prompts: tp.Sequence[tp.Sequence[int]], *,
+                            max_new_tokens: int = 20, temperature: float = 1.0,
+                            top_k: int = 50, rng: tp.Optional[jax.Array] = None,
+                            eot_id: tp.Optional[int] = None,
+                            approx_top_k: bool = False) -> tp.List[tp.List[int]]:
+    """Batched serving path: sample B variable-length prompts in ONE scan.
+
+    Prompts are LEFT-padded to a shared length so every row appends at the
+    same cache slot; per-row position offsets (``position_offset`` as a
+    (B, 1) array) restore position 0 at each row's first real token, and
+    ``key_pad`` masks the pad slots out of attention for good. Rows freeze
+    independently on ``eot_id``. One rng per step drives the whole batch
+    (row picks stay independent via the batched categorical).
+    """
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    B = len(prompts)
+    lens = [len(p) for p in prompts]
+    assert min(lens) > 0, "empty prompt"
+    l_max = max(lens)
+    ids = np.zeros((B, l_max), np.int32)
+    for r, p in enumerate(prompts):
+        ids[r, l_max - len(p):] = p
+    pad = jnp.asarray([l_max - ln for ln in lens], jnp.int32)
+    cache = model.apply(variables, method=model.init_cache, batch=B,
+                        max_len=l_max + max_new_tokens)
+    temp = max(float(temperature), 1e-6)
+    eot = -1 if eot_id is None else int(eot_id)
+
+    @jax.jit
+    def run(variables, ids, pad, rng, cache):
+        out = model.apply(variables, ids, position_offset=(-pad)[:, None],
+                          cache=cache, key_pad=pad)
+        last, cache0 = out["logits"][:, -1, :], out["cache"]
+
+        def body(carry, step):
+            last, cache, rng, done = carry
+            scaled = last / temp
+            rng, sub = jax.random.split(rng)
+            if top_k and approx_top_k:
+                vals, idx = jax.lax.approx_max_k(scaled, int(top_k))
+                pick = jax.random.categorical(sub, vals, axis=-1)
+                nxt = jnp.take_along_axis(idx, pick[:, None], axis=1)[:, 0]
+            elif top_k:
+                vals, idx = jax.lax.top_k(scaled, int(top_k))
+                pick = jax.random.categorical(sub, vals, axis=-1)
+                nxt = jnp.take_along_axis(idx, pick[:, None], axis=1)[:, 0]
+            else:
+                nxt = jax.random.categorical(sub, scaled, axis=-1)
+            nxt = jnp.where(done, jnp.asarray(eot, nxt.dtype), nxt).astype(jnp.int32)
+            done = done | (nxt == eot)
+            offs = (l_max + step - pad)[:, None]
+            out = model.apply(variables, nxt[:, None], position_offset=offs,
+                              cache=cache, key_pad=pad)
+            return (out["logits"][:, -1, :], out["cache"], rng, done), nxt
+
+        init = (last, cache0, rng, jnp.zeros(B, bool))
+        _, toks = jax.lax.scan(body, init, jnp.arange(int(max_new_tokens)))
+        return toks  # (max_new, B)
+
+    toks = np.asarray(run(variables, jnp.asarray(ids), pad, rng, cache))
+    results: tp.List[tp.List[int]] = []
+    for r, p in enumerate(prompts):
+        out_ids = list(int(i) for i in p)
+        for t in toks[:, r]:
+            out_ids.append(int(t))
+            if eot_id is not None and int(t) == eot_id:
+                break
+        results.append(out_ids)
+    return results
 
 
 class GptGenerator(BaseTrainer):

@@ -63,7 +63,8 @@ class GPT2Attention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, cache: tp.Optional[dict] = None
+    def __call__(self, x: jax.Array, cache: tp.Optional[dict] = None,
+                 key_pad: tp.Optional[jax.Array] = None
                  ) -> tp.Tuple[jax.Array, tp.Optional[dict]]:
         d = x.shape[-1]
         qkv = nn.Dense(3 * d, dtype=self.dtype, name="c_attn")(x)
@@ -82,6 +83,12 @@ class GPT2Attention(nn.Module):
             q_pos = idx + jax.lax.broadcasted_iota(jnp.int32, (s_new, t), 0)
             k_pos = jax.lax.broadcasted_iota(jnp.int32, (s_new, t), 1)
             mask = jnp.where(k_pos <= q_pos, 0.0, -1e30).astype(jnp.float32)
+            if key_pad is not None:
+                # batched left-padded prompts: the first key_pad[b] cache
+                # slots of row b are padding and must never be attended
+                pad_mask = jnp.where(jnp.arange(t)[None, :] < key_pad[:, None],
+                                     -1e30, 0.0).astype(jnp.float32)
+                mask = mask[None, None] + pad_mask[:, None, None, :]
             o = multi_head_attention(q, k_all, v_all, num_heads=self.num_heads,
                                      mask=mask, use_flash=False)
             new_cache = {"k": k_all, "v": v_all, "index": idx + s_new}
@@ -93,9 +100,9 @@ class GPT2Block(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, cache=None):
+    def __call__(self, x, cache=None, key_pad=None):
         h, new_cache = GPT2Attention(self.num_heads, dtype=self.dtype, name="attn")(
-            LayerNormF32(name="ln_1")(x), cache)
+            LayerNormF32(name="ln_1")(x), cache, key_pad)
         x = x + h
         m = nn.Dense(4 * x.shape[-1], dtype=self.dtype, name="mlp_c_fc")(
             LayerNormF32(name="ln_2")(x))
@@ -111,18 +118,22 @@ class GPT2Core(nn.Module):
 
     @nn.compact
     def __call__(self, inputs_embeds: jax.Array, position_offset: tp.Union[int, jax.Array] = 0,
-                 cache: tp.Optional[tp.List[dict]] = None
+                 cache: tp.Optional[tp.List[dict]] = None,
+                 key_pad: tp.Optional[jax.Array] = None
                  ) -> tp.Tuple[jax.Array, tp.Optional[tp.List[dict]]]:
         cfg = self.config
         b, t, _ = inputs_embeds.shape
         wpe = self.param("wpe", nn.initializers.normal(0.01),
                          (cfg.n_positions, cfg.n_embd), jnp.float32)
+        # position_offset may be a (B, 1) array (batched left-padded decode:
+        # per-row offsets); jnp.take clips the negative pad-slot positions,
+        # whose K/V are masked via key_pad anyway
         positions = position_offset + jnp.arange(t)
         x = inputs_embeds.astype(self.dtype) + jnp.take(wpe, positions, axis=0).astype(self.dtype)
         new_caches = [] if cache is not None else None
         for i in range(cfg.n_layer):
             layer_cache = cache[i] if cache is not None else None
-            x, nc = GPT2Block(cfg.n_head, dtype=self.dtype, name=f"h_{i}")(x, layer_cache)
+            x, nc = GPT2Block(cfg.n_head, dtype=self.dtype, name=f"h_{i}")(x, layer_cache, key_pad)
             if new_caches is not None:
                 new_caches.append(nc)
         x = LayerNormF32(name="ln_f")(x)
@@ -150,10 +161,11 @@ class GPT2(nn.Module):
     def __call__(self, input_ids: tp.Optional[jax.Array] = None,
                  inputs_embeds: tp.Optional[jax.Array] = None,
                  position_offset: tp.Union[int, jax.Array] = 0,
-                 cache: tp.Optional[tp.List[dict]] = None):
+                 cache: tp.Optional[tp.List[dict]] = None,
+                 key_pad: tp.Optional[jax.Array] = None):
         if inputs_embeds is None:
             inputs_embeds = self.wte(input_ids)
-        h, new_cache = self.core(inputs_embeds, position_offset, cache)
+        h, new_cache = self.core(inputs_embeds, position_offset, cache, key_pad)
         logits = jnp.dot(h, self.wte.embedding.T.astype(h.dtype),
                          preferred_element_type=jnp.float32)
         return {"logits": logits, "hidden": h, "cache": new_cache}
@@ -224,12 +236,13 @@ class ClipGPT(nn.Module):
     def __call__(self, input_ids: tp.Optional[jax.Array] = None,
                  inputs_embeds: tp.Optional[jax.Array] = None,
                  position_offset: tp.Union[int, jax.Array] = 0,
-                 cache: tp.Optional[tp.List[dict]] = None):
+                 cache: tp.Optional[tp.List[dict]] = None,
+                 key_pad: tp.Optional[jax.Array] = None):
         """``inputs_embeds`` are CLIP-space embeddings (adapter applied here)."""
         if inputs_embeds is None:
             inputs_embeds = self.embed(input_ids)
         x = self.adapt_embeds(inputs_embeds)
-        h, new_cache = self.core(x, position_offset, cache)
+        h, new_cache = self.core(x, position_offset, cache, key_pad)
         logits = jnp.dot(h, self.lm_head_table().T, preferred_element_type=jnp.float32)
         return {"logits": logits, "hidden": h, "cache": new_cache}
 

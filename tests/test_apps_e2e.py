@@ -474,6 +474,32 @@ class TestGptPipeline:
         assert a1 == a2
         assert all(0 <= t < cfg.vocab_size for t in a1)
 
+    def test_batched_sampler_matches_per_prompt(self):
+        """generate_device_batched (left-padded, per-row positions, key-pad
+        masked) must reproduce per-prompt greedy decoding exactly for
+        variable-length prompts, including independent eot freezing."""
+        import jax
+
+        from summer_clip_tpu.apps.gen_gpt import generate_device, generate_device_batched
+        from summer_clip_tpu.models import gpt2 as gpt2_mod
+
+        cfg = gpt2_mod.GPT2_CONFIGS["test-gpt"]
+        model = gpt2_mod.GPT2(cfg)
+        variables = {"params": jax.jit(model.init)(
+            jax.random.PRNGKey(0), np.zeros((1, 4), np.int32))["params"]}
+        prompts = [[3, 14, 15], [9, 2, 6, 5, 3], [11], [7, 7, 1, 2]]
+
+        for kwargs in ({}, {"eot_id": 7}):
+            # greedy: top_k=1 makes the pick deterministic, so batched must
+            # equal the (already host-parity-pinned) per-prompt sampler
+            batched = generate_device_batched(
+                model, variables, prompts, max_new_tokens=10, top_k=1,
+                rng=jax.random.PRNGKey(5), **kwargs)
+            for p, got in zip(prompts, batched):
+                solo = generate_device(model, variables, p, max_new_tokens=10,
+                                       top_k=1, rng=jax.random.PRNGKey(5), **kwargs)
+                assert got == solo, (kwargs, p, got, solo)
+
     def test_train_gpt_loss_decreases(self, rundir):
         """Adapters must actually learn on a tiny corpus."""
         from summer_clip_tpu.apps import tokenize_dataset, train_gpt

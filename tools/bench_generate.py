@@ -33,9 +33,16 @@ def main(max_new: int = 128) -> None:
 
     import functools
 
+    from summer_clip_tpu.apps.gen_gpt import generate_device_batched
+
+    def batched8(model, variables, prompt, **kw):
+        outs = generate_device_batched(model, variables, [prompt] * 8, **kw)
+        return outs[0]
+
     variants = [
         ("device-scan", generate_device),
         ("device-scan approx_top_k", functools.partial(generate_device, approx_top_k=True)),
+        ("device-scan batched B=8 (per-row tokens/s x8)", batched8),
         ("host-loop", generate),
     ]
     for name, fn in variants:
