@@ -255,22 +255,35 @@ class GptGenerator(BaseTrainer):
 
         gcfg = self.cfg.generation
         rng = self.rng.next()
-        # device_loop (default): whole decode as one lax.scan jit — the
-        # host loop is kept as the parity oracle (gen.device_loop=false)
-        sampler = generate_device if bool(gcfg.get("device_loop", True)) else generate
-        for prompt in list(self.cfg.prompts or []):
-            ids = [self.tokenizer.sot_token] + self.tokenizer.encode(str(prompt))
+        prompts = [str(p) for p in (self.cfg.prompts or [])]
+        common = dict(max_new_tokens=int(gcfg.max_new_tokens),
+                      temperature=float(gcfg.temperature),
+                      top_k=int(gcfg.top_k), eot_id=self.tokenizer.eot_token)
+        if prompts and bool(gcfg.get("batched", False)):
+            # all prompts in ONE scan (left-padded serving path)
+            ids_all = [[self.tokenizer.sot_token] + self.tokenizer.encode(p)
+                       for p in prompts]
             rng, sub = jax.random.split(rng)
-            extra = ({"approx_top_k": bool(gcfg.get("approx_top_k", False))}
-                     if sampler is generate_device else {})
-            out_ids = sampler(self.model, self.variables, ids,
-                              max_new_tokens=int(gcfg.max_new_tokens),
-                              temperature=float(gcfg.temperature),
-                              top_k=int(gcfg.top_k), rng=sub,
-                              eot_id=self.tokenizer.eot_token, **extra)
+            outs = generate_device_batched(
+                self.model, self.variables, ids_all, rng=sub,
+                approx_top_k=bool(gcfg.get("approx_top_k", False)), **common)
+        else:
+            # device_loop (default): per-prompt decode as one lax.scan jit —
+            # the host loop is kept as the parity oracle (device_loop=false)
+            device = bool(gcfg.get("device_loop", True))
+            sampler = generate_device if device else generate
+            outs = []
+            for prompt in prompts:
+                ids = [self.tokenizer.sot_token] + self.tokenizer.encode(prompt)
+                rng, sub = jax.random.split(rng)
+                extra = ({"approx_top_k": bool(gcfg.get("approx_top_k", False))}
+                         if device else {})
+                outs.append(sampler(self.model, self.variables, ids, rng=sub,
+                                    **common, **extra))
+        for prompt, out_ids in zip(prompts, outs):
             text = self.tokenizer.decode(out_ids)
-            results["generations"].append({"prompt": str(prompt), "ids": out_ids, "text": text})
-            self.logger.log_info({"type": "generation", "prompt": str(prompt), "text": text})
+            results["generations"].append({"prompt": prompt, "ids": out_ids, "text": text})
+            self.logger.log_info({"type": "generation", "prompt": prompt, "text": text})
 
         Path("results.yaml").write_text(yaml.safe_dump(results, allow_unicode=True))
         logging.info("Saved results.yaml")

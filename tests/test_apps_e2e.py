@@ -439,6 +439,15 @@ class TestGptPipeline:
         assert gens and isinstance(gens[-1]["text"], str)
         assert list(rundir.rglob("results.yaml"))
 
+        # batched serving path: both prompts decode in one scan
+        gen_gpt.run(argv=[
+            f"model.checkpoint_dir={ckpts[-1]}",
+            "generation.max_new_tokens=4", "generation.batched=true",
+            'prompts=["a photo of","a"]',
+        ])
+        gens = [r for r in _records(rundir) if r.get("type") == "generation"]
+        assert len(gens) >= 3 and all(isinstance(g["text"], str) for g in gens)
+
     def test_device_sampler_matches_host_loop(self):
         """generate_device (one lax.scan jit) must produce EXACTLY the ids
         of the host-loop generate given the same rng — incl. eot truncation."""
