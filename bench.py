@@ -210,7 +210,7 @@ def bench_gpt_train_step(batch: int = 8, ctx: int = 1024) -> None:
         assert math.isfinite(float(sum(l.astype(jnp.float32) for l in losses)))
         best = min(best, (time.perf_counter() - t0) / iters)
     log(f"[bench] gpt2 train step (b={batch}, ctx={ctx}): {best * 1e3:.1f} ms/step = "
-        f"{batch * ctx / best:,.0f} tokens/s (94% of the measured HBM roofline — docs/KERNELS.md)")
+        f"{batch * ctx / best:,.0f} tokens/s (HBM-roofline analysis: docs/KERNELS.md)")
 
 
 def bench_image_attention_combo(nt: int = 19850, nc: int = 19850, d: int = 1024,

@@ -163,6 +163,25 @@ def create_clip_session(model_name: str,
     return ClipSession(model, cfg, variables, mesh=mesh)
 
 
+def data_parallel_mesh(batch_size: int) -> tp.Optional[jax.sharding.Mesh]:
+    """Shared trainer mesh policy: a ('data', 'model'=1) mesh over every
+    visible device when the batch divides evenly, else single-device.
+    Calls distributed_init() so multi-host pods rendezvous first."""
+    from summer_clip_tpu.parallel import create_mesh, distributed_init
+
+    distributed_init()
+    n = len(jax.devices())
+    return create_mesh(data=n, model=1) if (n > 1 and batch_size % n == 0) else None
+
+
+def resolve_prompting(cfg, view) -> tp.Tuple[tp.Sequence[str], tp.Sequence[str]]:
+    """(classes, templates): config overrides win, else the dataset's own."""
+    prompting = cfg.get("prompting")
+    templates = (prompting.get("templates") if prompting else None) or view.template
+    classes = (prompting.get("classes") if prompting else None) or view.classes
+    return classes, templates
+
+
 def extract_image_features(session: ClipSession, batcher: tp.Iterable[Batch],
                            progress_fn: tp.Optional[tp.Callable[[int], None]] = None,
                            preproj: bool = False

@@ -8,6 +8,7 @@ functional KV cache (temperature / top-k sampling). Results go to
 
 from __future__ import annotations
 
+import functools
 import logging
 import typing as tp
 from pathlib import Path
@@ -83,6 +84,54 @@ def generate(model, variables, prompt_ids: tp.Sequence[int], *, max_new_tokens: 
     return out_ids
 
 
+def _sample_next(scaled: jax.Array, sub: jax.Array, top_k: int,
+                 approx_top_k: bool) -> jax.Array:
+    """One sampling pick over (..., V) logits (shared by both scan bodies).
+
+    ``approx_top_k`` routes through ``jax.lax.approx_max_k`` — the
+    TPU-native O(V) top-k vs the full sort ``lax.top_k`` lowers to; trades
+    exact host-loop parity for ~0.95-recall boundary approximation.
+    """
+    if top_k and approx_top_k:
+        vals, idx = jax.lax.approx_max_k(scaled, int(top_k))
+    elif top_k:
+        vals, idx = jax.lax.top_k(scaled, int(top_k))
+    else:
+        return jax.random.categorical(sub, scaled, axis=-1)
+    pick = jax.random.categorical(sub, vals, axis=-1)
+    return jnp.take_along_axis(idx, pick[..., None], axis=-1)[..., 0]
+
+
+@functools.lru_cache(maxsize=64)
+def _decode_program(model, n_prompt: int, max_new: int, temp: float,
+                    top_k: int, approx_top_k: bool, eot: int):
+    """Jitted prefill + decode scan, memoized on (model, shapes, sampling
+    params) — defining the jit inside generate_device would retrace and
+    recompile on every call."""
+
+    @jax.jit
+    def run(variables, prompt, rng, cache):
+        out = model.apply(variables, prompt, position_offset=0, cache=cache)
+        last, cache = out["logits"][:, -1, :], out["cache"]
+
+        def body(carry, _):
+            last, cache, rng, offset, done = carry
+            rng, sub = jax.random.split(rng)
+            nxt = _sample_next(last[0] / temp, sub, top_k, approx_top_k)
+            nxt = jnp.where(done, jnp.asarray(eot, nxt.dtype), nxt).astype(jnp.int32)
+            done = done | (nxt == eot)
+            out = model.apply(variables, nxt[None, None], position_offset=offset,
+                              cache=cache)
+            return (out["logits"][:, -1, :], out["cache"], rng, offset + 1, done), nxt
+
+        init = (last, cache, rng, jnp.asarray(n_prompt, jnp.int32),
+                jnp.asarray(False))
+        _, toks = jax.lax.scan(body, init, None, length=max_new)
+        return toks
+
+    return run
+
+
 def generate_device(model, variables, prompt_ids: tp.Sequence[int], *,
                     max_new_tokens: int = 20, temperature: float = 1.0,
                     top_k: int = 50, rng: tp.Optional[jax.Array] = None,
@@ -102,43 +151,15 @@ def generate_device(model, variables, prompt_ids: tp.Sequence[int], *,
     """
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     n_prompt = len(prompt_ids)
+    assert n_prompt + max_new_tokens <= model.config.n_positions, (
+        f"prompt {n_prompt} + max_new_tokens {max_new_tokens} exceeds the "
+        f"model's {model.config.n_positions} positions")
     cache = model.apply(variables, method=model.init_cache, batch=1,
                         max_len=n_prompt + max_new_tokens)
-    temp = max(float(temperature), 1e-6)
-    eot = -1 if eot_id is None else int(eot_id)
-
-    @jax.jit
-    def run(variables, prompt, rng, cache):
-        out = model.apply(variables, prompt, position_offset=0, cache=cache)
-        last, cache = out["logits"][:, -1, :], out["cache"]
-
-        def body(carry, _):
-            last, cache, rng, offset, done = carry
-            scaled = last[0] / temp
-            rng, sub = jax.random.split(rng)
-            if top_k and approx_top_k:
-                # TPU-native approximate top-k: O(V) on the VPU vs the full
-                # sort lax.top_k lowers to. Trades exact host-loop parity
-                # for boundary-of-top-k approximation (recall ~0.95), hence
-                # opt-in (generation.approx_top_k).
-                vals, idx = jax.lax.approx_max_k(scaled, int(top_k))
-                nxt = idx[jax.random.categorical(sub, vals)]
-            elif top_k:
-                vals, idx = jax.lax.top_k(scaled, int(top_k))
-                nxt = idx[jax.random.categorical(sub, vals)]
-            else:
-                nxt = jax.random.categorical(sub, scaled)
-            nxt = jnp.where(done, jnp.asarray(eot, nxt.dtype), nxt).astype(jnp.int32)
-            done = done | (nxt == eot)
-            out = model.apply(variables, nxt[None, None], position_offset=offset,
-                              cache=cache)
-            return (out["logits"][:, -1, :], out["cache"], rng, offset + 1, done), nxt
-
-        init = (last, cache, rng, jnp.asarray(n_prompt, jnp.int32),
-                jnp.asarray(False))
-        _, toks = jax.lax.scan(body, init, None, length=int(max_new_tokens))
-        return toks
-
+    run = _decode_program(model, n_prompt, int(max_new_tokens),
+                          max(float(temperature), 1e-6), int(top_k),
+                          bool(approx_top_k),
+                          -1 if eot_id is None else int(eot_id))
     toks = np.asarray(run(variables, jnp.asarray(np.asarray(prompt_ids, np.int32))[None],
                           rng, cache))
     out_ids = list(int(i) for i in prompt_ids)
@@ -147,6 +168,36 @@ def generate_device(model, variables, prompt_ids: tp.Sequence[int], *,
         if eot_id is not None and int(t) == eot_id:
             break
     return out_ids
+
+
+@functools.lru_cache(maxsize=64)
+def _decode_program_batched(model, batch: int, l_max: int, max_new: int,
+                            temp: float, top_k: int, approx_top_k: bool,
+                            eot: int):
+    """Jitted batched prefill + decode scan (memoized; see _decode_program)."""
+
+    @jax.jit
+    def run(variables, ids, pad, rng, cache):
+        out = model.apply(variables, ids, position_offset=(-pad)[:, None],
+                          cache=cache, key_pad=pad)
+        last, cache0 = out["logits"][:, -1, :], out["cache"]
+
+        def body(carry, step):
+            last, cache, rng, done = carry
+            rng, sub = jax.random.split(rng)
+            nxt = _sample_next(last / temp, sub, top_k, approx_top_k)
+            nxt = jnp.where(done, jnp.asarray(eot, nxt.dtype), nxt).astype(jnp.int32)
+            done = done | (nxt == eot)
+            offs = (l_max + step - pad)[:, None]
+            out = model.apply(variables, nxt[:, None], position_offset=offs,
+                              cache=cache, key_pad=pad)
+            return (out["logits"][:, -1, :], out["cache"], rng, done), nxt
+
+        init = (last, cache0, rng, jnp.zeros(batch, bool))
+        _, toks = jax.lax.scan(body, init, jnp.arange(max_new))
+        return toks  # (max_new, B)
+
+    return run
 
 
 def generate_device_batched(model, variables, prompts: tp.Sequence[tp.Sequence[int]], *,
@@ -168,46 +219,19 @@ def generate_device_batched(model, variables, prompts: tp.Sequence[tp.Sequence[i
     lens = [len(p) for p in prompts]
     assert min(lens) > 0, "empty prompt"
     l_max = max(lens)
+    assert l_max + max_new_tokens <= model.config.n_positions, (
+        f"longest prompt {l_max} + max_new_tokens {max_new_tokens} exceeds "
+        f"the model's {model.config.n_positions} positions")
     ids = np.zeros((B, l_max), np.int32)
     for r, p in enumerate(prompts):
         ids[r, l_max - len(p):] = p
     pad = jnp.asarray([l_max - ln for ln in lens], jnp.int32)
     cache = model.apply(variables, method=model.init_cache, batch=B,
                         max_len=l_max + max_new_tokens)
-    temp = max(float(temperature), 1e-6)
-    eot = -1 if eot_id is None else int(eot_id)
-
-    @jax.jit
-    def run(variables, ids, pad, rng, cache):
-        out = model.apply(variables, ids, position_offset=(-pad)[:, None],
-                          cache=cache, key_pad=pad)
-        last, cache0 = out["logits"][:, -1, :], out["cache"]
-
-        def body(carry, step):
-            last, cache, rng, done = carry
-            scaled = last / temp
-            rng, sub = jax.random.split(rng)
-            if top_k and approx_top_k:
-                vals, idx = jax.lax.approx_max_k(scaled, int(top_k))
-                pick = jax.random.categorical(sub, vals, axis=-1)
-                nxt = jnp.take_along_axis(idx, pick[:, None], axis=1)[:, 0]
-            elif top_k:
-                vals, idx = jax.lax.top_k(scaled, int(top_k))
-                pick = jax.random.categorical(sub, vals, axis=-1)
-                nxt = jnp.take_along_axis(idx, pick[:, None], axis=1)[:, 0]
-            else:
-                nxt = jax.random.categorical(sub, scaled, axis=-1)
-            nxt = jnp.where(done, jnp.asarray(eot, nxt.dtype), nxt).astype(jnp.int32)
-            done = done | (nxt == eot)
-            offs = (l_max + step - pad)[:, None]
-            out = model.apply(variables, nxt[:, None], position_offset=offs,
-                              cache=cache, key_pad=pad)
-            return (out["logits"][:, -1, :], out["cache"], rng, done), nxt
-
-        init = (last, cache0, rng, jnp.zeros(B, bool))
-        _, toks = jax.lax.scan(body, init, jnp.arange(int(max_new_tokens)))
-        return toks  # (max_new, B)
-
+    run = _decode_program_batched(model, B, l_max, int(max_new_tokens),
+                                  max(float(temperature), 1e-6), int(top_k),
+                                  bool(approx_top_k),
+                                  -1 if eot_id is None else int(eot_id))
     toks = np.asarray(run(variables, jnp.asarray(ids), pad, rng, cache))
     results: tp.List[tp.List[int]] = []
     for r, p in enumerate(prompts):

@@ -30,14 +30,9 @@ class TipAdapterTrainer(BaseTrainer):
     dataset_view_cls = DatasetView
 
     def setup_mesh(self):
-        import jax
+        from summer_clip_tpu.apps.common import data_parallel_mesh
 
-        from summer_clip_tpu.parallel import create_mesh, distributed_init
-
-        distributed_init()
-        n = len(jax.devices())
-        bs = int(self.cfg.data.batch_size)
-        self.mesh = create_mesh(data=n, model=1) if (n > 1 and bs % n == 0) else None
+        self.mesh = data_parallel_mesh(int(self.cfg.data.batch_size))
 
     def setup_model(self):
         cfg = self.cfg
@@ -64,9 +59,9 @@ class TipAdapterTrainer(BaseTrainer):
         self.num_classes = train_view.base.num_classes
 
         self.logger.log_info("Getting textual features as CLIP's classifier.")
-        prompting = cfg.get("prompting")
-        templates = (prompting.get("templates") if prompting else None) or train_view.template
-        classes = (prompting.get("classes") if prompting else None) or train_view.classes
+        from summer_clip_tpu.apps.common import resolve_prompting
+
+        classes, templates = resolve_prompting(cfg, train_view)
         self.clip_weights = np.asarray(
             zeroshot_classifier(self.session.encode_text, classes, templates), np.float32)
 

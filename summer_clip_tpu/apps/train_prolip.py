@@ -27,14 +27,9 @@ class ProLipTrainer(BaseTrainer):
     dataset_view_cls = DatasetView
 
     def setup_mesh(self):
-        import jax
+        from summer_clip_tpu.apps.common import data_parallel_mesh
 
-        from summer_clip_tpu.parallel import create_mesh, distributed_init
-
-        distributed_init()
-        n = len(jax.devices())
-        bs = int(self.cfg.data.batch_size)
-        self.mesh = create_mesh(data=n, model=1) if (n > 1 and bs % n == 0) else None
+        self.mesh = data_parallel_mesh(int(self.cfg.data.batch_size))
 
     def setup_model(self):
         cfg = self.cfg
@@ -54,9 +49,9 @@ class ProLipTrainer(BaseTrainer):
         test_view = self.dataset_view_cls(str(cfg.dataset), "test", str(cfg.root_path), -1,
                                           input_size=size, device_normalize=dn)
 
-        prompting = cfg.get("prompting")
-        templates = (prompting.get("templates") if prompting else None) or train_view.template
-        classes = (prompting.get("classes") if prompting else None) or train_view.classes
+        from summer_clip_tpu.apps.common import resolve_prompting
+
+        classes, templates = resolve_prompting(cfg, train_view)
         self.classifier = np.asarray(
             zeroshot_classifier(self.session.encode_text, classes, templates), np.float32)
 

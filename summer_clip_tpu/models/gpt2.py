@@ -126,9 +126,11 @@ class GPT2Core(nn.Module):
         wpe = self.param("wpe", nn.initializers.normal(0.01),
                          (cfg.n_positions, cfg.n_embd), jnp.float32)
         # position_offset may be a (B, 1) array (batched left-padded decode:
-        # per-row offsets); jnp.take clips the negative pad-slot positions,
-        # whose K/V are masked via key_pad anyway
-        positions = position_offset + jnp.arange(t)
+        # per-row offsets). Clamp explicitly: jnp.take's default mode WRAPS
+        # negative indices and NaN-fills out-of-range ones — pad slots get
+        # position 0 (their K/V are key_pad-masked anyway) and over-length
+        # decodes saturate at the last position instead of going NaN.
+        positions = jnp.clip(position_offset + jnp.arange(t), 0, cfg.n_positions - 1)
         x = inputs_embeds.astype(self.dtype) + jnp.take(wpe, positions, axis=0).astype(self.dtype)
         new_caches = [] if cache is not None else None
         for i in range(cfg.n_layer):

@@ -483,6 +483,13 @@ class TestGptPipeline:
         assert a1 == a2
         assert all(0 <= t < cfg.vocab_size for t in a1)
 
+        # requesting more tokens than the model has positions fails loudly
+        # (jnp.take would otherwise NaN-fill past-the-end position lookups)
+        import pytest
+        with pytest.raises(AssertionError, match="positions"):
+            generate_device(model, variables, prompt,
+                            max_new_tokens=cfg.n_positions + 1, rng=key)
+
     def test_batched_sampler_matches_per_prompt(self):
         """generate_device_batched (left-padded, per-row positions, key-pad
         masked) must reproduce per-prompt greedy decoding exactly for
