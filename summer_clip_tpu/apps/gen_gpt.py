@@ -218,10 +218,15 @@ def generate_device_batched(model, variables, prompts: tp.Sequence[tp.Sequence[i
     B = len(prompts)
     lens = [len(p) for p in prompts]
     assert min(lens) > 0, "empty prompt"
-    l_max = max(lens)
-    assert l_max + max_new_tokens <= model.config.n_positions, (
-        f"longest prompt {l_max} + max_new_tokens {max_new_tokens} exceeds "
-        f"the model's {model.config.n_positions} positions")
+    # bucket the padded length to a multiple of 16: serving workloads with
+    # varying prompt lengths then reuse a handful of compiled programs
+    # instead of one per distinct length (extra pad columns are key_pad-
+    # masked like any other pad)
+    l_max = min(-(-max(lens) // 16) * 16,
+                model.config.n_positions - max_new_tokens)
+    assert max(lens) + max_new_tokens <= model.config.n_positions, (
+        f"longest prompt {max(lens)} + max_new_tokens {max_new_tokens} "
+        f"exceeds the model's {model.config.n_positions} positions")
     ids = np.zeros((B, l_max), np.int32)
     for r, p in enumerate(prompts):
         ids[r, l_max - len(p):] = p
