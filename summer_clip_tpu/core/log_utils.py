@@ -90,6 +90,22 @@ class NullExpLogger:
     def log_table(self, name: str, columns: tp.List[str], rows: tp.List[tp.List[tp.Any]]) -> None:
         pass
 
+    def log_code(self, root: tp.Union[str, Path] = ".",
+                 include: str = "**/*.py") -> tp.List[str]:
+        """Snapshot the source tree for reproducibility (reference WandbLogger
+        uploads every ``**/*.py`` as a wandb code artifact, log_utils.py:56-65).
+        Returns the list of captured relative paths."""
+        root = Path(root)
+        files = sorted(
+            str(p.relative_to(root)) for p in root.glob(include)
+            if p.is_file() and "outputs" not in p.parts and ".git" not in p.parts
+        )
+        self._log_code_impl(root, files)
+        return files
+
+    def _log_code_impl(self, root: Path, files: tp.List[str]) -> None:
+        pass
+
     def finish(self) -> None:
         pass
 
@@ -121,6 +137,15 @@ class JsonlLogger(NullExpLogger):
     def log_table(self, name: str, columns: tp.List[str], rows: tp.List[tp.List[tp.Any]]) -> None:
         self.log({"type": "table", "name": name, "columns": columns, "rows": rows})
 
+    def _log_code_impl(self, path_root: Path, files: tp.List[str]) -> None:
+        import hashlib
+
+        manifest = {
+            f: hashlib.sha256((path_root / f).read_bytes()).hexdigest()[:16]
+            for f in files
+        }
+        self.log({"type": "code_artifact", "root": str(path_root), "files": manifest})
+
 
 class WandbLogger(NullExpLogger):
     """wandb sink (used only when wandb is importable; mirrors log_utils.py:52-71)."""
@@ -137,6 +162,12 @@ class WandbLogger(NullExpLogger):
 
     def log_table(self, name: str, columns: tp.List[str], rows: tp.List[tp.List[tp.Any]]) -> None:
         self._wandb.log({name: self._wandb.Table(columns=columns, data=rows)})
+
+    def _log_code_impl(self, path_root: Path, files: tp.List[str]) -> None:
+        artifact = self._wandb.Artifact("source_code", type="code")
+        for f in files:
+            artifact.add_file(str(path_root / f), name=f)
+        self.run.log_artifact(artifact)
 
     def finish(self) -> None:
         self.run.finish()

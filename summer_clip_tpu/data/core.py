@@ -184,3 +184,44 @@ class DatasetBase:
         for item in data:
             out[item.label].append(item)
         return out
+
+    def download_data(self, url: str, dst: tp.Union[str, Path],
+                      from_gdrive: bool = True) -> None:
+        """Fetch + extract a dataset archive (reference
+        ``tip_adapter/datasets/utils.py:188-209``). Google-Drive URLs need the
+        optional ``gdown`` package; plain URLs use urllib. The archive is
+        extracted next to ``dst`` (tar first, zip fallback)."""
+        dst = Path(dst)
+        dst.parent.mkdir(parents=True, exist_ok=True)
+        if from_gdrive:
+            try:
+                import gdown  # type: ignore
+            except ImportError as e:
+                raise RuntimeError(
+                    "gdown is required for Google-Drive downloads; install it "
+                    "or place the extracted dataset under the dataset root "
+                    "manually") from e
+            gdown.download(url, str(dst), quiet=False)
+        else:
+            import urllib.request
+
+            urllib.request.urlretrieve(url, dst)
+        self.extract_archive(dst)
+
+    @staticmethod
+    def extract_archive(archive: tp.Union[str, Path]) -> Path:
+        """Extract a tar/zip archive into its parent directory."""
+        import tarfile
+        import zipfile
+
+        archive = Path(archive)
+        target = archive.parent
+        if tarfile.is_tarfile(archive):
+            with tarfile.open(archive) as tar:
+                tar.extractall(path=target, filter="data")
+        elif zipfile.is_zipfile(archive):
+            with zipfile.ZipFile(archive) as zf:
+                zf.extractall(target)
+        else:
+            raise ValueError(f"Unrecognized archive format: {archive}")
+        return target

@@ -225,8 +225,19 @@ class ImageNetDataset(DatasetBase):
             if not split_dir.exists():
                 return items
             wnids = listdir_nohidden(split_dir)
+            # Labels are positional over sorted wnids (torchvision ordering;
+            # reference pins the 1000 names explicitly, imagenet.py:11-175).
+            # A missing/extra class dir would silently shift every later
+            # label — fail loudly instead.
+            if len(wnids) != len(classnames):
+                raise ValueError(
+                    f"ImageNet {split} split at {split_dir} has {len(wnids)} class "
+                    f"dirs but the curated classname table has {len(classnames)}; "
+                    "positional wnid->classname mapping would mislabel every class "
+                    "after the first mismatch. Fix the dataset directory (or point "
+                    "root at a full copy).")
             for label, wnid in enumerate(wnids):
-                cname = classnames[label] if label < len(classnames) else wnid
+                cname = classnames[label]
                 for img in listdir_nohidden(split_dir / wnid):
                     items.append(Datum(
                         impath=str(split_dir / wnid / img), label=label, classname=cname,
@@ -235,6 +246,12 @@ class ImageNetDataset(DatasetBase):
 
         train = read_dir("train")
         val = read_dir("val")
+        train_wnids = listdir_nohidden(base / "train") if (base / "train").exists() else None
+        val_wnids = listdir_nohidden(base / "val") if (base / "val").exists() else None
+        if train_wnids is not None and val_wnids is not None and train_wnids != val_wnids:
+            raise ValueError(
+                "ImageNet train/ and val/ wnid directory sets differ — labels "
+                "would disagree between splits.")
         train = self.generate_fewshot_dataset(train, num_shots=num_shots, rng=rng)
         ds = super().__init__(train_x=train, val=val, test=val)
         if not self._classnames:

@@ -58,7 +58,8 @@ class ImageBatcher:
                  transform: tp.Optional[tp.Callable] = None,
                  load_images: bool = True, shuffle: bool = False,
                  seed: int = 0, num_threads: int = 16,
-                 drop_last: bool = False, use_native: tp.Optional[bool] = None):
+                 drop_last: bool = False, use_native: tp.Optional[bool] = None,
+                 k_tfm: int = 1):
         self.data = list(data)
         self.batch_size = batch_size
         self.transform = transform or EvalTransform()
@@ -67,6 +68,14 @@ class ImageBatcher:
         self.seed = seed
         self.num_threads = num_threads
         self.drop_last = drop_last
+        # k_tfm > 1: decode once, apply the (stochastic) transform k times and
+        # stack -> (B, K, H, W, 3) multi-view batches (reference DatasetWrapper
+        # k_tfm, tip_adapter/datasets/utils.py:315-341)
+        if k_tfm < 1:
+            raise ValueError(f"k_tfm must be >= 1, got {k_tfm}")
+        if k_tfm > 1 and transform is None:
+            raise ValueError(f"Cannot augment the image {k_tfm} times because transform is None")
+        self.k_tfm = k_tfm
         self._epoch = 0
         # native C++ decode path: eval transform over JPEG files only
         if use_native is None:
@@ -75,7 +84,7 @@ class ImageBatcher:
                 and bool(self.data)
                 and self.data[0].impath.lower().endswith((".jpg", ".jpeg"))
             )
-        self.use_native = bool(use_native) and self._native_available()
+        self.use_native = bool(use_native) and self.k_tfm == 1 and self._native_available()
 
     @staticmethod
     def _native_available() -> bool:
@@ -107,17 +116,26 @@ class ImageBatcher:
             from summer_clip_tpu.data.datasets import SyntheticDataset
 
             size = getattr(self.transform, "input_size", 32)
-            return SyntheticDataset.render(item.impath, size)
-        rng = np.random.default_rng((self.seed, self._epoch, aug_seed))
+            img = SyntheticDataset.render(item.impath, size)
+            if self.k_tfm > 1:
+                return np.stack([img] * self.k_tfm)
+            return img
         if item.impath.startswith("array://"):
             from PIL import Image
 
             from summer_clip_tpu.data.array_datasets import resolve_array_image
 
             img = Image.fromarray(resolve_array_image(item.impath))
+        else:
+            img = load_image(item.impath)
+        if self.k_tfm == 1:
+            rng = np.random.default_rng((self.seed, self._epoch, aug_seed))
             return self.transform(img, rng)
-        img = load_image(item.impath)
-        return self.transform(img, rng)
+        views = [
+            self.transform(img, np.random.default_rng((self.seed, self._epoch, aug_seed, k)))
+            for k in range(self.k_tfm)
+        ]
+        return np.stack(views)
 
     def __iter__(self) -> tp.Iterator[Batch]:
         order = self._order()

@@ -27,7 +27,8 @@ class DatasetView:
     def __init__(self, dataset: str, split: str, root_path: str, shots: int = -1,
                  input_size: int = 224, is_train: bool = False,
                  use_custom_preprocess: bool = False, load_images: bool = True,
-                 seed: int = 0, device_normalize: bool = False, **dataset_kwargs):
+                 seed: int = 0, device_normalize: bool = False, k_tfm: int = 1,
+                 **dataset_kwargs):
         rng = np.random.default_rng(seed)
         self.base: DatasetBase = build_dataset(dataset, root_path, shots, rng=rng, **dataset_kwargs)
         self.split = split
@@ -35,6 +36,9 @@ class DatasetView:
         self.load_images = load_images
         self.is_train = is_train
         self.input_size = input_size
+        # multi-view augmentation only applies under a train transform
+        # (reference DatasetWrapper: k_tfm if is_train else 1, utils.py:322)
+        self.k_tfm = k_tfm if is_train else 1
         if is_train or use_custom_preprocess:
             self.transform: tp.Any = TrainTransform(input_size, device_normalize=device_normalize)
         else:
@@ -69,6 +73,7 @@ class DatasetView:
 
     def batcher(self, batch_size: int = 256, shuffle: bool = False,
                 seed: int = 0, **kwargs) -> ImageBatcher:
+        kwargs.setdefault("k_tfm", self.k_tfm)
         return ImageBatcher(self.data, batch_size=batch_size, transform=self.transform,
                             load_images=self.load_images, shuffle=shuffle, seed=seed, **kwargs)
 

@@ -38,15 +38,34 @@ def pad_cache_for_mesh(cache_features: jnp.ndarray, cache_values: jnp.ndarray,
     return cache_features, cache_values
 
 
+def _shard_kernel(impl: str) -> tp.Callable:
+    """Per-shard kernel choice. ``auto``: Pallas on TPU, dense XLA elsewhere;
+    ``pallas``: the Pallas kernel everywhere (interpret mode off-TPU — this is
+    how the pod composition shard_map+Pallas is proven on the virtual CPU
+    mesh, VERDICT r2 #5); ``reference``: dense XLA everywhere."""
+    if impl == "reference":
+        return cache_attention_reference
+    if impl == "pallas":
+        from summer_clip_tpu.ops.cache_kernels import cache_attention
+
+        interpret = jax.default_backend() != "tpu"
+        return functools.partial(cache_attention, interpret=interpret)
+    if impl == "auto":
+        return cache_attention_auto
+    raise ValueError(f"unknown impl: {impl!r}")
+
+
 def sharded_cache_logits(test_features: jnp.ndarray, cache_features: jnp.ndarray,
                          cache_values: jnp.ndarray, betas: jnp.ndarray,
-                         mesh: Mesh, axis: str = "model") -> jnp.ndarray:
+                         mesh: Mesh, axis: str = "model",
+                         impl: str = "auto") -> jnp.ndarray:
     """(B, Nt, C) logits with the cache sharded over ``axis`` of ``mesh``."""
     n_shards = mesh.shape[axis]
     cache_features, cache_values = pad_cache_for_mesh(cache_features, cache_values, n_shards)
     betas = jnp.atleast_1d(jnp.asarray(betas, jnp.float32))
 
     other_axes = [a for a in mesh.axis_names if a != axis]
+    kernel = _shard_kernel(impl)
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -55,10 +74,7 @@ def sharded_cache_logits(test_features: jnp.ndarray, cache_features: jnp.ndarray
         check_vma=False,
     )
     def compute(f, c_shard, v_shard, b):
-        if jax.default_backend() == "tpu":
-            part = cache_attention_auto(f, c_shard, v_shard, b)
-        else:
-            part = cache_attention_reference(f, c_shard, v_shard, b)
+        part = kernel(f, c_shard, v_shard, b)
         part = jax.lax.psum(part, axis)
         # replicate across unused axes so out_specs=P() is valid
         for a in other_axes:
@@ -94,8 +110,9 @@ class ShardedResidentCache:
     """
 
     def __init__(self, cache_features: np.ndarray, cache_outs: np.ndarray,
-                 mesh: Mesh, axis: str = "model"):
+                 mesh: Mesh, axis: str = "model", impl: str = "auto"):
         self.mesh, self.axis = mesh, axis
+        self.impl = impl
         self.n_rows = int(cache_features.shape[0])
         n_shards = mesh.shape[axis]
         cf = np.asarray(cache_features, np.float32)
@@ -117,6 +134,7 @@ class ShardedResidentCache:
     def _build(self, kind: str) -> tp.Callable:
         axis = self.axis
         other_axes = [a for a in self.mesh.axis_names if a != axis]
+        kernel = _shard_kernel(self.impl)
 
         @functools.partial(
             shard_map, mesh=self.mesh,
@@ -133,10 +151,7 @@ class ShardedResidentCache:
             else:  # pragma: no cover - guarded by logits()
                 raise ValueError(kind)
             v = v * m_shard[:, None]
-            if jax.default_backend() == "tpu":
-                part = cache_attention_auto(f, c_shard, v, b)
-            else:
-                part = cache_attention_reference(f, c_shard, v, b)
+            part = kernel(f, c_shard, v, b)
             part = jax.lax.psum(part, axis)
             for a in other_axes:
                 part = jax.lax.pmean(part, a)

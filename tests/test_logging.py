@@ -50,6 +50,22 @@ class TestJsonlLogger:
         assert recs[1]["acc1"] == 1.5
         assert recs[2]["type"] == "table" and recs[2]["name"] == "prompts"
 
+    def test_log_code_manifest(self, tmp_path):
+        """Code-artifact snapshot (reference WandbLogger uploads **/*.py,
+        log_utils.py:56-65) — JSONL sink records path -> sha256 manifest."""
+        (tmp_path / "pkg").mkdir()
+        (tmp_path / "pkg" / "a.py").write_text("x = 1\n")
+        (tmp_path / "top.py").write_text("y = 2\n")
+        (tmp_path / "outputs" / "run").mkdir(parents=True)
+        (tmp_path / "outputs" / "run" / "skip.py").write_text("z = 3\n")
+        lg = L.JsonlLogger(tmp_path / "records.jsonl")
+        files = lg.log_code(tmp_path)
+        assert files == ["pkg/a.py", "top.py"]  # outputs/ excluded
+        recs = [json.loads(l) for l in (tmp_path / "records.jsonl").read_text().splitlines()]
+        art = [r for r in recs if r.get("type") == "code_artifact"][0]
+        assert set(art["files"]) == {"pkg/a.py", "top.py"}
+        assert all(len(h) == 16 for h in art["files"].values())
+
     def test_manager_fanout(self, tmp_path):
         mgr = L.LoggingManager(L.JsonlLogger(tmp_path / "r.jsonl"), L.ConsoleLogger("t"))
         mgr.log_info({"type": "x", "v": 1})

@@ -75,6 +75,47 @@ class TestShardedCache:
                 np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                            atol=1e-4, rtol=1e-4)
 
+    def test_pallas_interpret_through_shard_map(self, devices8):
+        """The composition a pod would run — shard_map with the PALLAS kernel
+        per shard — proven structurally on the virtual mesh via interpret mode
+        (VERDICT r2 #5): must match the dense oracle, not just the XLA
+        fallback path."""
+        mesh = create_mesh(data=2, model=4, devices=devices8)
+        rng = np.random.RandomState(3)
+        nt, nc, d, c = 8, 37, 16, 5  # nc not divisible -> pad rows ride the kernel
+        f = rng.randn(nt, d).astype(np.float32)
+        f /= np.linalg.norm(f, axis=1, keepdims=True)
+        cache = rng.randn(nc, d).astype(np.float32)
+        cache /= np.linalg.norm(cache, axis=1, keepdims=True)
+        values = rng.randn(nc, c).astype(np.float32)
+        betas = jnp.asarray([0.5, 5.5])
+
+        out = sharded_cache_logits(f, cache, values, betas, mesh, axis="model",
+                                   impl="pallas")
+        ref = cache_attention_reference(jnp.asarray(f), jnp.asarray(cache),
+                                        jnp.asarray(values), betas)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+    def test_resident_cache_pallas_interpret_shard_path(self, devices8):
+        mesh = create_mesh(data=2, model=4, devices=devices8)
+        rng = np.random.RandomState(4)
+        nt, nc, d, c = 6, 21, 16, 4
+        f = rng.randn(nt, d).astype(np.float32)
+        f /= np.linalg.norm(f, axis=1, keepdims=True)
+        cache = rng.randn(nc, d).astype(np.float32)
+        outs = rng.randn(nc, c).astype(np.float32)
+        cn = cache / np.linalg.norm(cache, axis=1, keepdims=True)
+        betas = [1.0, 7.5]
+
+        resident = ShardedResidentCache(cache, outs, mesh, axis="model", impl="pallas")
+        inds = np.asarray([0, 2, 5, 9, 14, 20])
+        got = resident.logits(jnp.asarray(f), inds, betas, kind="hard")
+        hard = np.zeros((len(inds), c), np.float32)
+        hard[np.arange(len(inds)), outs[inds].argmax(1)] = 1.0
+        ref = cache_attention_reference(jnp.asarray(f), jnp.asarray(cn[inds]),
+                                        jnp.asarray(hard), jnp.asarray(betas))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
     def test_data_axis_sharding(self, devices8):
         mesh = create_mesh(data=8, model=1, devices=devices8)
         rng = np.random.RandomState(1)

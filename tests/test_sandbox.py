@@ -1,10 +1,13 @@
 """Sandbox tests: kmeans, input optimization, trigger search, GPT heads."""
 
+import json
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from summer_clip_tpu.sandbox import anomalous_tokens as AT
+from summer_clip_tpu.sandbox import create_trigger as CT
 from summer_clip_tpu.sandbox import mlm_trigger as MT
 from summer_clip_tpu.methods import gpt_heads as GH
 from summer_clip_tpu.models import gpt2 as G
@@ -76,6 +79,119 @@ class TestTriggerSearch:
                                    num_cands=16, rng=step_rng)
         assert score_fn(np.asarray(trigger)) >= s0
         assert trigger == [7, 7]
+
+
+def _char_encode(text):
+    """Toy tokenizer: one id per char, ids 1..127 (0 reserved for pad/mask)."""
+    return [max(1, ord(c) % 128) for c in text if not c.isspace()] or [1]
+
+
+class TestCreateTrigger:
+    """The vendored-autoprompt surface (reference create_trigger.py:57-134,
+    autoprompt/utils.py:57+): templatizer over label-map datasets, multi-token
+    label accuracy, dev-eval loop, full search app."""
+
+    def test_templatizer_fixed_shapes_and_masks(self):
+        t = CT.Templatizer("[T] [T] xy {sentence} [P]", _char_encode, mask_id=0,
+                           label_map={"0": "a", "1": "b"}, max_len=16)
+        assert t.num_trigger_tokens == 2
+        ex = t({"sentence": "qr", "label": "1"})
+        assert ex.input_ids.shape == (16,)
+        assert ex.trigger_mask[:2].all() and ex.trigger_mask.sum() == 2
+        assert ex.predict_mask.sum() == 1
+        # predict slot follows [T][T] + 'xy' + 'qr'
+        assert np.flatnonzero(ex.predict_mask)[0] == 6
+        assert ex.label_ids[0] == ord("b") % 128
+        np.testing.assert_array_equal(ex.input_ids[7:], 0)  # padded
+
+    def test_load_trigger_dataset_tsv_jsonl(self, tmp_path):
+        t = CT.Templatizer("[T] {text} [P]", _char_encode, mask_id=0, max_len=12,
+                           label_field="label")
+        tsv = tmp_path / "d.tsv"
+        tsv.write_text("text\tlabel\nab\tx\ncd\ty\n")
+        rows = CT.load_trigger_dataset(tsv, t)
+        assert len(rows) == 2
+        jl = tmp_path / "d.jsonl"
+        jl.write_text('{"text": "ab", "label": "x"}\n{"text": "' + "z" * 40 + '", "label": "y"}\n')
+        rows = CT.load_trigger_dataset(jl, t)
+        assert len(rows) == 1  # overlong example skipped
+
+    def test_label_loss_and_accuracy_multi_token(self):
+        # vocab 8; label A = tokens [2,3], label B = [5]
+        logits = jnp.asarray(np.full((2, 8), -10.0, np.float32))
+        logits = logits.at[0, 2].set(5.0).at[0, 3].set(5.0)  # row0 favors A
+        logits = logits.at[1, 5].set(5.0)                    # row1 favors B
+        acc = CT.AccuracyFn([CT.encode_label(None, [2, 3]),
+                             CT.encode_label(None, [5])], ["A", "B"])
+        gold = jnp.asarray(np.stack([CT.encode_label(None, [2, 3]),
+                                     CT.encode_label(None, [5])]))
+        correct = np.asarray(acc(logits, gold))
+        assert correct.tolist() == [1.0, 1.0]
+        swapped = jnp.asarray(np.stack([CT.encode_label(None, [5]),
+                                        CT.encode_label(None, [2, 3])]))
+        assert np.asarray(acc(logits, swapped)).tolist() == [0.0, 0.0]
+        assert acc.predict(logits) == ["A", "B"]
+
+    def test_token_filter(self):
+        decode = {1: " Cap", 2: " low", 3: "x"}.get
+        filt = CT.build_token_filter(5, label_ids=[np.asarray([3])],
+                                     special_ids=[0],
+                                     decode_fn=lambda ids: decode(ids[0], ""))
+        assert filt[0] < -1e30 and filt[3] < -1e30  # special + label
+        assert filt[1] < -1e30                       # capitalized
+        assert filt[2] == 0.0 and filt[4] == 0.0
+
+    def test_search_e2e_on_test_gpt(self, tmp_path):
+        """Full loop on test-gpt: runs, logs, returns a best trigger whose dev
+        metric is >= the initial trigger's."""
+        model, cfg = G.build_gpt2("test-gpt")
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))["params"]
+        table = params["wte"]["embedding"]
+
+        def model_fn(inputs_embeds):
+            return model.apply({"params": params}, inputs_embeds=inputs_embeds)["logits"]
+
+        def enc(text):
+            return [max(1, ord(c) % cfg.vocab_size) for c in text if not c.isspace()] or [1]
+
+        label_map = {"0": [7], "1": [9]}
+        t = CT.Templatizer("[T] [T] {text} [P]", enc, mask_id=0,
+                           label_map=label_map, max_len=12)
+        rng = np.random.RandomState(0)
+        rows = [{"text": "".join(chr(97 + rng.randint(0, 4)) for _ in range(3)),
+                 "label": str(rng.randint(0, 2))} for _ in range(32)]
+        train = [t(r) for r in rows[:24]]
+        dev = [t(r) for r in rows[24:]]
+        acc = CT.AccuracyFn.from_label_map(enc, label_map)
+        searcher = CT.TriggerSearch(model_fn, table, t.num_trigger_tokens,
+                                    causal=True, evaluation_fn=acc)
+        logs = []
+        out = searcher.search(train, dev, iters=3, bsz=4, accumulation_steps=2,
+                              num_cand=6, eval_size=8, seed=0,
+                              log_fn=logs.append)
+        assert len(out["history"]) >= 2
+        assert out["best"]["dev_metric"] >= out["history"][0]["dev_metric"]
+        assert len(out["final_trigger_ids"]) == 2
+        assert logs and all("iter" in r for r in logs)
+
+    def test_main_cli_smoke(self, tmp_path, capsys):
+        rng = np.random.RandomState(1)
+        rows = [{"text": "ab" * (1 + i % 2), "label": str(i % 2)} for i in range(12)]
+        train = tmp_path / "train.jsonl"
+        dev = tmp_path / "dev.jsonl"
+        train.write_text("\n".join(json.dumps(r) for r in rows[:8]))
+        dev.write_text("\n".join(json.dumps(r) for r in rows[8:]))
+        out_p = tmp_path / "res.json"
+        res = CT.main([
+            "--train", str(train), "--dev", str(dev),
+            "--template", "[T] {text} [P]",
+            "--label-map", '{"0": "a", "1": "b"}',
+            "--model", "test-gpt", "--iters", "1", "--bsz", "2",
+            "--accumulation-steps", "1", "--num-cand", "3",
+            "--max-len", "12", "--out", str(out_p),
+        ])
+        assert "best" in res and out_p.exists()
+        assert "trigger_text" in res["best"]
 
 
 class TestGptHeads:
