@@ -83,11 +83,14 @@ class ClipGPTTrainer(BaseTrainer):
     def setup_model(self):
         mcfg = self.cfg.clip_gpt
         gpt_cfg = gpt2_mod.GPT2_CONFIGS[str(mcfg.gpt_config)]
+        tcfg = self.cfg.training
+        dtype = jnp.bfloat16 if bool(tcfg.get("bf16", False)) else jnp.float32
         self.model = gpt2_mod.ClipGPT(
             gpt_cfg, clip_vocab_size=self.tokenizer.vocab_size,
             clip_emb_dim=int(mcfg.clip_emb_dim),
             emb_hid_dim=int(mcfg.adapters.emb_hid_dim),
-            head_hid_dim=mcfg.adapters.get("head_hid_dim"))
+            head_hid_dim=mcfg.adapters.get("head_hid_dim"),
+            dtype=dtype, remat=bool(tcfg.get("remat", False)))
         self.params = self.model.init(self.rng.next(),
                                       jnp.zeros((1, 8), jnp.int32))["params"]
         # trainable subset mask

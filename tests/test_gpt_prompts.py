@@ -45,6 +45,31 @@ class TestGPT2:
         np.testing.assert_allclose(np.asarray(step_logits), np.asarray(full),
                                    atol=2e-4, rtol=2e-4)
 
+    def test_remat_matches_plain_forward_and_grads(self):
+        """GPT2Core(remat=True) is numerically the plain model (same params
+        pytree) — forward and gradients — just cheaper in activation HBM.
+        This is the single-chip gpt2-large enabler (tools/bench_gpt_large.py)."""
+        cfg = G.GPT2_CONFIGS["test-gpt"]
+        plain = G.GPT2(cfg)
+        remat = G.GPT2(cfg, remat=True)
+        ids = jax.random.randint(jax.random.PRNGKey(4), (2, 12), 1, cfg.vocab_size)
+        variables = plain.init(jax.random.PRNGKey(0), ids)
+        out_p = plain.apply(variables, ids)["logits"]
+        out_r = remat.apply(variables, ids)["logits"]
+        np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_r), atol=1e-5)
+
+        def loss(m):
+            def f(p):
+                lg = m.apply({"params": p}, ids)["logits"].astype(jnp.float32)
+                return jnp.mean(jax.nn.logsumexp(lg, -1))
+            return f
+        g_p = jax.grad(loss(plain))(variables["params"])
+        g_r = jax.grad(loss(remat))(variables["params"])
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                    atol=1e-5, rtol=1e-4),
+            g_p, g_r)
+
     def test_causality(self, tiny_gpt):
         model, cfg, variables = tiny_gpt
         ids = jax.random.randint(jax.random.PRNGKey(3), (1, 8), 0, cfg.vocab_size)
