@@ -168,6 +168,22 @@ def bench_imagenet_scale_cache(nt: int = 50176, nc: int = 1281024, d: int = 1024
         f"(~{2.0 * nt * nc * (d + n_betas * c) / dt / 1e12:.0f} TFLOP/s)")
 
 
+def bench_imagenet_e2e_app() -> None:
+    """Full-ImageNet grid combos END-TO-END through the app's resident-cache
+    path (selection + device values + fused sweep + accuracy grid) — the
+    kernel-only number's missing other half (tools/bench_imagenet_e2e.py)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from tools.bench_imagenet_e2e import main as e2e_main
+
+    r = e2e_main()
+    log(f"[bench] imagenet e2e app combos: "
+        + ", ".join(f"{k.split(' ')[0]}={v:.2f}s" for k, v in r["combos"].items())
+        + f" (resident {r['hbm_gb']:.1f} GB bf16)")
+
+
 def bench_gpt_train_step(batch: int = 8, ctx: int = 1024) -> None:
     """GPT-2 small full train step (fwd+bwd+AdamW), tokens/s — the training
     side of the framework (apps/train_gpt.py hot loop). HBM-roofline-bound;
@@ -329,8 +345,8 @@ def main() -> None:
         "vs_baseline": round(ips / 10000.0, 4),
     }), flush=True)
     for fn in (bench_cache_affinity, bench_imagenet_scale_cache,
-               bench_image_attention_combo, bench_gpt_train_step,
-               bench_gpt_decode):
+               bench_imagenet_e2e_app, bench_image_attention_combo,
+               bench_gpt_train_step, bench_gpt_decode):
         if time.perf_counter() - _T0 > 520:
             # remote compiles/stalls have eaten the budget — the headline is
             # already out; don't let a late secondary push past a driver

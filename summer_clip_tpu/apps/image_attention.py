@@ -143,6 +143,13 @@ class ImageAttention(BaseTrainer):
                 self.origin_cache_image_features, self.origin_cache_image_outs,
                 self.mesh, axis="model")
         if self.mesh is None:
+            # resident dtype: bf16 halves HBM residency (the full-ImageNet
+            # cache is 2.6GB features + 2.5GB outs in bf16 vs 10.4GB f32 —
+            # the difference between fitting one 16GB chip or not); rows are
+            # normalized in f32 FIRST, so bf16 only rounds the stored value
+            rd = str(self.cfg.cache.get("resident_dtype") or "float32")
+            rdtype = {"bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16,
+                      "float32": jnp.float32, "f32": jnp.float32}[rd]
             cn = self.origin_cache_image_features
             cn = cn / np.maximum(np.linalg.norm(cn, axis=-1, keepdims=True), 1e-12)
             # pre-pad rows to the kernel's max block so neither the identity
@@ -150,11 +157,11 @@ class ImageAttention(BaseTrainer):
             pad = (-cn.shape[0]) % 1024
             if pad:
                 cn = np.concatenate([cn, np.zeros((pad, cn.shape[1]), np.float32)])
-            self._cache_dev = jnp.asarray(cn)
+            self._cache_dev = jnp.asarray(cn, rdtype)
             co = self.origin_cache_image_outs
             if pad:
                 co = np.concatenate([co, np.zeros((pad, co.shape[1]), np.float32)])
-            self._outs_dev = jnp.asarray(co)
+            self._outs_dev = jnp.asarray(co, rdtype)
         tf = self.test_image_features
         self._test_norm = jnp.asarray(
             tf / np.maximum(np.linalg.norm(tf, axis=-1, keepdims=True), 1e-12))

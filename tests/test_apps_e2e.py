@@ -108,6 +108,45 @@ class TestImageAttention:
         assert "acc5" in r
 
 
+class TestImageAttentionBf16Resident:
+    def test_bf16_resident_dtype_runs(self, rundir):
+        """cache.resident_dtype=bf16 (the ImageNet-scale fit knob) runs the
+        same grid and still produces sane records (alpha=0 == zero-shot)."""
+        from summer_clip_tpu.apps import save_features, image_attention
+
+        store_root = str(rundir / "features")
+        save_features.run(argv=[
+            "dataset_name=synthetic",
+            "dataset@train_dataset=synthetic_train", "dataset@test_dataset=synthetic_test",
+            "clip=test_vit", "data.batch_size=8", f"store.root={store_root}",
+        ])
+        image_attention.run(argv=[
+            "dataset_name=synthetic",
+            "dataset=synthetic_test", "dataset@cache.dataset=synthetic_train",
+            "dataset.load_images=false", "cache.dataset.load_images=false",
+            "clip=test_vit", f"store.root={store_root}",
+            "data.features_key=synthetic_test-test-vit",
+            "cache.features_key=synthetic_train-test-vit",
+            "cache.outs_key=synthetic_train-test-vit",
+            "cache.alpha=[0.0,1.0]", "cache.resident_dtype=bf16",
+            "cache_weights_strategy.beta=[1.0]",
+        ])
+        recs = _records(rundir)
+        searcher = [r for r in recs if r.get("type") == "searcher_result"]
+        zero = [r for r in recs if r.get("type") == "zero_shot"]
+        assert searcher and zero
+        a0 = [r for r in searcher if r["alpha"] == 0.0]
+        assert a0 and all(abs(r["acc1"] - zero[-1]["acc1"]) < 1e-6 for r in a0)
+
+    def test_e2e_tool_tiny(self):
+        """tools/bench_imagenet_e2e.py drives the app's resident hot path at
+        tiny shapes (the full-scale run needs the chip)."""
+        from tools.bench_imagenet_e2e import main as e2e_main
+
+        r = e2e_main(nt=64, nc=512, d=32, c=16, quiet=True)
+        assert set(r["combos"]) and all(v > 0 for v in r["combos"].values())
+
+
 class TestTipAdapter:
     def test_tip_runs_synthetic(self, rundir):
         from summer_clip_tpu.apps import tip_adapter
