@@ -74,7 +74,8 @@ def available_models() -> tp.List[str]:
     return [n for n in CLIP_CONFIGS if not n.startswith("test-")]
 
 
-def build_clip(name: str, dtype: tp.Any = jnp.float32, remat: bool = False) -> tp.Tuple[CLIP, CLIPConfig]:
+def build_clip(name: str, dtype: tp.Any = jnp.float32, remat: bool = False,
+               patch_embed: str = "conv") -> tp.Tuple[CLIP, CLIPConfig]:
     cfg = CLIP_CONFIGS[name]
     if cfg.vision_kind == "resnet":
         visual: tp.Any = ModifiedResNet(
@@ -93,6 +94,7 @@ def build_clip(name: str, dtype: tp.Any = jnp.float32, remat: bool = False) -> t
             output_dim=cfg.embed_dim,
             dtype=dtype,
             remat=remat,
+            patch_embed=patch_embed,
         )
     text = TextTransformer(
         vocab_size=cfg.vocab_size,

@@ -121,6 +121,40 @@ class Transformer(nn.Module):
 # Vision: ViT
 # ---------------------------------------------------------------------------
 
+class PatchEmbed(nn.Module):
+    """Non-overlapping patch embedding, computed either as a strided conv
+    (XLA's conv emitters) or as an explicit patch-extract + one big matmul
+    (hits the MXU as a plain GEMM — the SURVEY §7 "conv-as-matmul"
+    experiment for the ViT throughput wall; identical math and identical
+    ``conv1/kernel`` variable layout either way, tested)."""
+
+    width: int
+    patch_size: int
+    dtype: Dtype = jnp.float32
+    mode: str = "conv"   # "conv" | "matmul"
+
+    @nn.compact
+    def __call__(self, images: jax.Array) -> jax.Array:
+        p = self.patch_size
+        b, h, w, c = images.shape
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (p, p, c, self.width), jnp.float32)
+        x = images.astype(self.dtype)
+        k = kernel.astype(self.dtype)
+        if self.mode == "conv":
+            out = jax.lax.conv_general_dilated(
+                x, k, window_strides=(p, p), padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return out.reshape(b, (h // p) * (w // p), self.width)
+        gh, gw = h // p, w // p
+        # (B, gh, P, gw, P, C) -> (B, gh, gw, P, P, C): patch-major layout
+        # whose trailing (P, P, C) flattening matches the HWIO kernel reshape
+        patches = x.reshape(b, gh, p, gw, p, c).transpose(0, 1, 3, 2, 4, 5)
+        patches = patches.reshape(b, gh * gw, p * p * c)
+        return jnp.dot(patches, k.reshape(p * p * c, self.width),
+                       preferred_element_type=jnp.float32).astype(self.dtype)
+
+
 class VisionTransformer(nn.Module):
     """CLIP ViT image tower. Input (B, H, W, 3) -> (B, output_dim)."""
 
@@ -131,17 +165,14 @@ class VisionTransformer(nn.Module):
     output_dim: int
     dtype: Dtype = jnp.float32
     remat: bool = False
+    patch_embed: str = "conv"
 
     @nn.compact
     def __call__(self, images: jax.Array, apply_proj: bool = True) -> jax.Array:
         b, h, w, _ = images.shape
         grid = h // self.patch_size
-        x = nn.Conv(
-            self.width, (self.patch_size, self.patch_size),
-            strides=(self.patch_size, self.patch_size),
-            use_bias=False, dtype=self.dtype, name="conv1",
-        )(images.astype(self.dtype))
-        x = x.reshape(b, grid * grid, self.width)
+        x = PatchEmbed(self.width, self.patch_size, dtype=self.dtype,
+                       mode=self.patch_embed, name="conv1")(images)
 
         cls = self.param("class_embedding", nn.initializers.normal(self.width ** -0.5),
                          (self.width,), jnp.float32)

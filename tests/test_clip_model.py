@@ -235,6 +235,27 @@ class TestRemat:
         np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-5)
 
 
+class TestPatchEmbedModes:
+    def test_matmul_equals_conv(self):
+        """patch_embed='matmul' (explicit extract + GEMM, the SURVEY §7 ViT
+        experiment) is numerically the strided conv on the same params."""
+        from summer_clip_tpu.models.clip import build_clip
+
+        m1, cfg = build_clip("test-vit")
+        m2, _ = build_clip("test-vit", patch_embed="matmul")
+        imgs = jax.random.normal(jax.random.PRNGKey(5),
+                                 (3, cfg.image_resolution, cfg.image_resolution, 3))
+        ids = jnp.zeros((1, cfg.context_length), jnp.int32)
+        v = m1.init(jax.random.PRNGKey(7), imgs[:1], ids)
+        f1 = m1.apply(v, imgs, method=m1.encode_image)
+        f2 = m2.apply(v, imgs, method=m2.encode_image)
+        np.testing.assert_allclose(np.asarray(f1), np.asarray(f2),
+                                   atol=2e-5, rtol=2e-5)
+        # identical variable trees: a converted checkpoint drops into either
+        assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+            m2.init(jax.random.PRNGKey(7), imgs[:1], ids))
+
+
 class TestTokenizerUnicode:
     def test_unicode_roundtrip(self):
         t = tok.get_tokenizer()

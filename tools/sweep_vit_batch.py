@@ -14,14 +14,14 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def sweep(model_name: str, batches) -> None:
+def sweep(model_name: str, batches, patch_embed: str = "conv") -> None:
     import jax
     import jax.numpy as jnp
 
     from summer_clip_tpu.models.clip import build_clip
 
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
-    model, cfg = build_clip(model_name, dtype=dtype)
+    model, cfg = build_clip(model_name, dtype=dtype, patch_embed=patch_embed)
     rng = jax.random.PRNGKey(0)
     variables = model.init(rng, jnp.zeros((1, cfg.image_resolution, cfg.image_resolution, 3), jnp.float32),
                            jnp.zeros((1, cfg.context_length), jnp.int32))
@@ -31,7 +31,8 @@ def sweep(model_name: str, batches) -> None:
         return jnp.sum(model.apply(variables, images, method=model.encode_image)
                        .astype(jnp.float32))
 
-    print(f"{model_name}  (res {cfg.image_resolution}, {jax.default_backend()})")
+    print(f"{model_name}  (res {cfg.image_resolution}, {jax.default_backend()}, "
+          f"patch_embed={patch_embed})")
     for batch in batches:
         images = jax.random.normal(rng, (batch, cfg.image_resolution, cfg.image_resolution, 3), dtype)
         t0 = time.perf_counter()
@@ -50,6 +51,13 @@ def sweep(model_name: str, batches) -> None:
 
 
 if __name__ == "__main__":
-    models = sys.argv[1:] or ["ViT-B/16"]
+    # usage: sweep_vit_batch.py [model ...] [--patch-embed matmul]
+    args = sys.argv[1:]
+    pe = "conv"
+    if "--patch-embed" in args:
+        i = args.index("--patch-embed")
+        pe = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    models = args or ["ViT-B/16"]
     for m in models:
-        sweep(m, [32, 64, 128, 256, 512])
+        sweep(m, [32, 64, 128, 256, 512], patch_embed=pe)
