@@ -325,6 +325,24 @@ def bench_image_attention_combo(nt: int = 19850, nc: int = 19850, d: int = 1024,
 
 
 def main() -> None:
+    # Watchdog: during the round-2 outage the axon backend HUNG at init
+    # (no error, no return) — a wedged bench is worse than a failed one
+    # because the driver waits out its whole timeout. If no backend answers
+    # within the budget, die loudly with rc=1.
+    import os
+    import threading
+
+    init_done = threading.Event()
+    budget = float(os.environ.get("BENCH_INIT_TIMEOUT", "420"))
+
+    def watchdog():
+        if not init_done.wait(budget):
+            log(f"[bench] FATAL: no TPU backend after {budget:.0f}s "
+                "(init hang — backend outage?); aborting")
+            os._exit(1)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
     import jax
 
     from summer_clip_tpu.core.compile_cache import enable_persistent_cache
@@ -334,6 +352,7 @@ def main() -> None:
     enable_persistent_cache()
 
     log(f"[bench] backend={jax.default_backend()} devices={jax.devices()}")
+    init_done.set()
     ips = bench_encode("RN50", batch=128, iters=256)
     # primary metric FIRST: remote-compile-cache misses on the tunneled chip
     # can put the secondaries past a driver timeout, and the JSON line must
