@@ -288,7 +288,27 @@ class GptGenerator(BaseTrainer):
         common = dict(max_new_tokens=int(gcfg.max_new_tokens),
                       temperature=float(gcfg.temperature),
                       top_k=int(gcfg.top_k), eot_id=self.tokenizer.eot_token)
-        if prompts and bool(gcfg.get("batched", False)):
+        if prompts and bool(gcfg.get("continuous", False)):
+            # continuous-batching engine (engine/serving.py): iteration-level
+            # admission into fixed slots; here it simply drains the prompt
+            # list, but the same engine serves a live request stream
+            from summer_clip_tpu.engine.serving import ContinuousBatcher
+
+            ids_all = [[self.tokenizer.sot_token] + self.tokenizer.encode(p)
+                       for p in prompts]
+            rng, sub = jax.random.split(rng)
+            max_new = int(gcfg.max_new_tokens)
+            eng = ContinuousBatcher(
+                self.model, self.variables,
+                batch_slots=int(gcfg.get("batch_slots", 8)),
+                max_len=min(self.model.config.n_positions,
+                            max(len(i) for i in ids_all) + max_new),
+                temperature=float(gcfg.temperature), top_k=int(gcfg.top_k),
+                eot_id=self.tokenizer.eot_token, rng=sub)
+            reqs = [eng.submit(ids, max_new_tokens=max_new) for ids in ids_all]
+            eng.run()
+            outs = [ids + r.out_ids for ids, r in zip(ids_all, reqs)]
+        elif prompts and bool(gcfg.get("batched", False)):
             # all prompts in ONE scan (left-padded serving path)
             ids_all = [[self.tokenizer.sot_token] + self.tokenizer.encode(p)
                        for p in prompts]

@@ -74,21 +74,42 @@ class GPT2Attention(nn.Module):
             o = multi_head_attention(q, k, v, num_heads=self.num_heads, causal=True)
             new_cache = None
         else:
-            # incremental decode: x is (B, S_new, D); cache holds (B, T, D)
+            # incremental decode: x is (B, S_new, D); cache holds (B, T, D).
+            # ``index`` is a scalar (all rows append at the same slot — the
+            # generate/batched-generate paths) or a (B,) array (per-row
+            # rings — the continuous-batching serving engine, where each
+            # slot admits/finishes requests independently and slot reuse
+            # needs no cache zeroing: stale K/V beyond a row's index are
+            # causally masked).
             idx = cache["index"]
-            k_all = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), (0, idx, 0))
-            v_all = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), (0, idx, 0))
-            t = k_all.shape[1]
+            t = cache["k"].shape[1]
             s_new = q.shape[1]
-            q_pos = idx + jax.lax.broadcasted_iota(jnp.int32, (s_new, t), 0)
-            k_pos = jax.lax.broadcasted_iota(jnp.int32, (s_new, t), 1)
-            mask = jnp.where(k_pos <= q_pos, 0.0, -1e30).astype(jnp.float32)
+            kc = k.astype(cache["k"].dtype)
+            vc = v.astype(cache["v"].dtype)
+            if getattr(idx, "ndim", 0) == 1:
+                upd = jax.vmap(
+                    lambda buf, new, i: jax.lax.dynamic_update_slice(buf, new, (i, 0)))
+                k_all = upd(cache["k"], kc, idx)
+                v_all = upd(cache["v"], vc, idx)
+                q_pos = (idx[:, None, None]
+                         + jax.lax.broadcasted_iota(jnp.int32, (s_new, t), 0)[None])
+                k_pos = jax.lax.broadcasted_iota(jnp.int32, (s_new, t), 1)[None]
+                mask = jnp.where(k_pos <= q_pos, 0.0, -1e30).astype(jnp.float32)
+                mask = mask[:, None]  # (B, 1, S_new, T) — broadcast over heads
+            else:
+                k_all = jax.lax.dynamic_update_slice(cache["k"], kc, (0, idx, 0))
+                v_all = jax.lax.dynamic_update_slice(cache["v"], vc, (0, idx, 0))
+                q_pos = idx + jax.lax.broadcasted_iota(jnp.int32, (s_new, t), 0)
+                k_pos = jax.lax.broadcasted_iota(jnp.int32, (s_new, t), 1)
+                mask = jnp.where(k_pos <= q_pos, 0.0, -1e30).astype(jnp.float32)
             if key_pad is not None:
                 # batched left-padded prompts: the first key_pad[b] cache
                 # slots of row b are padding and must never be attended
                 pad_mask = jnp.where(jnp.arange(t)[None, :] < key_pad[:, None],
                                      -1e30, 0.0).astype(jnp.float32)
-                mask = mask[None, None] + pad_mask[:, None, None, :]
+                if mask.ndim == 2:
+                    mask = mask[None, None]
+                mask = mask + pad_mask[:, None, None, :]
             o = multi_head_attention(q, k_all, v_all, num_heads=self.num_heads,
                                      mask=mask, use_flash=False)
             new_cache = {"k": k_all, "v": v_all, "index": idx + s_new}

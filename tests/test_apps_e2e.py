@@ -487,6 +487,16 @@ class TestGptPipeline:
         gens = [r for r in _records(rundir) if r.get("type") == "generation"]
         assert len(gens) >= 3 and all(isinstance(g["text"], str) for g in gens)
 
+        # continuous-batching engine path (engine/serving.py via config)
+        gen_gpt.run(argv=[
+            f"model.checkpoint_dir={ckpts[-1]}",
+            "generation.max_new_tokens=4", "generation.continuous=true",
+            "generation.batch_slots=2",
+            'prompts=["a photo of","a","the picture"]',
+        ])
+        gens = [r for r in _records(rundir) if r.get("type") == "generation"]
+        assert len(gens) >= 6 and all(isinstance(g["text"], str) for g in gens)
+
     def test_device_sampler_matches_host_loop(self):
         """generate_device (one lax.scan jit) must produce EXACTLY the ids
         of the host-loop generate given the same rng — incl. eot truncation."""

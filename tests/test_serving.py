@@ -1,0 +1,112 @@
+"""Continuous-batching serving engine tests (test-gpt, CPU).
+
+The engine's contract: iteration-level batching with mid-stream admission
+and slot reuse must not change any request's output — greedy engine output
+== the one-shot device-scan sampler (`gen_gpt.generate_device`, top_k=1)
+per prompt, regardless of what shares the batch.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from summer_clip_tpu.apps.gen_gpt import generate_device
+from summer_clip_tpu.engine.serving import ContinuousBatcher
+from summer_clip_tpu.models import gpt2 as G
+
+
+def _model():
+    model, cfg = G.build_gpt2("test-gpt")
+    variables = {"params": model.init(jax.random.PRNGKey(0),
+                                      jnp.zeros((1, 4), jnp.int32))["params"]}
+    return model, cfg, variables
+
+
+def _oracle(model, variables, prompt, max_new):
+    out = generate_device(model, variables, prompt, max_new_tokens=max_new,
+                          temperature=1.0, top_k=1, rng=jax.random.PRNGKey(7))
+    return out[len(prompt):]
+
+
+class TestContinuousBatcher:
+    def test_batched_greedy_matches_single_stream(self):
+        model, cfg, variables = _model()
+        rng = np.random.RandomState(0)
+        prompts = [list(rng.randint(1, cfg.vocab_size, n)) for n in (3, 7, 5, 4)]
+        eng = ContinuousBatcher(model, variables, batch_slots=4, max_len=48,
+                                greedy=True)
+        reqs = [eng.submit(p, max_new_tokens=6) for p in prompts]
+        done = eng.run()
+        assert len(done) == 4 and all(r.done for r in reqs)
+        for p, r in zip(prompts, reqs):
+            assert r.out_ids == _oracle(model, variables, p, 6), p
+
+    def test_mid_stream_admission_and_slot_reuse(self):
+        """More requests than slots, admitted while others are mid-decode:
+        every output still matches the solo oracle (slot-ring reuse without
+        cache zeroing is exact)."""
+        model, cfg, variables = _model()
+        rng = np.random.RandomState(1)
+        prompts = [list(rng.randint(1, cfg.vocab_size, 2 + i % 5)) for i in range(7)]
+        eng = ContinuousBatcher(model, variables, batch_slots=2, max_len=64,
+                                greedy=True)
+        reqs = [eng.submit(prompts[0], 5), eng.submit(prompts[1], 9)]
+        # let the first two make progress, then trickle in the rest
+        for _ in range(4):
+            eng.step()
+        reqs += [eng.submit(p, 4 + i % 3) for i, p in enumerate(prompts[2:])]
+        done = eng.run()
+        assert len(done) == 7
+        for r, p in zip(reqs, prompts):
+            assert r.out_ids == _oracle(model, variables, p, r.max_new_tokens), p
+
+    def test_eot_termination(self):
+        model, cfg, variables = _model()
+        prompt = [5, 9, 2]
+        # find the greedy first token, then declare it the eot: request must
+        # finish after exactly one emitted token
+        first = _oracle(model, variables, prompt, 1)[0]
+        eng = ContinuousBatcher(model, variables, batch_slots=2, max_len=32,
+                                greedy=True, eot_id=first)
+        r = eng.submit(prompt, max_new_tokens=10)
+        eng.run()
+        assert r.done and r.out_ids == [first]
+
+    def test_sampling_mode_runs(self):
+        model, cfg, variables = _model()
+        eng = ContinuousBatcher(model, variables, batch_slots=2, max_len=32,
+                                temperature=0.8, top_k=5,
+                                rng=jax.random.PRNGKey(3))
+        r1 = eng.submit([1, 2, 3], 5)
+        r2 = eng.submit([4, 5], 5)
+        eng.run()
+        assert len(r1.out_ids) == 5 and len(r2.out_ids) == 5
+        assert all(0 <= t < cfg.vocab_size for t in r1.out_ids + r2.out_ids)
+
+    def test_capacity_assertion(self):
+        model, cfg, variables = _model()
+        eng = ContinuousBatcher(model, variables, batch_slots=1, max_len=16)
+        import pytest
+
+        with pytest.raises(AssertionError):
+            eng.submit(list(range(1, 14)), max_new_tokens=8)
+
+    def test_per_row_cache_index_matches_scalar(self):
+        """The (B,)-indexed cache path (models/gpt2.py) is numerically the
+        scalar-index path when all rows share the same index."""
+        model, cfg, variables = _model()
+        ids = jax.random.randint(jax.random.PRNGKey(2), (2, 6), 1, cfg.vocab_size)
+        full = model.apply(variables, ids)["logits"]
+
+        cache = model.apply(variables, method=model.init_cache, batch=2, max_len=6)
+        for layer in cache:
+            layer["index"] = jnp.zeros((2,), jnp.int32)
+        logits_steps = []
+        for t in range(6):
+            out = model.apply(variables, ids[:, t:t + 1],
+                              position_offset=jnp.full((2, 1), t), cache=cache)
+            cache = out["cache"]
+            logits_steps.append(out["logits"][:, 0])
+        step_logits = jnp.stack(logits_steps, axis=1)
+        np.testing.assert_allclose(np.asarray(step_logits), np.asarray(full),
+                                   atol=2e-4, rtol=2e-4)

@@ -1,0 +1,83 @@
+"""Continuous-batching engine throughput on the chip.
+
+Compares, at GPT-2 124M (and optionally gpt2-large):
+
+- the static batched sampler (``generate_device_batched``: one scan, fixed
+  prompt list, the whole batch waits for the longest request), vs
+- the continuous batcher (``engine/serving.py``: per-iteration dispatch,
+  mid-stream admission, slot reuse) on a Poisson-ish staggered workload.
+
+The engine pays one host round-trip per iteration (that is what admission
+costs); the static scan pays none but cannot admit. This quantifies that
+trade on real hardware. Run: ``python tools/bench_serving.py [model]``.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main(name: str = "gpt2", slots: int = 8, n_requests: int = 24,
+         max_new: int = 64) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from summer_clip_tpu.apps.gen_gpt import generate_device_batched
+    from summer_clip_tpu.core.compile_cache import enable_persistent_cache
+    from summer_clip_tpu.engine.serving import ContinuousBatcher
+    from summer_clip_tpu.models import gpt2 as gpt2_mod
+
+    enable_persistent_cache()
+    print(f"backend={jax.default_backend()}", flush=True)
+    cfg = gpt2_mod.GPT2_CONFIGS[name]
+    model = gpt2_mod.GPT2(cfg)
+    variables = {"params": jax.jit(model.init)(
+        jax.random.PRNGKey(0), np.zeros((1, 4), np.int32))["params"]}
+    rng = np.random.RandomState(0)
+    prompts = [list(rng.randint(1, cfg.vocab_size, int(l)))
+               for l in rng.randint(8, 32, n_requests)]
+
+    # -- static batched scan (waves of `slots`) -------------------------------
+    def run_static():
+        outs = []
+        for s in range(0, n_requests, slots):
+            outs += generate_device_batched(
+                model, variables, prompts[s:s + slots],
+                max_new_tokens=max_new, top_k=1, rng=jax.random.PRNGKey(1))
+        return outs
+
+    run_static()  # compile
+    t0 = time.perf_counter()
+    run_static()
+    dt_static = time.perf_counter() - t0
+    total_tokens = n_requests * max_new
+    print(f"static waves (B={slots}): {dt_static:.2f}s = "
+          f"{total_tokens / dt_static:,.0f} tok/s aggregate", flush=True)
+
+    # -- continuous batcher ---------------------------------------------------
+    def run_engine():
+        eng = ContinuousBatcher(model, variables, batch_slots=slots,
+                                max_len=32 + max_new, greedy=True)
+        for p in prompts:
+            eng.submit(p, max_new_tokens=max_new)
+        return eng.run()
+
+    run_engine()  # compile
+    t0 = time.perf_counter()
+    done = run_engine()
+    dt_eng = time.perf_counter() - t0
+    assert len(done) == n_requests
+    print(f"continuous engine (B={slots}): {dt_eng:.2f}s = "
+          f"{total_tokens / dt_eng:,.0f} tok/s aggregate "
+          f"(per-iteration host round-trip included)", flush=True)
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    main(args[0] if args else "gpt2")
