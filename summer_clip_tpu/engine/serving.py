@@ -13,16 +13,20 @@ arXiv:2309.06180 idea, re-designed for XLA's static shapes):
   per-row ``cache["index"]``): admitting a request resets only that slot's
   index — stale K/V beyond it are causally masked, so slot reuse costs
   zero cache zeroing and zero host->device traffic beyond the token ids,
-- prompt PREFILL is token-per-step in the same program (chunk-1 chunked
-  prefill): a prefilling slot feeds its next prompt token and ignores the
-  sampled output; a decoding slot feeds its previous sample. Mixed
-  prefill/decode batches are therefore the norm, not a special case,
+- prompt PREFILL is **chunked**: an admitted prompt runs through one
+  batched (B, L_bucket) forward (left-padded, per-row positions, a
+  persistent per-slot key-pad masking the pad slots) — one dispatch per
+  admission instead of one per prompt token; decoding batch-mates stall
+  for that single call and their rings are rolled back on the host (the
+  junk K/V they wrote is never causally attendable). ``prefill_chunk=False``
+  falls back to token-per-step prefill in the shared step program,
 - sampling (temperature / top-k) happens on device; the host fetches one
   (B,) token vector per iteration and runs the per-slot state machines.
 
-Determinism: with ``top_k=1`` (greedy) the engine's per-request outputs
-are bit-identical to ``gen_gpt.generate_device`` on the same model
-(pinned by tests) regardless of what shares the batch.
+Determinism: with ``top_k=1`` or ``greedy=True`` the engine's per-request
+outputs are bit-identical to ``gen_gpt.generate_device`` on the same model
+(pinned by tests) regardless of what shares the batch or how prefill is
+chunked.
 """
 
 from __future__ import annotations
@@ -58,25 +62,42 @@ class _Slot:
         return self.req is None
 
 
-@functools.lru_cache(maxsize=16)
-def _engine_step(model, temp: float, top_k: int, greedy: bool):
-    """One engine iteration, jitted once per (model, sampling params)."""
+def _pick(last, temp, top_k, greedy, rng):
     from summer_clip_tpu.apps.gen_gpt import _sample_next
 
+    if greedy:
+        return jnp.argmax(last, axis=-1).astype(jnp.int32)
+    return _sample_next(last / temp, rng, top_k, False).astype(jnp.int32)
+
+
+@functools.lru_cache(maxsize=16)
+def _engine_step(model, temp: float, top_k: int, greedy: bool):
+    """One engine iteration (every slot advances one token), jitted once."""
+
     @jax.jit
-    def step(variables, cache, tokens, pos, rng):
+    def step(variables, cache, tokens, pos, key_pad, rng):
         # tokens: (B,) this iteration's input token per slot
         # pos:    (B,) per-slot position of that token (for wpe)
         out = model.apply(variables, tokens[:, None], position_offset=pos[:, None],
-                          cache=cache)
-        last = out["logits"][:, -1, :]
-        if greedy:
-            nxt = jnp.argmax(last, axis=-1).astype(jnp.int32)
-        else:
-            nxt = _sample_next(last / temp, rng, top_k, False).astype(jnp.int32)
-        return out["cache"], nxt
+                          cache=cache, key_pad=key_pad)
+        return out["cache"], _pick(out["logits"][:, -1, :], temp, top_k, greedy, rng)
 
     return step
+
+
+@functools.lru_cache(maxsize=32)
+def _prefill_step(model, temp: float, top_k: int, greedy: bool, length: int):
+    """Bucketed chunk prefill: (B, length) tokens in one forward. Only the
+    admitted slot's row is meaningful; batch-mates carry junk that is
+    rolled back (ring index) / never attendable (causal mask)."""
+
+    @jax.jit
+    def prefill(variables, cache, tokens, offs, key_pad, rng):
+        out = model.apply(variables, tokens, position_offset=offs[:, None],
+                          cache=cache, key_pad=key_pad)
+        return out["cache"], _pick(out["logits"][:, -1, :], temp, top_k, greedy, rng)
+
+    return prefill
 
 
 class ContinuousBatcher:
@@ -91,11 +112,14 @@ class ContinuousBatcher:
                 ... req.out_ids ...
     """
 
+    PREFILL_BUCKET = 16
+
     def __init__(self, model, variables, *, batch_slots: int = 8,
                  max_len: tp.Optional[int] = None, temperature: float = 1.0,
                  top_k: int = 50, greedy: bool = False,
                  eot_id: tp.Optional[int] = None,
-                 rng: tp.Optional[jax.Array] = None):
+                 rng: tp.Optional[jax.Array] = None,
+                 prefill_chunk: bool = True):
         self.model = model
         self.variables = variables
         self.B = int(batch_slots)
@@ -105,19 +129,22 @@ class ContinuousBatcher:
         self.top_k = int(top_k)
         self.greedy = bool(greedy)
         self.eot_id = eot_id
+        self.prefill_chunk = bool(prefill_chunk)
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
         self._slots = [_Slot() for _ in range(self.B)]
         self._queue: tp.List[Request] = []
         self._next_uid = 0
         cache = model.apply(variables, method=model.init_cache, batch=self.B,
                             max_len=self.max_len)
-        # per-row ring indices (scalar -> (B,) switches the cache layout to
-        # independent slots; see GPT2Attention)
         for layer in cache:
             layer["index"] = jnp.zeros((self.B,), jnp.int32)
         self._cache = cache
         self._step = _engine_step(model, self.temperature, self.top_k, self.greedy)
-        # host mirrors of per-slot device state
+        # host mirrors of per-slot device state (the ring index is
+        # authoritative HERE and re-stamped into the cache before every
+        # dispatch — that is what makes prefill rollback a host-side no-op)
+        self._ring = np.zeros(self.B, np.int64)
+        self._key_pad = np.zeros(self.B, np.int64)
         self._positions = np.zeros(self.B, np.int64)   # next position per slot
         self._last_sample = np.zeros(self.B, np.int64)
 
@@ -125,7 +152,11 @@ class ContinuousBatcher:
 
     def submit(self, prompt_ids: tp.Sequence[int], max_new_tokens: int = 20) -> Request:
         assert len(prompt_ids) > 0, "empty prompt"
-        assert len(prompt_ids) + max_new_tokens <= self.max_len, (
+        need = len(prompt_ids) + max_new_tokens
+        if self.prefill_chunk:
+            need = -(-len(prompt_ids) // self.PREFILL_BUCKET) * self.PREFILL_BUCKET \
+                + max_new_tokens
+        assert need <= self.max_len, (
             f"prompt {len(prompt_ids)} + max_new {max_new_tokens} exceeds "
             f"engine max_len {self.max_len}")
         req = Request(self._next_uid, [int(i) for i in prompt_ids],
@@ -146,26 +177,87 @@ class ContinuousBatcher:
             done.extend(self.step())
         return done
 
-    # -- engine iteration -----------------------------------------------------
+    # -- engine internals -----------------------------------------------------
 
-    def _admit(self) -> None:
+    def _stamped_cache(self):
+        idx = jnp.asarray(self._ring, jnp.int32)
+        for layer in self._cache:
+            layer["index"] = idx
+        return self._cache
+
+    def _finish_token(self, b: int, tok: int) -> tp.Optional[Request]:
+        """Record a sampled token for slot b; return the request if done."""
+        slot = self._slots[b]
+        req = slot.req
+        self._last_sample[b] = tok
+        req.out_ids.append(tok)
+        slot.generated += 1
+        if ((self.eot_id is not None and tok == self.eot_id)
+                or slot.generated >= req.max_new_tokens):
+            req.done = True
+            self._slots[b] = _Slot()
+            return req
+        return None
+
+    def _chunk_prefill(self, b: int, req: Request) -> tp.Optional[Request]:
+        """One-dispatch prompt prefill for slot b (left-padded bucket)."""
+        L = len(req.prompt_ids)
+        lb = -(-L // self.PREFILL_BUCKET) * self.PREFILL_BUCKET
+        pad = lb - L
+        # safety: the batched junk write must not clamp into an ACTIVE
+        # row's real history near capacity
+        for ob, s in enumerate(self._slots):
+            if ob != b and not s.free and self._ring[ob] + lb > self.max_len:
+                return "fallback"  # type: ignore[return-value]
+        tokens = np.zeros((self.B, lb), np.int32)
+        tokens[b, pad:] = req.prompt_ids
+        offs = np.zeros(self.B, np.int64)
+        offs[b] = -pad
+        self._ring[b] = 0
+        self._key_pad[b] = pad
+        self._positions[b] = 0
+        prefill = _prefill_step(self.model, self.temperature, self.top_k,
+                                self.greedy, lb)
+        self._rng, sub = jax.random.split(self._rng)
+        ring_before = self._ring.copy()
+        self._cache, nxt = prefill(
+            self.variables, self._stamped_cache(), jnp.asarray(tokens),
+            jnp.asarray(offs, jnp.int32), jnp.asarray(self._key_pad, jnp.int32),
+            sub)
+        # roll every OTHER row's ring back (their lb junk writes are beyond
+        # the restored index -> causally invisible); slot b keeps its lb
+        self._ring = ring_before
+        self._ring[b] = lb
+        self._positions[b] = L
+        self._slots[b].fed = L
+        return self._finish_token(b, int(np.asarray(nxt)[b]))
+
+    def _admit(self) -> tp.List[Request]:
+        finished: tp.List[Request] = []
         for b, slot in enumerate(self._slots):
             if not slot.free or not self._queue:
                 continue
             req = self._queue.pop(0)
             self._slots[b] = _Slot(req=req, fed=0, generated=0)
+            self._ring[b] = 0
+            self._key_pad[b] = 0
             self._positions[b] = 0
-            # reset ONLY this row's ring index on device (tiny (B,) update)
-            for layer in self._cache:
-                layer["index"] = layer["index"].at[b].set(0)
+            if self.prefill_chunk and len(req.prompt_ids) > 1:
+                out = self._chunk_prefill(b, req)
+                if out == "fallback":
+                    continue  # token-by-token prefill via step()
+                if out is not None:
+                    finished.append(out)
+        return finished
 
     def step(self) -> tp.List[Request]:
         """One iteration: every active slot advances one token. Returns the
-        requests that finished this iteration."""
-        self._admit()
+        requests that finished this iteration (admission prefills may finish
+        a 1-new-token request immediately)."""
+        finished = self._admit()
         active = [b for b, s in enumerate(self._slots) if not s.free]
         if not active:
-            return []
+            return finished
 
         tokens = np.zeros(self.B, np.int32)
         for b, slot in enumerate(self._slots):
@@ -179,29 +271,21 @@ class ContinuousBatcher:
 
         self._rng, sub = jax.random.split(self._rng)
         self._cache, nxt = self._step(
-            self.variables, self._cache, jnp.asarray(tokens),
-            jnp.asarray(self._positions, jnp.int32), sub)
+            self.variables, self._stamped_cache(), jnp.asarray(tokens),
+            jnp.asarray(self._positions, jnp.int32),
+            jnp.asarray(self._key_pad, jnp.int32), sub)
         nxt = np.asarray(nxt)
+        self._ring += 1
 
-        finished: tp.List[Request] = []
         for b, slot in enumerate(self._slots):
             if slot.free:
-                self._positions[b] += 1
                 continue
-            req = slot.req
             self._positions[b] += 1
-            if slot.fed < len(req.prompt_ids):
+            if slot.fed < len(slot.req.prompt_ids):
                 slot.fed += 1
-                if slot.fed < len(req.prompt_ids):
+                if slot.fed < len(slot.req.prompt_ids):
                     continue  # still prefilling; sampled token unused
-            # the sample after the last prompt token (or a decode step) counts
-            tok = int(nxt[b])
-            self._last_sample[b] = tok
-            req.out_ids.append(tok)
-            slot.generated += 1
-            if ((self.eot_id is not None and tok == self.eot_id)
-                    or slot.generated >= req.max_new_tokens):
-                req.done = True
-                finished.append(req)
-                self._slots[b] = _Slot()
+            done = self._finish_token(b, int(nxt[b]))
+            if done is not None:
+                finished.append(done)
         return finished

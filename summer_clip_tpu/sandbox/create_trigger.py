@@ -147,11 +147,23 @@ class Templatizer:
         return TriggerExample(input_ids, trigger_mask, predict_mask, label_ids)
 
 
+MAX_CONTEXT_LEN = 50
+
+
 def load_trigger_dataset(path: tp.Union[str, Path], templatizer: Templatizer,
-                         limit: tp.Optional[int] = None) -> tp.List[TriggerExample]:
+                         limit: tp.Optional[int] = None, use_ctx: bool = False,
+                         rng: tp.Optional[np.random.Generator] = None
+                         ) -> tp.List[TriggerExample]:
     """tsv (DictReader) / jsonl loaders (reference ``utils.load_trigger_dataset``).
-    Examples that fail to templatize (too long, bad label) are skipped."""
+    Examples that fail to templatize (too long, bad label) are skipped.
+
+    ``use_ctx``: relation-extraction mode — each jsonl row carries
+    ``evidences`` [{obj_surface, masked_sentence}]; one evidence is sampled,
+    truncated to ``MAX_CONTEXT_LEN`` words, its ``[MASK]`` replaced by the
+    surface form, and exposed to the template as ``{context}`` (reference
+    ``utils.py`` use_ctx branch)."""
     path = Path(path)
+    rng = rng or np.random.default_rng(0)
     if path.suffix == ".tsv":
         with open(path) as f:
             rows: tp.Iterable[dict] = list(csv.DictReader(f, delimiter="\t"))
@@ -161,6 +173,14 @@ def load_trigger_dataset(path: tp.Union[str, Path], templatizer: Templatizer,
         raise ValueError(f"unsupported dataset format: {path.suffix}")
     out: tp.List[TriggerExample] = []
     for row in rows:
+        if use_ctx:
+            evidences = row.get("evidences")
+            if not evidences:
+                continue  # RE sample without context sentences
+            ev = evidences[int(rng.integers(0, len(evidences)))]
+            words = str(ev["masked_sentence"]).split()
+            sent = " ".join(words[:MAX_CONTEXT_LEN])
+            row = dict(row, context=sent.replace("[MASK]", str(ev["obj_surface"])))
         try:
             out.append(templatizer(row))
         except (ValueError, KeyError):

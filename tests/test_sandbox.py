@@ -116,6 +116,24 @@ class TestCreateTrigger:
         rows = CT.load_trigger_dataset(jl, t)
         assert len(rows) == 1  # overlong example skipped
 
+    def test_load_trigger_dataset_use_ctx(self, tmp_path):
+        """Relation-extraction mode: evidence sampling + [MASK] -> surface
+        replacement exposed as {context} (reference utils.py use_ctx)."""
+        t = CT.Templatizer("[T] {context} [P]", _char_encode, mask_id=0,
+                           max_len=32, label_field="label")
+        jl = tmp_path / "re.jsonl"
+        jl.write_text(json.dumps({
+            "label": "x",
+            "evidences": [{"obj_surface": "cat",
+                           "masked_sentence": "a [MASK] sat"}],
+        }) + "\n" + json.dumps({"label": "y"}) + "\n")
+        rows = CT.load_trigger_dataset(jl, t, use_ctx=True)
+        assert len(rows) == 1  # the no-evidence row is skipped
+        ids = rows[0].input_ids
+        expect = _char_encode("a cat sat")
+        got = [i for i in ids[1:1 + len(expect)]]
+        assert got == expect
+
     def test_label_loss_and_accuracy_multi_token(self):
         # vocab 8; label A = tokens [2,3], label B = [5]
         logits = jnp.asarray(np.full((2, 8), -10.0, np.float32))

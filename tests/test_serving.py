@@ -52,10 +52,11 @@ class TestContinuousBatcher:
                                 greedy=True)
         reqs = [eng.submit(prompts[0], 5), eng.submit(prompts[1], 9)]
         # let the first two make progress, then trickle in the rest
+        done = []
         for _ in range(4):
-            eng.step()
+            done += eng.step()
         reqs += [eng.submit(p, 4 + i % 3) for i, p in enumerate(prompts[2:])]
-        done = eng.run()
+        done += eng.run()
         assert len(done) == 7
         for r, p in zip(reqs, prompts):
             assert r.out_ids == _oracle(model, variables, p, r.max_new_tokens), p
@@ -90,6 +91,24 @@ class TestContinuousBatcher:
 
         with pytest.raises(AssertionError):
             eng.submit(list(range(1, 14)), max_new_tokens=8)
+
+    def test_chunked_vs_tokenwise_prefill_identical(self):
+        """prefill_chunk=True (one left-padded bucketed forward per
+        admission) and prefill_chunk=False (token-per-step) produce the
+        same greedy outputs — and both match the solo oracle."""
+        model, cfg, variables = _model()
+        rng = np.random.RandomState(5)
+        prompts = [list(rng.randint(1, cfg.vocab_size, n)) for n in (3, 17, 9)]
+        outs = {}
+        for chunk in (True, False):
+            eng = ContinuousBatcher(model, variables, batch_slots=2, max_len=48,
+                                    greedy=True, prefill_chunk=chunk)
+            reqs = [eng.submit(p, 6) for p in prompts]
+            eng.run()
+            outs[chunk] = [r.out_ids for r in reqs]
+        assert outs[True] == outs[False]
+        for p, got in zip(prompts, outs[True]):
+            assert got == _oracle(model, variables, p, 6)
 
     def test_per_row_cache_index_matches_scalar(self):
         """The (B,)-indexed cache path (models/gpt2.py) is numerically the
