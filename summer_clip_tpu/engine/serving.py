@@ -152,11 +152,9 @@ class ContinuousBatcher:
 
     def submit(self, prompt_ids: tp.Sequence[int], max_new_tokens: int = 20) -> Request:
         assert len(prompt_ids) > 0, "empty prompt"
-        need = len(prompt_ids) + max_new_tokens
-        if self.prefill_chunk:
-            need = -(-len(prompt_ids) // self.PREFILL_BUCKET) * self.PREFILL_BUCKET \
-                + max_new_tokens
-        assert need <= self.max_len, (
+        # capacity is the RAW need; if the prefill bucket doesn't also fit,
+        # admission falls back to token-per-step prefill for that request
+        assert len(prompt_ids) + max_new_tokens <= self.max_len, (
             f"prompt {len(prompt_ids)} + max_new {max_new_tokens} exceeds "
             f"engine max_len {self.max_len}")
         req = Request(self._next_uid, [int(i) for i in prompt_ids],
@@ -204,6 +202,8 @@ class ContinuousBatcher:
         L = len(req.prompt_ids)
         lb = -(-L // self.PREFILL_BUCKET) * self.PREFILL_BUCKET
         pad = lb - L
+        if lb + req.max_new_tokens > self.max_len:
+            return "fallback"  # type: ignore[return-value]  # bucket doesn't fit
         # safety: the batched junk write must not clamp into an ACTIVE
         # row's real history near capacity
         for ob, s in enumerate(self._slots):
