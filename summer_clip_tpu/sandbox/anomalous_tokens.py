@@ -137,3 +137,44 @@ def optimise_input(gpt_apply: tp.Callable[[jax.Array], jax.Array],
         "losses": np.asarray(loss_b),
         "nll": np.asarray(nll),
     }
+
+
+def main(argv: tp.Optional[tp.Sequence[str]] = None) -> str:
+    """Generation CLI (reference ``anomalous_tokens/generate.py``): tokenize
+    an input, print its per-token decomposition, greedy-decode a
+    continuation, print the output text."""
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("-m", "--model", default="gpt2", help="GPT2_CONFIGS name")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-o", "--output-length", type=int, default=20)
+    p.add_argument("--checkpoint", default=None, help="params pytree path")
+    args = p.parse_args(argv)
+
+    from summer_clip_tpu.apps.gen_gpt import generate_device
+    from summer_clip_tpu.models import gpt2 as gpt2_mod
+    from summer_clip_tpu.models.tokenizer import get_tokenizer
+
+    tok = get_tokenizer()
+    cfg = gpt2_mod.GPT2_CONFIGS[args.model]
+    model = gpt2_mod.GPT2(cfg)
+    if args.checkpoint:
+        from summer_clip_tpu.engine.checkpoint import load_pytree
+
+        params = load_pytree(args.checkpoint)
+    else:
+        params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                     jnp.zeros((1, 4), jnp.int32))["params"]
+    ix = [i % cfg.vocab_size for i in tok.encode(args.input)]
+    print(f"{len(ix)} input tokens: {[tok.decode([i]) for i in ix]}")
+    out_ids = generate_device(model, {"params": params}, ix,
+                              max_new_tokens=int(args.output_length),
+                              top_k=1, rng=jax.random.PRNGKey(0))
+    text = tok.decode(out_ids)
+    print(f"\nOutput:\n{text}")
+    return text
+
+
+if __name__ == "__main__":
+    main()

@@ -32,6 +32,15 @@ class TestKMeans:
         assert float(np.asarray(d)[0]) < 1e-5
 
 
+class TestGenerateCli:
+    def test_generate_cli(self, capsys):
+        """Reference anomalous_tokens/generate.py equivalent."""
+        text = AT.main(["-m", "test-gpt", "-i", "hello", "-o", "4"])
+        assert isinstance(text, str) and len(text) > 0
+        out = capsys.readouterr().out
+        assert "input tokens" in out and "Output" in out
+
+
 class TestOptimiseInput:
     def test_drives_target_logits_up(self):
         model, cfg = G.build_gpt2("test-gpt")
