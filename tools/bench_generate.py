@@ -39,10 +39,29 @@ def main(max_new: int = 128) -> None:
         outs = generate_device_batched(model, variables, [prompt] * 8, **kw)
         return outs[0]
 
+    # weight-only compression variants: decode is parameter-read-bound
+    # (docs/KERNELS.md), so bf16 params halve and int8 quarters the
+    # per-token HBM traffic floor (engine/quant.py)
+    import jax.numpy as jnp
+
+    from summer_clip_tpu.engine import quant as Q
+
+    model_bf16 = gpt2_mod.GPT2(cfg, dtype=jnp.bfloat16)
+    vars_bf16 = {"params": Q.cast_params(variables["params"])}
+    vars_int8 = {"params": Q.quantize_tree(variables["params"])}
+
+    def bf16_params(model_ignored, variables_ignored, prompt, **kw):
+        return generate_device(model_bf16, vars_bf16, prompt, **kw)
+
+    def int8_weights(model_ignored, variables_ignored, prompt, **kw):
+        return generate_device(model_bf16, vars_int8, prompt, quant_int8=True, **kw)
+
     variants = [
         ("device-scan", generate_device),
         ("device-scan approx_top_k", functools.partial(generate_device, approx_top_k=True)),
         ("device-scan batched B=8 (per-row tokens/s x8)", batched8),
+        ("device-scan bf16 params", bf16_params),
+        ("device-scan int8 weights", int8_weights),
         ("host-loop", generate),
     ]
     for name, fn in variants:
