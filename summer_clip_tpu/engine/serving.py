@@ -70,31 +70,43 @@ def _pick(last, temp, top_k, greedy, rng):
     return _sample_next(last / temp, rng, top_k, False).astype(jnp.int32)
 
 
+def _maybe_dequant(variables, quant_int8: bool):
+    if not quant_int8:
+        return variables
+    from summer_clip_tpu.engine.quant import dequantize_tree
+
+    # per-dispatch programs re-read params every call, so a plain in-jit
+    # dequant already means int8 HBM reads (no barrier needed — there is
+    # no loop to hoist out of)
+    return dict(variables, params=dequantize_tree(variables["params"]))
+
+
 @functools.lru_cache(maxsize=16)
-def _engine_step(model, temp: float, top_k: int, greedy: bool):
+def _engine_step(model, temp: float, top_k: int, greedy: bool, quant_int8: bool):
     """One engine iteration (every slot advances one token), jitted once."""
 
     @jax.jit
     def step(variables, cache, tokens, pos, key_pad, rng):
         # tokens: (B,) this iteration's input token per slot
         # pos:    (B,) per-slot position of that token (for wpe)
-        out = model.apply(variables, tokens[:, None], position_offset=pos[:, None],
-                          cache=cache, key_pad=key_pad)
+        out = model.apply(_maybe_dequant(variables, quant_int8), tokens[:, None],
+                          position_offset=pos[:, None], cache=cache, key_pad=key_pad)
         return out["cache"], _pick(out["logits"][:, -1, :], temp, top_k, greedy, rng)
 
     return step
 
 
 @functools.lru_cache(maxsize=32)
-def _prefill_step(model, temp: float, top_k: int, greedy: bool, length: int):
+def _prefill_step(model, temp: float, top_k: int, greedy: bool, length: int,
+                  quant_int8: bool):
     """Bucketed chunk prefill: (B, length) tokens in one forward. Only the
     admitted slot's row is meaningful; batch-mates carry junk that is
     rolled back (ring index) / never attendable (causal mask)."""
 
     @jax.jit
     def prefill(variables, cache, tokens, offs, key_pad, rng):
-        out = model.apply(variables, tokens, position_offset=offs[:, None],
-                          cache=cache, key_pad=key_pad)
+        out = model.apply(_maybe_dequant(variables, quant_int8), tokens,
+                          position_offset=offs[:, None], cache=cache, key_pad=key_pad)
         return out["cache"], _pick(out["logits"][:, -1, :], temp, top_k, greedy, rng)
 
     return prefill
@@ -119,8 +131,14 @@ class ContinuousBatcher:
                  top_k: int = 50, greedy: bool = False,
                  eot_id: tp.Optional[int] = None,
                  rng: tp.Optional[jax.Array] = None,
-                 prefill_chunk: bool = True):
+                 prefill_chunk: bool = True,
+                 quant_int8: bool = False):
         self.model = model
+        if quant_int8:
+            from summer_clip_tpu.engine.quant import quantize_tree
+
+            variables = dict(variables, params=quantize_tree(variables["params"]))
+        self.quant_int8 = bool(quant_int8)
         self.variables = variables
         self.B = int(batch_slots)
         self.max_len = int(max_len or model.config.n_positions)
@@ -139,7 +157,8 @@ class ContinuousBatcher:
         for layer in cache:
             layer["index"] = jnp.zeros((self.B,), jnp.int32)
         self._cache = cache
-        self._step = _engine_step(model, self.temperature, self.top_k, self.greedy)
+        self._step = _engine_step(model, self.temperature, self.top_k, self.greedy,
+                                  self.quant_int8)
         # host mirrors of per-slot device state (the ring index is
         # authoritative HERE and re-stamped into the cache before every
         # dispatch — that is what makes prefill rollback a host-side no-op)
@@ -217,7 +236,7 @@ class ContinuousBatcher:
         self._key_pad[b] = pad
         self._positions[b] = 0
         prefill = _prefill_step(self.model, self.temperature, self.top_k,
-                                self.greedy, lb)
+                                self.greedy, lb, self.quant_int8)
         self._rng, sub = jax.random.split(self._rng)
         ring_before = self._ring.copy()
         self._cache, nxt = prefill(

@@ -110,6 +110,22 @@ class TestContinuousBatcher:
         for p, got in zip(prompts, outs[True]):
             assert got == _oracle(model, variables, p, 6)
 
+    def test_quant_int8_engine_runs(self):
+        """quant_int8 engine: int8 weight tree, requests complete, first
+        greedy token agrees with full precision (margin-dominated)."""
+        model, cfg, variables = _model()
+        prompt = [3, 7, 11]
+        full = ContinuousBatcher(model, variables, batch_slots=2, max_len=32,
+                                 greedy=True)
+        rf = full.submit(prompt, 4)
+        full.run()
+        q = ContinuousBatcher(model, variables, batch_slots=2, max_len=32,
+                              greedy=True, quant_int8=True)
+        rq = q.submit(prompt, 4)
+        q.run()
+        assert len(rq.out_ids) == 4
+        assert rq.out_ids[0] == rf.out_ids[0]
+
     def test_per_row_cache_index_matches_scalar(self):
         """The (B,)-indexed cache path (models/gpt2.py) is numerically the
         scalar-index path when all rows share the same index."""
