@@ -190,12 +190,20 @@ def generate_device(model, variables, prompt_ids: tp.Sequence[int], *,
 @functools.lru_cache(maxsize=64)
 def _decode_program_batched(model, batch: int, l_max: int, max_new: int,
                             temp: float, top_k: int, approx_top_k: bool,
-                            eot: int):
+                            eot: int, quant_int8: bool = False):
     """Jitted batched prefill + decode scan (memoized; see _decode_program)."""
+
+    def _vars(variables, in_loop: bool):
+        if not quant_int8:
+            return variables
+        from summer_clip_tpu.engine.quant import dequantize_in_loop, dequantize_tree
+
+        deq = dequantize_in_loop if in_loop else dequantize_tree
+        return dict(variables, params=deq(variables["params"]))
 
     @jax.jit
     def run(variables, ids, pad, rng, cache):
-        out = model.apply(variables, ids, position_offset=(-pad)[:, None],
+        out = model.apply(_vars(variables, False), ids, position_offset=(-pad)[:, None],
                           cache=cache, key_pad=pad)
         last, cache0 = out["logits"][:, -1, :], out["cache"]
 
@@ -206,7 +214,7 @@ def _decode_program_batched(model, batch: int, l_max: int, max_new: int,
             nxt = jnp.where(done, jnp.asarray(eot, nxt.dtype), nxt).astype(jnp.int32)
             done = done | (nxt == eot)
             offs = (l_max + step - pad)[:, None]
-            out = model.apply(variables, nxt[:, None], position_offset=offs,
+            out = model.apply(_vars(variables, True), nxt[:, None], position_offset=offs,
                               cache=cache, key_pad=pad)
             return (out["logits"][:, -1, :], out["cache"], rng, done), nxt
 
@@ -221,7 +229,8 @@ def generate_device_batched(model, variables, prompts: tp.Sequence[tp.Sequence[i
                             max_new_tokens: int = 20, temperature: float = 1.0,
                             top_k: int = 50, rng: tp.Optional[jax.Array] = None,
                             eot_id: tp.Optional[int] = None,
-                            approx_top_k: bool = False) -> tp.List[tp.List[int]]:
+                            approx_top_k: bool = False,
+                            quant_int8: bool = False) -> tp.List[tp.List[int]]:
     """Batched serving path: sample B variable-length prompts in ONE scan.
 
     Prompts are LEFT-padded to a shared length so every row appends at the
@@ -253,7 +262,8 @@ def generate_device_batched(model, variables, prompts: tp.Sequence[tp.Sequence[i
     run = _decode_program_batched(model, B, l_max, int(max_new_tokens),
                                   max(float(temperature), 1e-6), int(top_k),
                                   bool(approx_top_k),
-                                  -1 if eot_id is None else int(eot_id))
+                                  -1 if eot_id is None else int(eot_id),
+                                  bool(quant_int8))
     toks = np.asarray(run(variables, jnp.asarray(ids), pad, rng, cache))
     results: tp.List[tp.List[int]] = []
     for r, p in enumerate(prompts):

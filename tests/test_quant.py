@@ -70,3 +70,15 @@ class TestQuantDecode:
         # logit margins on random tiny nets are small; require only that
         # the first greedy pick agrees (deterministic, margin-dominated)
         assert quant[len(prompt)] == full[len(prompt)]
+
+    def test_int8_batched_decode_runs(self):
+        from summer_clip_tpu.apps.gen_gpt import generate_device_batched
+
+        model, cfg, params = _model()
+        qtree = Q.quantize_tree(params)
+        prompts = [[3, 7, 11], [2, 5]]
+        outs = generate_device_batched(model, {"params": qtree}, prompts,
+                                       max_new_tokens=4, top_k=1,
+                                       rng=jax.random.PRNGKey(2), quant_int8=True)
+        assert len(outs) == 2
+        assert all(len(o) == len(p) + 4 for o, p in zip(outs, prompts))
