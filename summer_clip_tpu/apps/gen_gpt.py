@@ -116,12 +116,9 @@ def _decode_program(model, n_prompt: int, max_new: int, temp: float,
     decode is parameter-read-bound, so this is the 4x-traffic lever."""
 
     def _vars(variables, in_loop: bool):
-        if not quant_int8:
-            return variables
-        from summer_clip_tpu.engine.quant import dequantize_in_loop, dequantize_tree
+        from summer_clip_tpu.engine.quant import swap_dequantized
 
-        deq = dequantize_in_loop if in_loop else dequantize_tree
-        return dict(variables, params=deq(variables["params"]))
+        return swap_dequantized(variables, in_loop=in_loop, enabled=quant_int8)
 
     @jax.jit
     def run(variables, prompt, rng, cache):
@@ -194,12 +191,9 @@ def _decode_program_batched(model, batch: int, l_max: int, max_new: int,
     """Jitted batched prefill + decode scan (memoized; see _decode_program)."""
 
     def _vars(variables, in_loop: bool):
-        if not quant_int8:
-            return variables
-        from summer_clip_tpu.engine.quant import dequantize_in_loop, dequantize_tree
+        from summer_clip_tpu.engine.quant import swap_dequantized
 
-        deq = dequantize_in_loop if in_loop else dequantize_tree
-        return dict(variables, params=deq(variables["params"]))
+        return swap_dequantized(variables, in_loop=in_loop, enabled=quant_int8)
 
     @jax.jit
     def run(variables, ids, pad, rng, cache):

@@ -95,6 +95,8 @@ class NullExpLogger:
         """Snapshot the source tree for reproducibility (reference WandbLogger
         uploads every ``**/*.py`` as a wandb code artifact, log_utils.py:56-65).
         Returns the list of captured relative paths."""
+        if type(self)._log_code_impl is NullExpLogger._log_code_impl:
+            return []  # no sink — skip the tree walk entirely
         root = Path(root)
         files = sorted(
             str(p.relative_to(root)) for p in root.glob(include)

@@ -219,12 +219,14 @@ class ImageNetDataset(DatasetBase):
         classnames, templates = _imagenet_assets()
         self.template = templates
 
+        split_wnids: tp.Dict[str, tp.List[str]] = {}
+
         def read_dir(split: str) -> tp.List[Datum]:
             split_dir = base / split
             items: tp.List[Datum] = []
             if not split_dir.exists():
                 return items
-            wnids = listdir_nohidden(split_dir)
+            wnids = split_wnids[split] = listdir_nohidden(split_dir)
             # Labels are positional over sorted wnids (torchvision ordering;
             # reference pins the 1000 names explicitly, imagenet.py:11-175).
             # A missing/extra class dir would silently shift every later
@@ -246,9 +248,12 @@ class ImageNetDataset(DatasetBase):
 
         train = read_dir("train")
         val = read_dir("val")
-        train_wnids = listdir_nohidden(base / "train") if (base / "train").exists() else None
-        val_wnids = listdir_nohidden(base / "val") if (base / "val").exists() else None
-        if train_wnids is not None and val_wnids is not None and train_wnids != val_wnids:
+        # NOTE: this catches count mismatches and train/val disagreement; a
+        # same-count wnid SUBSTITUTION present in both splits is still
+        # undetectable without a pinned wnid list (the curated table pins
+        # names by position, not by wnid).
+        if ("train" in split_wnids and "val" in split_wnids
+                and split_wnids["train"] != split_wnids["val"]):
             raise ValueError(
                 "ImageNet train/ and val/ wnid directory sets differ — labels "
                 "would disagree between splits.")

@@ -29,6 +29,10 @@ import jax.numpy as jnp
 __all__ = ["cast_params", "quantize_tree", "dequantize_tree", "dequantize_in_loop"]
 
 _SENSITIVE = ("bias", "scale")  # LayerNorm/bias leaves: keep f32
+# gather-axis tables: scale per ROW (a handful of anomalous tokens with
+# ~100x norms would otherwise poison every column's scale — exactly the
+# tokens sandbox/anomalous_tokens.py studies)
+_EMBED_NAMES = ("embedding", "wpe", "clip_emb")
 
 
 def cast_params(params, dtype=jnp.bfloat16):
@@ -42,12 +46,14 @@ def cast_params(params, dtype=jnp.bfloat16):
     return jax.tree_util.tree_map_with_path(cast, params)
 
 
-def _quant_leaf(x: jax.Array) -> tp.Dict[str, jax.Array]:
-    # per-output-column scale (last axis); embeddings get per-row via the
-    # same rule (their gather axis is 0, columns are features — a per-row
-    # scale would be axis 0; last-axis scaling works for both because the
-    # scale broadcasts over the quantized axis structure at dequant)
-    amax = jnp.max(jnp.abs(x), axis=tuple(range(x.ndim - 1)), keepdims=True)
+def _quant_leaf(x: jax.Array, per_row: bool) -> tp.Dict[str, jax.Array]:
+    # matmul kernels: per-output-column scale (last axis); gather tables
+    # (``per_row``): per-row scale so one outlier token only widens its own
+    # quantization step
+    if per_row:
+        amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    else:
+        amax = jnp.max(jnp.abs(x), axis=tuple(range(x.ndim - 1)), keepdims=True)
     scale = jnp.maximum(amax, 1e-12) / 127.0
     q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
     return {"q": q, "scale": scale.astype(jnp.float32)}
@@ -64,7 +70,7 @@ def quantize_tree(params):
         name = str(getattr(path[-1], "key", "")) if path else ""
         if (hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
                 and x.ndim >= 2 and name not in _SENSITIVE):
-            return _quant_leaf(x)
+            return _quant_leaf(x, per_row=name in _EMBED_NAMES)
         return x
     return jax.tree_util.tree_map_with_path(quant, params)
 
@@ -91,3 +97,15 @@ def dequantize_in_loop(qparams, dtype=jnp.bfloat16):
     """
     qparams = jax.lax.optimization_barrier(qparams)
     return dequantize_tree(qparams, dtype)
+
+
+def swap_dequantized(variables, *, in_loop: bool, enabled: bool = True,
+                     dtype=jnp.bfloat16):
+    """``variables`` with its quantized ``params`` reconstructed — the one
+    helper every decode program uses (single-stream scan, batched scan,
+    serving engine). ``in_loop=True`` adds the anti-hoisting barrier for
+    use inside scan bodies; per-dispatch programs pass ``in_loop=False``."""
+    if not enabled:
+        return variables
+    deq = dequantize_in_loop if in_loop else dequantize_tree
+    return dict(variables, params=deq(variables["params"], dtype))

@@ -71,14 +71,12 @@ def _pick(last, temp, top_k, greedy, rng):
 
 
 def _maybe_dequant(variables, quant_int8: bool):
-    if not quant_int8:
-        return variables
-    from summer_clip_tpu.engine.quant import dequantize_tree
+    from summer_clip_tpu.engine.quant import swap_dequantized
 
     # per-dispatch programs re-read params every call, so a plain in-jit
     # dequant already means int8 HBM reads (no barrier needed — there is
     # no loop to hoist out of)
-    return dict(variables, params=dequantize_tree(variables["params"]))
+    return swap_dequantized(variables, in_loop=False, enabled=quant_int8)
 
 
 @functools.lru_cache(maxsize=16)
@@ -105,6 +103,7 @@ def _prefill_step(model, temp: float, top_k: int, greedy: bool, length: int,
 
     @jax.jit
     def prefill(variables, cache, tokens, offs, key_pad, rng):
+        assert tokens.shape[1] == length, (tokens.shape, length)
         out = model.apply(_maybe_dequant(variables, quant_int8), tokens,
                           position_offset=offs[:, None], cache=cache, key_pad=key_pad)
         return out["cache"], _pick(out["logits"][:, -1, :], temp, top_k, greedy, rng)

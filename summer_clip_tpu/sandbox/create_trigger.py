@@ -297,6 +297,10 @@ class TriggerSearch:
         self.token_filter = None if token_filter is None else jnp.asarray(token_filter)
         self._jit_grad = jax.jit(self._grad_step)
         self._jit_eval = jax.jit(self._eval_step)
+        # all candidate trials + the current trigger scored in ONE dispatch
+        # (the reference loops candidates re-running the model per candidate,
+        # create_trigger.py:374-388 — num_cand+1 forwards per batch)
+        self._jit_eval_many = jax.jit(jax.vmap(self._eval_step, in_axes=(0, None)))
 
     # -- jitted primitives ----------------------------------------------------
 
@@ -348,6 +352,8 @@ class TriggerSearch:
     def evaluate(self, trigger_ids: tp.Sequence[int],
                  examples: tp.Sequence[TriggerExample], bsz: int = 32) -> float:
         """Dev-set metric of a trigger (reference dev-eval loop)."""
+        if not examples:
+            return 0.0
         tid = jnp.asarray(np.asarray(trigger_ids, np.int32))
         num, den = 0.0, 0
         for batch in self._batches(examples, min(bsz, len(examples))):
@@ -365,6 +371,13 @@ class TriggerSearch:
         """Full search: per iteration, accumulate gradients over train batches,
         HotFlip one random slot, re-score candidates on fresh batches, accept
         if better, track the best trigger by dev metric."""
+        if len(train) < bsz:
+            raise ValueError(
+                f"train set has {len(train)} usable examples < bsz {bsz} "
+                "(rows that fail to templatize are skipped — check template/"
+                "label_field/max_len)")
+        if not dev:
+            raise ValueError("dev set is empty after templatizing")
         rng = np.random.default_rng(seed)
         trigger = list(initial_trigger) if initial_trigger is not None else [mask_id] * self.L
         assert len(trigger) == self.L
@@ -390,15 +403,17 @@ class TriggerSearch:
                 scores = scores + self.token_filter
             cands = np.asarray(jax.lax.top_k(scores, num_cand)[1])
 
-            # 3) score current + candidates on the SAME fresh batches
+            # 3) score current + all candidates on the SAME fresh batches —
+            # one vmapped dispatch per batch (row 0 = current trigger)
+            trials = np.tile(np.asarray(trigger, np.int32), (num_cand + 1, 1))
+            trials[1:, slot] = cands
+            trials_j = jnp.asarray(trials)
             cur_score, cand_scores, den = 0.0, np.zeros(num_cand), 0
             for batch in self._batches(train, bsz, rng, accumulation_steps):
-                cur_score += float(self._jit_eval(tid, batch))
+                scores = np.asarray(self._jit_eval_many(trials_j, batch))
+                cur_score += float(scores[0])
+                cand_scores += scores[1:]
                 den += batch["input_ids"].shape[0]
-                for ci, cand in enumerate(cands):
-                    trial = np.asarray(trigger, np.int32).copy()
-                    trial[slot] = cand
-                    cand_scores[ci] += float(self._jit_eval(jnp.asarray(trial), batch))
 
             accepted = bool(den) and bool((cand_scores > cur_score).any())
             rec = {"iter": it, "slot": slot, "accepted": accepted,

@@ -24,12 +24,30 @@ class TestQuantTree:
                 jax.tree_util.tree_flatten_with_path(params)[0],
                 jax.tree_util.tree_flatten_with_path(deq)[0]):
             a, b = np.asarray(a), np.asarray(b)
+            name = str(getattr(path[-1], "key", ""))
             if a.ndim >= 2:
-                amax = np.abs(a).max(axis=tuple(range(a.ndim - 1)), keepdims=True)
-                # symmetric int8: error <= half a quantization step per column
+                if name in Q._EMBED_NAMES:  # gather tables: per-row scales
+                    amax = np.abs(a).max(axis=-1, keepdims=True)
+                else:                        # kernels: per-column scales
+                    amax = np.abs(a).max(axis=tuple(range(a.ndim - 1)), keepdims=True)
+                # symmetric int8: error <= half a quantization step
                 assert np.all(np.abs(a - b) <= amax / 127.0 * 0.5001), path
             else:
                 np.testing.assert_array_equal(a, b)  # sensitive leaves untouched
+
+    def test_embedding_outlier_row_does_not_poison_table(self):
+        """wte/wpe quantize per-ROW: one anomalous 100x token must not widen
+        every other row's quantization step (real GPT-2 has such tokens —
+        that is what sandbox/anomalous_tokens.py studies)."""
+        rng = np.random.RandomState(0)
+        table = rng.randn(1000, 64).astype(np.float32)
+        table[7] *= 100.0
+        tree = {"wte": {"embedding": jnp.asarray(table)}}
+        deq = np.asarray(Q.dequantize_tree(Q.quantize_tree(tree),
+                                           dtype=jnp.float32)["wte"]["embedding"])
+        normal = np.arange(1000) != 7
+        rel = np.abs(deq[normal] - table[normal]).max() / np.abs(table[normal]).max()
+        assert rel < 0.01, rel  # per-column scaling put this at ~0.2
 
     def test_bf16_cast_leaves_small_leaves(self):
         _, _, params = _model()
