@@ -1,0 +1,174 @@
+"""Pipeline parallelism for the GPT block stack (GPipe over a 'stage' axis).
+
+The reference never pipelines (its largest model fits one GPU —
+SURVEY.md §2.9), but at gpt2-xl+ scales a single chip's HBM runs out even
+with remat; this is the TPU-native third axis next to DP
+(``parallel/mesh.py``) and Megatron TP (``parallel/tp.py``):
+
+- GPT-2 blocks are homogeneous, so per-layer params stack into one
+  leading-axis pytree and shard ``P('stage')`` — each device holds
+  ``n_layer / n_stages`` layers and nothing else,
+- the pipeline is a ``shard_map`` + ``lax.scan`` over ``M + S - 1`` ticks:
+  stage 0 feeds a fresh microbatch each tick, every stage applies its
+  local layer chunk (an inner ``lax.scan`` over layers), activations move
+  one hop per tick via ``lax.ppermute`` over ICI,
+- bubbles are the usual GPipe ``(S-1)/(M+S-1)``; raise ``n_microbatches``
+  to amortize,
+- everything is differentiable (``ppermute``'s VJP is the reverse
+  permute), so ``jax.grad`` through :func:`pipeline_blocks` yields exact
+  gradients — pinned against the dense single-device stack in tests and
+  in ``dryrun_multichip`` stage 4.
+
+Embedding, positional add, final LN and the LM head stay replicated
+outside the pipeline (they are a tiny fraction of FLOPs/params); only the
+block stack — where the memory and compute live — is staged.
+"""
+
+from __future__ import annotations
+
+import functools
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from summer_clip_tpu.models import gpt2 as gpt2_mod
+
+__all__ = ["stack_block_params", "unstack_block_params", "pipeline_blocks",
+           "pp_gpt2_forward", "check_pp_divisibility"]
+
+
+def check_pp_divisibility(n_layer: int, n_stages: int) -> None:
+    if n_layer % n_stages != 0:
+        raise ValueError(f"n_layer {n_layer} not divisible by {n_stages} stages")
+
+
+def stack_block_params(params: tp.Mapping, n_stages: int) -> tp.Tuple[dict, dict]:
+    """Split GPT2 params into (non-block, stage-stacked block) trees.
+
+    Block params ``core/h_{i}`` stack to leading shape
+    ``(n_stages, layers_per_stage, ...)`` ready for ``P('stage')`` sharding.
+    """
+    core = dict(params["core"])
+    layer_keys = sorted((k for k in core if k.startswith("h_")),
+                        key=lambda k: int(k.split("_")[1]))
+    n_layer = len(layer_keys)
+    check_pp_divisibility(n_layer, n_stages)
+    blocks = [core.pop(k) for k in layer_keys]
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs).reshape((n_stages, n_layer // n_stages)
+                                          + xs[0].shape), *blocks)
+    rest = dict(params)
+    rest["core"] = core
+    return rest, stacked
+
+
+def unstack_block_params(rest: tp.Mapping, stacked: tp.Any) -> dict:
+    """Inverse of :func:`stack_block_params` (checkpoint interchange)."""
+    leaves = jax.tree_util.tree_leaves(stacked)
+    s, lps = leaves[0].shape[:2]
+    core = dict(rest["core"])
+    for i in range(s * lps):
+        core[f"h_{i}"] = jax.tree_util.tree_map(
+            lambda x: x.reshape((s * lps,) + x.shape[2:])[i], stacked)
+    out = dict(rest)
+    out["core"] = core
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "dtype"))
+def _block_chunk(chunk_params, x, num_heads: int, dtype):
+    """Apply this stage's ``layers_per_stage`` blocks (scan over layers)."""
+    block = gpt2_mod.GPT2Block(num_heads, dtype=dtype)
+
+    def body(h, layer_params):
+        h, _ = block.apply({"params": layer_params}, h)
+        return h, None
+
+    x, _ = jax.lax.scan(body, x, chunk_params)
+    return x
+
+
+def pipeline_blocks(stacked_params, x: jax.Array, mesh: Mesh, *,
+                    num_heads: int, n_microbatches: int,
+                    axis: str = "stage", dtype=jnp.float32) -> jax.Array:
+    """(B, T, D) -> (B, T, D) through the staged block stack.
+
+    ``stacked_params`` leaves are (S, L/S, ...), sharded ``P(axis)``;
+    ``x`` is replicated and split into ``n_microbatches`` along batch.
+    """
+    s = mesh.shape[axis]
+    b = x.shape[0]
+    m = n_microbatches
+    assert b % m == 0, f"batch {b} not divisible by {m} microbatches"
+    mb = b // m
+    x_mb = x.reshape(m, mb, *x.shape[1:])
+    perm = [(i, (i + 1) % s) for i in range(s)]
+    other_axes = [a for a in mesh.axis_names if a != axis]
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def run(params_shard, x_all):
+        # params_shard: (1, L/S, ...) — this stage's chunk
+        chunk = jax.tree_util.tree_map(lambda p: p[0], params_shard)
+        stage = jax.lax.axis_index(axis)
+        ticks = m + s - 1
+
+        def tick(carry, t):
+            recv = carry
+            # stage 0 ingests microbatch t (clamped; extra ticks feed a
+            # repeat whose output is never collected)
+            feed = jax.lax.dynamic_index_in_dim(
+                x_all, jnp.clip(t, 0, m - 1), axis=0, keepdims=False)
+            inp = jnp.where(stage == 0, feed, recv)
+            out = _block_chunk(chunk, inp, num_heads=num_heads, dtype=dtype)
+            send = jax.lax.ppermute(out, axis, perm)
+            return send, out
+
+        _, outs = jax.lax.scan(tick, jnp.zeros_like(x_all[0]), jnp.arange(ticks))
+        # collect the LAST stage's outputs for ticks [s-1, s-1+m)
+        result = jax.lax.dynamic_slice_in_dim(outs, s - 1, m, axis=0)
+        # every stage returns a full-shaped array; only the last stage's is
+        # real — zero the others and psum so out_specs=P() is replicated
+        result = jnp.where(stage == s - 1, result, jnp.zeros_like(result))
+        result = jax.lax.psum(result, axis)
+        for a in other_axes:
+            result = jax.lax.pmean(result, a)
+        return result
+
+    out = run(stacked_params, x_mb)
+    return out.reshape(b, *x.shape[1:])
+
+
+def pp_gpt2_forward(model: gpt2_mod.GPT2, rest_params, stacked_params,
+                    input_ids: jax.Array, mesh: Mesh, *,
+                    n_microbatches: int, axis: str = "stage") -> jax.Array:
+    """Full GPT-2 LM forward with the block stack pipelined: embedding +
+    positions and final LN + logits replicated (reference model semantics,
+    ``models/gpt2.py:GPT2.__call__``), blocks staged over ``axis``."""
+    cfg = model.config
+    wte = rest_params["wte"]["embedding"]
+    wpe = rest_params["core"]["wpe"]
+    t = input_ids.shape[1]
+    x = jnp.take(wte, input_ids, axis=0).astype(model.dtype)
+    x = x + wpe[:t].astype(model.dtype)
+    x = pipeline_blocks(stacked_params, x, mesh, num_heads=cfg.n_head,
+                        n_microbatches=n_microbatches, axis=axis,
+                        dtype=model.dtype)
+    from summer_clip_tpu.models.clip.modeling import LayerNormF32
+
+    x = LayerNormF32().apply({"params": rest_params["core"]["ln_f"]}, x)
+    return jnp.dot(x, wte.T.astype(x.dtype), preferred_element_type=jnp.float32)
+
+
+def shard_stacked_pp(stacked_params, mesh: Mesh, axis: str = "stage"):
+    """Place the stacked block tree with its stage axis on the mesh."""
+    spec = NamedSharding(mesh, P(axis))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, spec), stacked_params)

@@ -127,6 +127,79 @@ class TestShardedCache:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
 
 
+class TestPipelineParallel:
+    """GPipe over the 'stage' axis (parallel/pp.py): staged block stack must
+    equal the dense single-device model, forward AND gradients."""
+
+    def _setup(self, devices8, n_stages=2):  # test-gpt has 2 layers
+        import jax.numpy as jnp
+
+        from summer_clip_tpu.models import gpt2 as G
+        from summer_clip_tpu.parallel.pp import (
+            shard_stacked_pp, stack_block_params, unstack_block_params,
+        )
+
+        mesh = create_mesh_named(devices8, n_stages)
+        model, cfg = G.build_gpt2("test-gpt")
+        ids = jax.random.randint(jax.random.PRNGKey(0), (4, 12), 1, cfg.vocab_size)
+        params = model.init(jax.random.PRNGKey(1), ids)["params"]
+        rest, stacked = stack_block_params(params, n_stages)
+        # stack/unstack is a faithful round trip
+        rt = unstack_block_params(rest, stacked)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            params, rt)
+        stacked = shard_stacked_pp(stacked, mesh)
+        return mesh, model, cfg, ids, params, rest, stacked
+
+    def test_forward_matches_dense(self, devices8):
+        from summer_clip_tpu.parallel.pp import pp_gpt2_forward
+
+        mesh, model, cfg, ids, params, rest, stacked = self._setup(devices8)
+        dense = model.apply({"params": params}, ids)["logits"]
+        for m in (1, 2, 4):
+            pp = pp_gpt2_forward(model, rest, stacked, ids, mesh,
+                                 n_microbatches=m)
+            np.testing.assert_allclose(np.asarray(pp), np.asarray(dense),
+                                       atol=2e-4, rtol=2e-4)
+
+    def test_grads_match_dense(self, devices8):
+        import jax.numpy as jnp
+
+        from summer_clip_tpu.parallel.pp import (
+            pp_gpt2_forward, stack_block_params,
+        )
+
+        mesh, model, cfg, ids, params, rest, stacked = self._setup(devices8)
+
+        def dense_loss(p):
+            lg = model.apply({"params": p}, ids)["logits"].astype(jnp.float32)
+            return jnp.mean(jax.nn.logsumexp(lg, -1))
+
+        def pp_loss(rest_p, stacked_p):
+            lg = pp_gpt2_forward(model, rest_p, stacked_p, ids, mesh,
+                                 n_microbatches=2).astype(jnp.float32)
+            return jnp.mean(jax.nn.logsumexp(lg, -1))
+
+        g_dense = jax.grad(dense_loss)(params)
+        g_rest, g_stacked = jax.grad(pp_loss, argnums=(0, 1))(rest, stacked)
+        gd_rest, gd_stacked = stack_block_params(g_dense, mesh.shape["stage"])
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-3),
+            gd_stacked, g_stacked)
+        # embedding grad flows through both the input and the tied head
+        np.testing.assert_allclose(
+            np.asarray(gd_rest["wte"]["embedding"]),
+            np.asarray(g_rest["wte"]["embedding"]), atol=2e-4, rtol=2e-3)
+
+
+def create_mesh_named(devices8, n_stages):
+    from jax.sharding import Mesh
+
+    return Mesh(np.asarray(devices8[:n_stages]).reshape(n_stages), ("stage",))
+
+
 class TestGraftEntry:
     def test_dryrun_multichip_8(self, devices8):
         import sys
