@@ -79,13 +79,20 @@ def unstack_block_params(rest: tp.Mapping, stacked: tp.Any) -> dict:
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "dtype"))
-def _block_chunk(chunk_params, x, num_heads: int, dtype):
-    """Apply this stage's ``layers_per_stage`` blocks (scan over layers)."""
+@functools.partial(jax.jit, static_argnames=("num_heads", "dtype", "remat"))
+def _block_chunk(chunk_params, x, num_heads: int, dtype, remat: bool = False):
+    """Apply this stage's ``layers_per_stage`` blocks (scan over layers).
+    ``remat`` rematerializes each layer on the backward pass — combined
+    with staging this is what fits gpt2-xl-class training."""
     block = gpt2_mod.GPT2Block(num_heads, dtype=dtype)
 
     def body(h, layer_params):
-        h, _ = block.apply({"params": layer_params}, h)
+        def apply_one(hh, lp):
+            return block.apply({"params": lp}, hh)[0]
+        if remat:
+            h = jax.checkpoint(apply_one)(h, layer_params)
+        else:
+            h = apply_one(h, layer_params)
         return h, None
 
     x, _ = jax.lax.scan(body, x, chunk_params)
@@ -94,7 +101,8 @@ def _block_chunk(chunk_params, x, num_heads: int, dtype):
 
 def pipeline_blocks(stacked_params, x: jax.Array, mesh: Mesh, *,
                     num_heads: int, n_microbatches: int,
-                    axis: str = "stage", dtype=jnp.float32) -> jax.Array:
+                    axis: str = "stage", dtype=jnp.float32,
+                    remat: bool = False) -> jax.Array:
     """(B, T, D) -> (B, T, D) through the staged block stack.
 
     ``stacked_params`` leaves are (S, L/S, ...), sharded ``P(axis)``;
@@ -128,7 +136,8 @@ def pipeline_blocks(stacked_params, x: jax.Array, mesh: Mesh, *,
             feed = jax.lax.dynamic_index_in_dim(
                 x_all, jnp.clip(t, 0, m - 1), axis=0, keepdims=False)
             inp = jnp.where(stage == 0, feed, recv)
-            out = _block_chunk(chunk, inp, num_heads=num_heads, dtype=dtype)
+            out = _block_chunk(chunk, inp, num_heads=num_heads, dtype=dtype,
+                               remat=remat)
             send = jax.lax.ppermute(out, axis, perm)
             return send, out
 

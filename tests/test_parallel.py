@@ -163,6 +163,26 @@ class TestPipelineParallel:
             np.testing.assert_allclose(np.asarray(pp), np.asarray(dense),
                                        atol=2e-4, rtol=2e-4)
 
+    def test_remat_pipeline_grads(self, devices8):
+        """remat inside the staged chunk preserves gradients exactly."""
+        import jax.numpy as jnp
+
+        from summer_clip_tpu.parallel.pp import pipeline_blocks
+
+        mesh, model, cfg, ids, params, rest, stacked = self._setup(devices8)
+        x = jax.random.normal(jax.random.PRNGKey(3), (4, 12, cfg.n_embd))
+
+        def loss(stacked_p, remat):
+            y = pipeline_blocks(stacked_p, x, mesh, num_heads=cfg.n_head,
+                                n_microbatches=2, remat=remat)
+            return jnp.sum(y.astype(jnp.float32) ** 2)
+
+        g1 = jax.grad(lambda p: loss(p, False))(stacked)
+        g2 = jax.grad(lambda p: loss(p, True))(stacked)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4), g1, g2)
+
     def test_grads_match_dense(self, devices8):
         import jax.numpy as jnp
 
