@@ -53,6 +53,20 @@ class ClipGPTTrainer(BaseTrainer):
         n = len(jax.devices())
         bs = int(self.cfg.data_loader.train.batch_size)
         tp = int(self.cfg.training.get("tp", 1))
+        pp = int(self.cfg.training.get("pp", 1))
+        self.pp_mesh = None
+        if pp > 1:
+            # GPipe pipeline over a 'stage' axis (parallel/pp.py); v1 is
+            # PP-only (no combined DP/TP axes)
+            assert tp == 1, "training.pp and training.tp are mutually exclusive"
+            assert n >= pp, f"pp={pp} needs >= {pp} devices (have {n})"
+            from jax.sharding import Mesh as _Mesh
+
+            self.pp_mesh = _Mesh(np.asarray(jax.devices()[:pp]).reshape(pp),
+                                 ("stage",))
+            self.mesh = None
+            self.logger.log_info(f"mesh: pipeline over {pp} stages (GPipe)")
+            return
         assert n % max(tp, 1) == 0, f"tp={tp} does not divide {n} devices"
         dp = n // max(tp, 1)
         if n > 1 and bs % dp == 0:
@@ -104,7 +118,17 @@ class ClipGPTTrainer(BaseTrainer):
             _, _, variables = load_clip_ckpt(mcfg.clip_checkpoint_path)
             self.params["clip_emb"] = jnp.asarray(
                 variables["params"]["text"]["token_embedding"]["embedding"])
-        if self.mesh is not None:
+        if self.pp_mesh is not None:
+            from summer_clip_tpu.parallel import (
+                check_pp_divisibility, shard_stacked_pp, stack_block_params,
+            )
+
+            n_stages = self.pp_mesh.shape["stage"]
+            check_pp_divisibility(gpt_cfg.n_layer, n_stages)
+            rest, stacked = stack_block_params(self.params, n_stages)
+            self.params = {"rest": rest,
+                           "stacked": shard_stacked_pp(stacked, self.pp_mesh)}
+        elif self.mesh is not None:
             if self.mesh.shape["model"] > 1:
                 from summer_clip_tpu.parallel import check_tp_divisibility, shard_params_tp
 
@@ -166,19 +190,32 @@ class ClipGPTTrainer(BaseTrainer):
     def setup_loss(self):
         model, tx = self.model, self.tx
 
+        if self.pp_mesh is not None:
+            from summer_clip_tpu.parallel import pp_clip_gpt_forward
+
+            pp_mesh = self.pp_mesh
+            n_mb = int(self.cfg.training.get("pp_microbatches", 2))
+            remat = bool(self.cfg.training.get("remat", False))
+
+            def logits_of(p, ids):
+                return pp_clip_gpt_forward(model, p["rest"], p["stacked"], ids,
+                                           pp_mesh, n_microbatches=n_mb,
+                                           remat=remat)
+        else:
+            def logits_of(p, ids):
+                return model.apply({"params": p}, ids)["logits"]
+
         @jax.jit
         def train_step(params, opt_state, ids):
             def loss_of(p):
-                out = model.apply({"params": p}, ids)
-                return lm_loss_fn(out["logits"], ids)
+                return lm_loss_fn(logits_of(p, ids), ids)
             loss, grads = jax.value_and_grad(loss_of)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
 
         @jax.jit
         def eval_step(params, ids):
-            out = model.apply({"params": params}, ids)
-            return lm_loss_fn(out["logits"], ids)
+            return lm_loss_fn(logits_of(params, ids), ids)
 
         self._train_step = train_step
         self._eval_step = eval_step
@@ -191,6 +228,20 @@ class ClipGPTTrainer(BaseTrainer):
         pcfg = self.cfg.get("pretrained") or {}
         model_path = pcfg.get("model") if hasattr(pcfg, "get") else None
         if model_path and Path(model_path).exists():
+            if self.pp_mesh is not None:
+                # checkpoints are in the standard layout: merge there, restack
+                from summer_clip_tpu.parallel import (
+                    shard_stacked_pp, stack_block_params,
+                )
+
+                std = self._checkpoint_params()
+                loaded = ckpt.load_checkpoint(Path(model_path), params_target=std)
+                rest, stacked = stack_block_params(
+                    loaded["params"], self.pp_mesh.shape["stage"])
+                self.params = {"rest": rest,
+                               "stacked": shard_stacked_pp(stacked, self.pp_mesh)}
+                self.logger.log_info(f"Resumed (PP restack) from {model_path}")
+                return
             loaded = ckpt.load_checkpoint(Path(model_path),
                                           params_target=self.params)
 
@@ -225,12 +276,21 @@ class ClipGPTTrainer(BaseTrainer):
         loss = float(np.mean(losses)) if losses else float("nan")
         return loss, float(np.exp(loss))
 
+    def _checkpoint_params(self):
+        """Params in the standard (unstacked) layout for checkpoints —
+        PP-trained weights interchange with every other run mode."""
+        if self.pp_mesh is not None:
+            from summer_clip_tpu.parallel import unstack_block_params
+
+            return unstack_block_params(self.params["rest"], self.params["stacked"])
+        return self.params
+
     def save_step_model(self, epoch_num: int, step: tp.Union[int, str],
                         with_optimizer: bool = False) -> None:
         step_dir = Path(str(self.cfg.training.checkpoints_dir)) / f"epoch_{epoch_num}" / f"step_{step}"
         ckpt.save_checkpoint(
-            step_dir, params=self.params,
-            opt_state=self.opt_state if with_optimizer else None,
+            step_dir, params=self._checkpoint_params(),
+            opt_state=self.opt_state if with_optimizer and self.pp_mesh is None else None,
             keep=lambda names: self.trainable_mask_fn(
                 tuple(type("K", (), {"key": n})() for n in names)),
             meta={"model_cfg": C.to_container(self.cfg.clip_gpt, resolve=True)})

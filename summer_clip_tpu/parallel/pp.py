@@ -181,3 +181,36 @@ def shard_stacked_pp(stacked_params, mesh: Mesh, axis: str = "stage"):
     """Place the stacked block tree with its stage axis on the mesh."""
     spec = NamedSharding(mesh, P(axis))
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, spec), stacked_params)
+
+
+def pp_clip_gpt_forward(model, rest_params, stacked_params,
+                        input_ids: jax.Array, mesh: Mesh, *,
+                        n_microbatches: int, axis: str = "stage",
+                        remat: bool = False) -> jax.Array:
+    """ClipGPT LM forward with the block stack pipelined.
+
+    Embedding path (clip table -> emb adapter), positions, final LN and the
+    adapter LM head stay replicated (``models/gpt2.py:ClipGPT.__call__``
+    semantics); only the GPT core blocks are staged.
+    """
+    from summer_clip_tpu.models.clip.modeling import LayerNormF32
+
+    cfg = model.config
+    clip_emb = rest_params["clip_emb"]
+
+    def adapter_apply(name: str, x):
+        p = rest_params.get(name) or rest_params["adapter_emb"]  # shared head
+        hid = p["fc1"]["kernel"].shape[1]
+        out = p["fc2"]["kernel"].shape[1]
+        return gpt2_mod.Adapter(hid, out, dtype=model.dtype).apply({"params": p}, x)
+
+    t = input_ids.shape[1]
+    x = jnp.take(clip_emb, input_ids, axis=0).astype(model.dtype)
+    x = adapter_apply("adapter_emb", x)
+    x = x + rest_params["core"]["wpe"][:t].astype(model.dtype)
+    x = pipeline_blocks(stacked_params, x, mesh, num_heads=cfg.n_head,
+                        n_microbatches=n_microbatches, axis=axis,
+                        dtype=model.dtype, remat=remat)
+    x = LayerNormF32().apply({"params": rest_params["core"]["ln_f"]}, x)
+    head = adapter_apply("adapter_head", clip_emb.astype(model.dtype))
+    return jnp.dot(x, head.T, preferred_element_type=jnp.float32)
