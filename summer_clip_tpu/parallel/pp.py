@@ -102,32 +102,39 @@ def _block_chunk(chunk_params, x, num_heads: int, dtype, remat: bool = False):
 def pipeline_blocks(stacked_params, x: jax.Array, mesh: Mesh, *,
                     num_heads: int, n_microbatches: int,
                     axis: str = "stage", dtype=jnp.float32,
-                    remat: bool = False) -> jax.Array:
+                    remat: bool = False,
+                    data_axis: tp.Optional[str] = None) -> jax.Array:
     """(B, T, D) -> (B, T, D) through the staged block stack.
 
-    ``stacked_params`` leaves are (S, L/S, ...), sharded ``P(axis)``;
-    ``x`` is replicated and split into ``n_microbatches`` along batch.
+    ``stacked_params`` leaves are (S, L/S, ...), sharded ``P(axis)``.
+    ``data_axis=None``: ``x`` is replicated. ``data_axis='data'`` composes
+    PP with DP on a ('data', 'stage') mesh: the batch shards over 'data'
+    and each data row runs its own independent pipeline over its stage
+    column (the microbatch split happens on the LOCAL batch).
     """
     s = mesh.shape[axis]
     b = x.shape[0]
     m = n_microbatches
-    assert b % m == 0, f"batch {b} not divisible by {m} microbatches"
-    mb = b // m
-    x_mb = x.reshape(m, mb, *x.shape[1:])
+    dp = mesh.shape[data_axis] if data_axis else 1
+    assert b % (m * dp) == 0, (
+        f"batch {b} not divisible by microbatches {m} x data shards {dp}")
     perm = [(i, (i + 1) % s) for i in range(s)]
-    other_axes = [a for a in mesh.axis_names if a != axis]
+    other_axes = [a for a in mesh.axis_names if a not in (axis, data_axis)]
+    x_spec = P(data_axis) if data_axis else P()
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(axis), P()),
-        out_specs=P(),
+        in_specs=(P(axis), x_spec),
+        out_specs=x_spec,
         check_vma=False,
     )
-    def run(params_shard, x_all):
+    def run(params_shard, x_local):
         # params_shard: (1, L/S, ...) — this stage's chunk
         chunk = jax.tree_util.tree_map(lambda p: p[0], params_shard)
         stage = jax.lax.axis_index(axis)
         ticks = m + s - 1
+        mb = x_local.shape[0] // m
+        x_all = x_local.reshape(m, mb, *x_local.shape[1:])
 
         def tick(carry, t):
             recv = carry
@@ -145,20 +152,20 @@ def pipeline_blocks(stacked_params, x: jax.Array, mesh: Mesh, *,
         # collect the LAST stage's outputs for ticks [s-1, s-1+m)
         result = jax.lax.dynamic_slice_in_dim(outs, s - 1, m, axis=0)
         # every stage returns a full-shaped array; only the last stage's is
-        # real — zero the others and psum so out_specs=P() is replicated
+        # real — zero the others and psum so the stage axis replicates
         result = jnp.where(stage == s - 1, result, jnp.zeros_like(result))
         result = jax.lax.psum(result, axis)
         for a in other_axes:
             result = jax.lax.pmean(result, a)
-        return result
+        return result.reshape(x_local.shape)
 
-    out = run(stacked_params, x_mb)
-    return out.reshape(b, *x.shape[1:])
+    return run(stacked_params, x)
 
 
 def pp_gpt2_forward(model: gpt2_mod.GPT2, rest_params, stacked_params,
                     input_ids: jax.Array, mesh: Mesh, *,
-                    n_microbatches: int, axis: str = "stage") -> jax.Array:
+                    n_microbatches: int, axis: str = "stage",
+                    data_axis: tp.Optional[str] = None) -> jax.Array:
     """Full GPT-2 LM forward with the block stack pipelined: embedding +
     positions and final LN + logits replicated (reference model semantics,
     ``models/gpt2.py:GPT2.__call__``), blocks staged over ``axis``."""
@@ -170,7 +177,7 @@ def pp_gpt2_forward(model: gpt2_mod.GPT2, rest_params, stacked_params,
     x = x + wpe[:t].astype(model.dtype)
     x = pipeline_blocks(stacked_params, x, mesh, num_heads=cfg.n_head,
                         n_microbatches=n_microbatches, axis=axis,
-                        dtype=model.dtype)
+                        dtype=model.dtype, data_axis=data_axis)
     from summer_clip_tpu.models.clip.modeling import LayerNormF32
 
     x = LayerNormF32().apply({"params": rest_params["core"]["ln_f"]}, x)
@@ -186,7 +193,8 @@ def shard_stacked_pp(stacked_params, mesh: Mesh, axis: str = "stage"):
 def pp_clip_gpt_forward(model, rest_params, stacked_params,
                         input_ids: jax.Array, mesh: Mesh, *,
                         n_microbatches: int, axis: str = "stage",
-                        remat: bool = False) -> jax.Array:
+                        remat: bool = False,
+                        data_axis: tp.Optional[str] = None) -> jax.Array:
     """ClipGPT LM forward with the block stack pipelined.
 
     Embedding path (clip table -> emb adapter), positions, final LN and the
@@ -210,7 +218,7 @@ def pp_clip_gpt_forward(model, rest_params, stacked_params,
     x = x + rest_params["core"]["wpe"][:t].astype(model.dtype)
     x = pipeline_blocks(stacked_params, x, mesh, num_heads=cfg.n_head,
                         n_microbatches=n_microbatches, axis=axis,
-                        dtype=model.dtype, remat=remat)
+                        dtype=model.dtype, remat=remat, data_axis=data_axis)
     x = LayerNormF32().apply({"params": rest_params["core"]["ln_f"]}, x)
     head = adapter_apply("adapter_head", clip_emb.astype(model.dtype))
     return jnp.dot(x, head.T, preferred_element_type=jnp.float32)

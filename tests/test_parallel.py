@@ -163,6 +163,48 @@ class TestPipelineParallel:
             np.testing.assert_allclose(np.asarray(pp), np.asarray(dense),
                                        atol=2e-4, rtol=2e-4)
 
+    def test_dp_pp_composition_matches_dense(self, devices8):
+        """('data', 'stage') mesh: batch sharded over data, each data row
+        runs its own pipeline — forward and grads equal the dense model."""
+        import jax.numpy as jnp
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from summer_clip_tpu.models import gpt2 as G
+        from summer_clip_tpu.parallel.pp import (
+            pp_gpt2_forward, stack_block_params,
+        )
+
+        mesh = Mesh(np.asarray(devices8).reshape(4, 2), ("data", "stage"))
+        model, cfg = G.build_gpt2("test-gpt")
+        ids = jax.random.randint(jax.random.PRNGKey(0), (8, 12), 1, cfg.vocab_size)
+        params = model.init(jax.random.PRNGKey(1), ids)["params"]
+        rest, stacked = stack_block_params(params, 2)
+        stacked = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, P("stage"))), stacked)
+        ids_sharded = jax.device_put(ids, NamedSharding(mesh, P("data", None)))
+
+        dense = model.apply({"params": params}, ids)["logits"]
+        pp = pp_gpt2_forward(model, rest, stacked, ids_sharded, mesh,
+                             n_microbatches=2, data_axis="data")
+        np.testing.assert_allclose(np.asarray(pp), np.asarray(dense),
+                                   atol=2e-4, rtol=2e-4)
+
+        def dense_loss(p):
+            lg = model.apply({"params": p}, ids)["logits"].astype(jnp.float32)
+            return jnp.mean(jax.nn.logsumexp(lg, -1))
+
+        def pp_loss(st):
+            lg = pp_gpt2_forward(model, rest, st, ids_sharded, mesh,
+                                 n_microbatches=2, data_axis="data")
+            return jnp.mean(jax.nn.logsumexp(lg.astype(jnp.float32), -1))
+
+        g_dense_stacked = stack_block_params(jax.grad(dense_loss)(params), 2)[1]
+        g_pp = jax.grad(pp_loss)(stacked)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-3),
+            g_dense_stacked, g_pp)
+
     def test_remat_pipeline_grads(self, devices8):
         """remat inside the staged chunk preserves gradients exactly."""
         import jax.numpy as jnp
