@@ -59,6 +59,8 @@ class ClipGPTTrainer(BaseTrainer):
             # GPipe pipeline over a 'stage' axis (parallel/pp.py); v1 is
             # PP-only (no combined DP/TP axes)
             assert tp == 1, "training.pp and training.tp are mutually exclusive"
+            assert not bool(self.cfg.training.get("fsdp", False)), \
+                "training.pp and training.fsdp are mutually exclusive"
             assert n >= pp, f"pp={pp} needs >= {pp} devices (have {n})"
             from jax.sharding import Mesh as _Mesh
 
@@ -129,12 +131,34 @@ class ClipGPTTrainer(BaseTrainer):
             self.params = {"rest": rest,
                            "stacked": shard_stacked_pp(stacked, self.pp_mesh)}
         elif self.mesh is not None:
+            fsdp = bool(tcfg.get("fsdp", False))
+            if fsdp:
+                from summer_clip_tpu.parallel.fsdp import FSDP_MIN_ELEMS
+
+                fsdp_min = int(tcfg.get("fsdp_min_elems", FSDP_MIN_ELEMS))
             if self.mesh.shape["model"] > 1:
-                from summer_clip_tpu.parallel import check_tp_divisibility, shard_params_tp
+                from summer_clip_tpu.parallel import check_tp_divisibility
 
                 check_tp_divisibility(gpt_cfg.n_embd, gpt_cfg.n_head,
                                       self.mesh.shape["model"])
-                self.params = shard_params_tp(self.params, self.mesh)
+                if fsdp:
+                    from summer_clip_tpu.parallel import shard_params_fsdp
+
+                    self.params = shard_params_fsdp(self.params, self.mesh,
+                                                    with_tp=True,
+                                                    min_elems=fsdp_min)
+                    self.logger.log_info("params: FSDP over data x Megatron TP")
+                else:
+                    from summer_clip_tpu.parallel import shard_params_tp
+
+                    self.params = shard_params_tp(self.params, self.mesh)
+            elif fsdp:
+                from summer_clip_tpu.parallel import shard_params_fsdp
+
+                self.params = shard_params_fsdp(self.params, self.mesh,
+                                                min_elems=fsdp_min)
+                self.logger.log_info(
+                    f"params: FSDP (ZeRO-3) over {self.mesh.shape['data']} data shards")
             else:
                 self.params = replicate(self.params, self.mesh)
 

@@ -9,6 +9,9 @@ from summer_clip_tpu.parallel.sharded_cache import (  # noqa: F401
 from summer_clip_tpu.parallel.tp import (  # noqa: F401
     gpt2_tp_spec, shard_params_tp, check_tp_divisibility,
 )
+from summer_clip_tpu.parallel.fsdp import (  # noqa: F401
+    fsdp_spec, shard_params_fsdp,
+)
 from summer_clip_tpu.parallel.pp import (  # noqa: F401
     check_pp_divisibility, pipeline_blocks, pp_clip_gpt_forward,
     pp_gpt2_forward, shard_stacked_pp, stack_block_params,

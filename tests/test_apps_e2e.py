@@ -618,6 +618,46 @@ class TestGptPipeline:
         assert len(dp) == len(tp) >= 4
         np.testing.assert_allclose(tp, dp, rtol=2e-3, atol=2e-3)
 
+    def test_train_gpt_fsdp_matches_dp(self, rundir):
+        """training.fsdp=true (ZeRO-3 placement over the data axis, and
+        composed with tp=2 on a 4x2 mesh) must trace the same loss curve as
+        replicated DP — only parameter *placement* changes; GSPMD turns the
+        gradient all-reduce into gather/scatter schedules."""
+        from summer_clip_tpu.apps import tokenize_dataset, train_gpt
+
+        tokenize_dataset.run(argv=[
+            "max_length=12", "source.n_docs=8", f"output_path={rundir}/c.npy"])
+        common = [
+            "clip_gpt.gpt_config=test-gpt", "clip_gpt.clip_emb_dim=16",
+            "clip_gpt.adapters.emb_hid_dim=16", "clip_gpt.adapters.head_hid_dim=16",
+            f"dataset.train.tokens_path={rundir}/c.npy",
+            "data_loader.train.batch_size=4",
+            "training.epochs_num=2", "training.grad_accum_steps=1",
+            "training.evals_per_epoch=1", "optim.adamw_kwargs.lr=0.01",
+            "training.info_steps=1",
+        ]
+        train_gpt.run(argv=common)
+        train_gpt.run(argv=common + ["training.fsdp=true",
+                                     "training.fsdp_min_elems=0"])
+        train_gpt.run(argv=common + ["training.fsdp=true",
+                                     "training.fsdp_min_elems=0",
+                                     "training.tp=2"])
+
+        runs = sorted({r for r in rundir.glob("outputs/*/*") if r.is_dir()})
+        assert len(runs) >= 3
+
+        def losses_of(run_dir):
+            out = []
+            for p in run_dir.rglob("records.jsonl"):
+                out.extend(json.loads(l).get("loss/train")
+                           for l in p.read_text().splitlines())
+            return [l for l in out if l is not None]
+
+        dp, fsdp, fsdp_tp = (losses_of(r) for r in runs[-3:])
+        assert len(dp) == len(fsdp) == len(fsdp_tp) >= 4
+        np.testing.assert_allclose(fsdp, dp, rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(fsdp_tp, dp, rtol=2e-3, atol=2e-3)
+
     def test_train_gpt_pipeline_parallel_matches_single(self, rundir):
         """training.pp=2 (GPipe stages over the virtual devices) must trace
         the same loss curve as single-device training — the staged forward

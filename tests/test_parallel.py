@@ -353,3 +353,85 @@ class TestMeshFeatureExtraction:
 
         np.testing.assert_array_equal(labels_m, labels_1)
         np.testing.assert_allclose(feats_m, feats_1, atol=1e-4, rtol=1e-4)
+
+
+class TestFSDP:
+    """ZeRO-3 placement (parallel/fsdp.py): spec choices, shard sizes, and
+    a jitted train step that matches the replicated one bit-for-bit math."""
+
+    def test_spec_picks_largest_free_divisible_axis(self):
+        from jax.sharding import PartitionSpec as P
+
+        from summer_clip_tpu.parallel import fsdp_spec
+
+        class Leaf:
+            def __init__(self, *shape):
+                self.shape = shape
+
+        # plain kernel: largest axis sharded over data
+        assert fsdp_spec(Leaf(64, 256), 8, min_elems=0) == P(None, "data")
+        assert fsdp_spec(Leaf(512, 32), 8, min_elems=0) == P("data", None)
+        # Megatron-claimed axis is respected; FSDP takes the free one
+        assert fsdp_spec(Leaf(64, 256), 8, base=P(None, "model"),
+                         min_elems=0) == P("data", "model")
+        assert fsdp_spec(Leaf(256, 64), 8, base=P("model", None),
+                         min_elems=0) == P("model", "data")
+        # small tensors stay replicated (min_elems gate)
+        assert fsdp_spec(Leaf(64,), 8) == P()
+        # nothing divisible -> replicated
+        assert fsdp_spec(Leaf(63, 1025), 8, min_elems=0) == P()
+
+    def test_shards_cut_memory_and_step_matches_replicated(self, devices8):
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from summer_clip_tpu.models import gpt2 as gpt2_mod
+        from summer_clip_tpu.parallel import create_mesh, replicate, shard_batch, shard_params_fsdp
+
+        model, cfg = gpt2_mod.build_gpt2("test-gpt")
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 8), jnp.int32))["params"]
+        mesh = create_mesh(data=8, model=1, devices=devices8)
+        fs = shard_params_fsdp(params, mesh, min_elems=0)
+
+        # every divisible kernel is actually cut 8-ways
+        wte = fs["wte"]["embedding"]  # (512, 32) -> data on axis 0
+        assert wte.addressable_shards[0].data.shape[0] == wte.shape[0] // 8
+        cut = [l for l in jax.tree_util.tree_leaves(fs)
+               if l.addressable_shards[0].data.size < l.size]
+        assert len(cut) >= 10
+
+        # sgd keeps the update linear in the grad, so the only divergence
+        # from the replicated run is f32 reduction order (adam's g/sqrt(v)
+        # normalization would amplify that noise on near-zero grads; the
+        # adamw path is covered by the e2e loss-curve test)
+        tx = optax.sgd(1e-2)
+        ids = np.tile(np.arange(16, dtype=np.int32), (8, 1))
+
+        def loss_of(p, batch):
+            logits = model.apply({"params": p}, batch)["logits"]
+            tgt = jnp.take_along_axis(logits[:, :-1], batch[:, 1:, None],
+                                      axis=-1)[..., 0]
+            return (jax.scipy.special.logsumexp(logits[:, :-1], axis=-1) - tgt).mean()
+
+        @jax.jit
+        def step(p, s, batch):
+            loss, g = jax.value_and_grad(loss_of)(p, batch)
+            up, s = tx.update(g, s, p)
+            return optax.apply_updates(p, up), s, loss
+
+        # FSDP run
+        s_fs = tx.init(fs)
+        p1, _, l1 = step(fs, s_fs, shard_batch(jnp.asarray(ids), mesh))
+        # replicated run
+        rep = replicate(params, mesh)
+        s_rep = tx.init(rep)
+        p2, _, l2 = step(rep, s_rep, shard_batch(jnp.asarray(ids), mesh))
+
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+        a = jax.tree_util.tree_leaves(p1)
+        b = jax.tree_util.tree_leaves(p2)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       atol=1e-6, rtol=1e-6)
