@@ -329,6 +329,27 @@ class GptGenerator(BaseTrainer):
             reqs = [eng.submit(ids, max_new_tokens=max_new) for ids in ids_all]
             eng.run()
             outs = [ids + r.out_ids for ids, r in zip(ids_all, reqs)]
+        elif prompts and bool(gcfg.get("speculative", False)):
+            # greedy speculative decoding: a smaller ClipGPT (same CLIP
+            # vocab) drafts k tokens per target verify forward; output is
+            # bit-identical to generate_device(top_k=1) on the target
+            from summer_clip_tpu.engine.speculative import generate_device_speculative
+
+            draft_dir = gcfg.get("draft_checkpoint_dir")
+            assert draft_dir, "generation.speculative needs draft_checkpoint_dir"
+            draft_model, draft_vars = load_pretrained_clip_gpt(
+                draft_dir, self.tokenizer, self.rng.next())
+            if int(gcfg.top_k) != 1:
+                self.logger.log_info(
+                    "speculative decoding is greedy — ignoring top_k/temperature")
+            outs = []
+            for prompt in prompts:
+                ids = [self.tokenizer.sot_token] + self.tokenizer.encode(prompt)
+                outs.append(generate_device_speculative(
+                    self.model, self.variables, draft_model, draft_vars, ids,
+                    max_new_tokens=int(gcfg.max_new_tokens),
+                    k=int(gcfg.get("speculative_k", 4)),
+                    eot_id=self.tokenizer.eot_token))
         elif prompts and bool(gcfg.get("batched", False)):
             # all prompts in ONE scan (left-padded serving path)
             ids_all = [[self.tokenizer.sot_token] + self.tokenizer.encode(p)

@@ -497,6 +497,19 @@ class TestGptPipeline:
         gens = [r for r in _records(rundir) if r.get("type") == "generation"]
         assert len(gens) >= 6 and all(isinstance(g["text"], str) for g in gens)
 
+        # speculative path through the config (draft = same checkpoint, the
+        # always-accept case; weak-draft exactness is pinned in
+        # tests/test_speculative.py)
+        gen_gpt.run(argv=[
+            f"model.checkpoint_dir={ckpts[-1]}",
+            "generation.max_new_tokens=4", "generation.speculative=true",
+            f"generation.draft_checkpoint_dir={ckpts[-1]}",
+            "generation.speculative_k=2", "generation.top_k=1",
+            'prompts=["a photo of"]',
+        ])
+        gens = [r for r in _records(rundir) if r.get("type") == "generation"]
+        assert len(gens) >= 7 and isinstance(gens[-1]["text"], str)
+
     def test_device_sampler_matches_host_loop(self):
         """generate_device (one lax.scan jit) must produce EXACTLY the ids
         of the host-loop generate given the same rng — incl. eot truncation."""
