@@ -120,6 +120,7 @@ class ClipGPTTrainer(BaseTrainer):
             _, _, variables = load_clip_ckpt(mcfg.clip_checkpoint_path)
             self.params["clip_emb"] = jnp.asarray(
                 variables["params"]["text"]["token_embedding"]["embedding"])
+        self.scan_layers = bool(tcfg.get("scan_layers", False))
         if self.pp_mesh is not None:
             from summer_clip_tpu.parallel import (
                 check_pp_divisibility, shard_stacked_pp, stack_block_params,
@@ -130,6 +131,20 @@ class ClipGPTTrainer(BaseTrainer):
             rest, stacked = stack_block_params(self.params, n_stages)
             self.params = {"rest": rest,
                            "stacked": shard_stacked_pp(stacked, self.pp_mesh)}
+        elif self.scan_layers:
+            # scan-over-layers: one block body in the HLO instead of n_layer
+            # unrolled copies — the compile-time lever for gpt2-large on the
+            # tunneled chip (docs/KERNELS.md compile-time table). Same math
+            # (tests/test_parallel.py::TestScanForward); checkpoint layout
+            # shared with PP, so resume/interchange is free.
+            from summer_clip_tpu.parallel import stack_block_params
+
+            assert int(tcfg.get("tp", 1)) == 1 and not bool(tcfg.get("fsdp", False)), \
+                "training.scan_layers composes with DP only (not tp/fsdp)"
+            rest, stacked = stack_block_params(self.params, 1)
+            self.params = {"rest": rest, "stacked": stacked}
+            if self.mesh is not None:
+                self.params = replicate(self.params, self.mesh)
         elif self.mesh is not None:
             fsdp = bool(tcfg.get("fsdp", False))
             if fsdp:
@@ -225,6 +240,14 @@ class ClipGPTTrainer(BaseTrainer):
                 return pp_clip_gpt_forward(model, p["rest"], p["stacked"], ids,
                                            pp_mesh, n_microbatches=n_mb,
                                            remat=remat)
+        elif getattr(self, "scan_layers", False):
+            from summer_clip_tpu.parallel import scan_clip_gpt_forward
+
+            remat = bool(self.cfg.training.get("remat", False))
+
+            def logits_of(p, ids):
+                return scan_clip_gpt_forward(model, p["rest"], p["stacked"],
+                                             ids, remat=remat)
         else:
             def logits_of(p, ids):
                 return model.apply({"params": p}, ids)["logits"]
@@ -252,7 +275,7 @@ class ClipGPTTrainer(BaseTrainer):
         pcfg = self.cfg.get("pretrained") or {}
         model_path = pcfg.get("model") if hasattr(pcfg, "get") else None
         if model_path and Path(model_path).exists():
-            if self.pp_mesh is not None:
+            if self._stacked_layout():
                 # checkpoints are in the standard layout: merge there, restack
                 from summer_clip_tpu.parallel import (
                     shard_stacked_pp, stack_block_params,
@@ -260,11 +283,15 @@ class ClipGPTTrainer(BaseTrainer):
 
                 std = self._checkpoint_params()
                 loaded = ckpt.load_checkpoint(Path(model_path), params_target=std)
-                rest, stacked = stack_block_params(
-                    loaded["params"], self.pp_mesh.shape["stage"])
-                self.params = {"rest": rest,
-                               "stacked": shard_stacked_pp(stacked, self.pp_mesh)}
-                self.logger.log_info(f"Resumed (PP restack) from {model_path}")
+                n_stages = (self.pp_mesh.shape["stage"]
+                            if self.pp_mesh is not None else 1)
+                rest, stacked = stack_block_params(loaded["params"], n_stages)
+                if self.pp_mesh is not None:
+                    stacked = shard_stacked_pp(stacked, self.pp_mesh)
+                self.params = {"rest": rest, "stacked": stacked}
+                if self.pp_mesh is None and self.mesh is not None:
+                    self.params = replicate(self.params, self.mesh)
+                self.logger.log_info(f"Resumed (restacked) from {model_path}")
                 return
             loaded = ckpt.load_checkpoint(Path(model_path),
                                           params_target=self.params)
@@ -302,19 +329,23 @@ class ClipGPTTrainer(BaseTrainer):
 
     def _checkpoint_params(self):
         """Params in the standard (unstacked) layout for checkpoints —
-        PP-trained weights interchange with every other run mode."""
-        if self.pp_mesh is not None:
+        PP/scan-trained weights interchange with every other run mode."""
+        if self._stacked_layout():
             from summer_clip_tpu.parallel import unstack_block_params
 
             return unstack_block_params(self.params["rest"], self.params["stacked"])
         return self.params
+
+    def _stacked_layout(self) -> bool:
+        return self.pp_mesh is not None or getattr(self, "scan_layers", False)
 
     def save_step_model(self, epoch_num: int, step: tp.Union[int, str],
                         with_optimizer: bool = False) -> None:
         step_dir = Path(str(self.cfg.training.checkpoints_dir)) / f"epoch_{epoch_num}" / f"step_{step}"
         ckpt.save_checkpoint(
             step_dir, params=self._checkpoint_params(),
-            opt_state=self.opt_state if with_optimizer and self.pp_mesh is None else None,
+            opt_state=(self.opt_state
+                       if with_optimizer and not self._stacked_layout() else None),
             keep=lambda names: self.trainable_mask_fn(
                 tuple(type("K", (), {"key": n})() for n in names)),
             meta={"model_cfg": C.to_container(self.cfg.clip_gpt, resolve=True)})

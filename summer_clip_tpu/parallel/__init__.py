@@ -14,8 +14,8 @@ from summer_clip_tpu.parallel.fsdp import (  # noqa: F401
 )
 from summer_clip_tpu.parallel.pp import (  # noqa: F401
     check_pp_divisibility, pipeline_blocks, pp_clip_gpt_forward,
-    pp_gpt2_forward, shard_stacked_pp, stack_block_params,
-    unstack_block_params,
+    pp_gpt2_forward, scan_clip_gpt_forward, scan_gpt2_forward,
+    shard_stacked_pp, stack_block_params, unstack_block_params,
 )
 from summer_clip_tpu.parallel.ep import (  # noqa: F401
     MoEMLP, check_ep_divisibility, moe_apply_ep, shard_experts_ep,

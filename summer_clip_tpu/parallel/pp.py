@@ -38,7 +38,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from summer_clip_tpu.models import gpt2 as gpt2_mod
 
 __all__ = ["stack_block_params", "unstack_block_params", "pipeline_blocks",
-           "pp_gpt2_forward", "check_pp_divisibility"]
+           "pp_gpt2_forward", "check_pp_divisibility",
+           "scan_gpt2_forward", "scan_clip_gpt_forward"]
 
 
 def check_pp_divisibility(n_layer: int, n_stages: int) -> None:
@@ -182,6 +183,62 @@ def pp_gpt2_forward(model: gpt2_mod.GPT2, rest_params, stacked_params,
 
     x = LayerNormF32().apply({"params": rest_params["core"]["ln_f"]}, x)
     return jnp.dot(x, wte.T.astype(x.dtype), preferred_element_type=jnp.float32)
+
+
+def scan_gpt2_forward(model: gpt2_mod.GPT2, rest_params, stacked_params,
+                      input_ids: jax.Array, *, remat: bool = False) -> jax.Array:
+    """GPT-2 LM forward with the block stack as ONE ``lax.scan`` over layers.
+
+    Same math as ``models/gpt2.py:GPT2.__call__`` (pinned by tests), but the
+    XLA program contains a single block body instead of ``n_layer`` unrolled
+    copies — a ~n_layer× smaller HLO, which is the lever against the
+    10-570s remote-TPU compiles measured for gpt2-large (docs/KERNELS.md).
+    ``stacked_params`` leaves are ``(1, n_layer, ...)`` from
+    ``stack_block_params(params, 1)`` (the PP checkpoint layout, so save /
+    resume code is shared with the pipeline path).
+    """
+    cfg = model.config
+    wte = rest_params["wte"]["embedding"]
+    t = input_ids.shape[1]
+    x = jnp.take(wte, input_ids, axis=0).astype(model.dtype)
+    x = x + rest_params["core"]["wpe"][:t].astype(model.dtype)
+    chunk = jax.tree_util.tree_map(lambda p: p[0], stacked_params)
+    x = _block_chunk(chunk, x, num_heads=cfg.n_head, dtype=model.dtype,
+                     remat=remat)
+    from summer_clip_tpu.models.clip.modeling import LayerNormF32
+
+    x = LayerNormF32().apply({"params": rest_params["core"]["ln_f"]}, x)
+    return jnp.dot(x, wte.T.astype(x.dtype), preferred_element_type=jnp.float32)
+
+
+def scan_clip_gpt_forward(model, rest_params, stacked_params,
+                          input_ids: jax.Array, *,
+                          remat: bool = False) -> jax.Array:
+    """ClipGPT LM forward with the block stack scanned over layers —
+    the single-device compile-time analog of :func:`pp_clip_gpt_forward`
+    (embedding adapters / positions / final LN / head identical to
+    ``models/gpt2.py:ClipGPT.__call__``)."""
+    from summer_clip_tpu.models.clip.modeling import LayerNormF32
+
+    cfg = model.config
+    clip_emb = rest_params["clip_emb"]
+
+    def adapter_apply(name: str, x):
+        p = rest_params.get(name) or rest_params["adapter_emb"]  # shared head
+        hid = p["fc1"]["kernel"].shape[1]
+        out = p["fc2"]["kernel"].shape[1]
+        return gpt2_mod.Adapter(hid, out, dtype=model.dtype).apply({"params": p}, x)
+
+    t = input_ids.shape[1]
+    x = jnp.take(clip_emb, input_ids, axis=0).astype(model.dtype)
+    x = adapter_apply("adapter_emb", x)
+    x = x + rest_params["core"]["wpe"][:t].astype(model.dtype)
+    chunk = jax.tree_util.tree_map(lambda p: p[0], stacked_params)
+    x = _block_chunk(chunk, x, num_heads=cfg.n_head, dtype=model.dtype,
+                     remat=remat)
+    x = LayerNormF32().apply({"params": rest_params["core"]["ln_f"]}, x)
+    head = adapter_apply("adapter_head", clip_emb.astype(model.dtype))
+    return jnp.dot(x, head.T, preferred_element_type=jnp.float32)
 
 
 def shard_stacked_pp(stacked_params, mesh: Mesh, axis: str = "stage"):

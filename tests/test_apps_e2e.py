@@ -713,6 +713,47 @@ class TestGptPipeline:
         saved = load_pytree(ck[-1])
         assert "adapter_emb" in saved  # adapter-only split, standard keys
 
+    def test_train_gpt_scan_layers_matches_unrolled(self, rundir):
+        """training.scan_layers=true (lax.scan block stack, parallel/pp.py
+        scan_clip_gpt_forward) must trace the same loss curve as the
+        unrolled model, and checkpoints come out in the standard layout."""
+        from summer_clip_tpu.apps import tokenize_dataset, train_gpt
+
+        tokenize_dataset.run(argv=[
+            "max_length=12", "source.n_docs=8", f"output_path={rundir}/c.npy"])
+        common = [
+            "clip_gpt.gpt_config=test-gpt", "clip_gpt.clip_emb_dim=16",
+            "clip_gpt.adapters.emb_hid_dim=16", "clip_gpt.adapters.head_hid_dim=16",
+            f"dataset.train.tokens_path={rundir}/c.npy",
+            "data_loader.train.batch_size=4",
+            "training.epochs_num=2", "training.grad_accum_steps=1",
+            "training.evals_per_epoch=1", "optim.adamw_kwargs.lr=0.01",
+            "training.info_steps=1",
+        ]
+        train_gpt.run(argv=common + ["training.pp=1"])
+        train_gpt.run(argv=common + ["training.scan_layers=true",
+                                     "training.remat=true"])
+
+        runs = sorted({r for r in rundir.glob("outputs/*/*") if r.is_dir()})
+        assert len(runs) >= 2
+
+        def losses_of(run_dir):
+            out = []
+            for p in run_dir.rglob("records.jsonl"):
+                out.extend(json.loads(l).get("loss/train")
+                           for l in p.read_text().splitlines())
+            return [l for l in out if l is not None]
+
+        unrolled, scanned = losses_of(runs[-2]), losses_of(runs[-1])
+        assert len(unrolled) == len(scanned) >= 4
+        np.testing.assert_allclose(scanned, unrolled, rtol=2e-3, atol=2e-3)
+        ck = sorted(runs[-1].rglob("checkpoints/**/model.ckpt"))
+        assert ck
+        from summer_clip_tpu.engine.checkpoint import load_pytree
+
+        saved = load_pytree(ck[-1])
+        assert "adapter_emb" in saved  # standard layout (restackable)
+
 
 class TestDiscretePrompts:
     def _prep(self, rundir):

@@ -256,6 +256,76 @@ class TestPipelineParallel:
             np.asarray(g_rest["wte"]["embedding"]), atol=2e-4, rtol=2e-3)
 
 
+class TestScanForward:
+    """Single-device scan-over-layers forwards (parallel/pp.py:scan_*):
+    same math as the unrolled models, one block body in the HLO —
+    the compile-time lever for gpt2-large on the tunneled chip."""
+
+    def test_scan_gpt2_matches_dense(self):
+        from summer_clip_tpu.models import gpt2 as G
+        from summer_clip_tpu.parallel.pp import (
+            scan_gpt2_forward, stack_block_params,
+        )
+
+        model, cfg = G.build_gpt2("test-gpt")
+        ids = jax.random.randint(jax.random.PRNGKey(0), (4, 12), 1, cfg.vocab_size)
+        params = model.init(jax.random.PRNGKey(1), ids)["params"]
+        rest, stacked = stack_block_params(params, 1)
+        dense = model.apply({"params": params}, ids)["logits"]
+        for remat in (False, True):
+            scan = scan_gpt2_forward(model, rest, stacked, ids, remat=remat)
+            np.testing.assert_allclose(np.asarray(scan), np.asarray(dense),
+                                       atol=2e-4, rtol=2e-4)
+
+    def test_scan_gpt2_grads_match_dense(self):
+        from summer_clip_tpu.models import gpt2 as G
+        from summer_clip_tpu.parallel.pp import (
+            scan_gpt2_forward, stack_block_params,
+        )
+
+        model, cfg = G.build_gpt2("test-gpt")
+        ids = jax.random.randint(jax.random.PRNGKey(0), (2, 10), 1, cfg.vocab_size)
+        params = model.init(jax.random.PRNGKey(1), ids)["params"]
+        rest, stacked = stack_block_params(params, 1)
+
+        def dense_loss(p):
+            lg = model.apply({"params": p}, ids)["logits"].astype(jnp.float32)
+            return jnp.mean(jax.nn.logsumexp(lg, -1))
+
+        def scan_loss(rest_p, stacked_p):
+            lg = scan_gpt2_forward(model, rest_p, stacked_p, ids, remat=True)
+            return jnp.mean(jax.nn.logsumexp(lg.astype(jnp.float32), -1))
+
+        g_dense = jax.grad(dense_loss)(params)
+        g_rest, g_stacked = jax.grad(scan_loss, argnums=(0, 1))(rest, stacked)
+        gd_rest, gd_stacked = stack_block_params(g_dense, 1)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-3),
+            gd_stacked, g_stacked)
+        np.testing.assert_allclose(
+            np.asarray(gd_rest["wte"]["embedding"]),
+            np.asarray(g_rest["wte"]["embedding"]), atol=2e-4, rtol=2e-3)
+
+    def test_scan_clip_gpt_matches_dense(self):
+        from summer_clip_tpu.models import gpt2 as G
+        from summer_clip_tpu.parallel.pp import (
+            scan_clip_gpt_forward, stack_block_params,
+        )
+
+        cfg = G.GPT2_CONFIGS["test-gpt"]
+        for head_hid in (24, None):  # separate and shared head adapter
+            model = G.ClipGPT(cfg, clip_vocab_size=64, clip_emb_dim=8,
+                              emb_hid_dim=16, head_hid_dim=head_hid)
+            ids = jax.random.randint(jax.random.PRNGKey(0), (3, 9), 1, 64)
+            params = model.init(jax.random.PRNGKey(1), ids)["params"]
+            rest, stacked = stack_block_params(params, 1)
+            dense = model.apply({"params": params}, ids)["logits"]
+            scan = scan_clip_gpt_forward(model, rest, stacked, ids)
+            np.testing.assert_allclose(np.asarray(scan), np.asarray(dense),
+                                       atol=2e-4, rtol=2e-4)
+
+
 def create_mesh_named(devices8, n_stages):
     from jax.sharding import Mesh
 
