@@ -149,7 +149,8 @@ def generate_device(model, variables, prompt_ids: tp.Sequence[int], *,
                     top_k: int = 50, rng: tp.Optional[jax.Array] = None,
                     eot_id: tp.Optional[int] = None,
                     approx_top_k: bool = False,
-                    quant_int8: bool = False) -> tp.List[int]:
+                    quant_int8: bool = False,
+                    mesh=None) -> tp.List[int]:
     """Whole-sequence sampling as ONE device program (``lax.scan`` decode).
 
     The host-loop :func:`generate` pays >= 2 host<->device round-trips per
@@ -169,6 +170,13 @@ def generate_device(model, variables, prompt_ids: tp.Sequence[int], *,
         f"model's {model.config.n_positions} positions")
     cache = model.apply(variables, method=model.init_cache, batch=1,
                         max_len=n_prompt + max_new_tokens)
+    if mesh is not None and mesh.shape.get("model", 1) > 1:
+        # Megatron-TP decode: committed placements make the SAME jitted
+        # program run sharded — GSPMD inserts the ICI psums (parallel/tp.py)
+        from summer_clip_tpu.parallel import shard_decode_tp
+
+        assert not quant_int8, "TP decode composes with bf16, not int8 trees"
+        variables, cache = shard_decode_tp(variables, cache, mesh)
     run = _decode_program(model, n_prompt, int(max_new_tokens),
                           max(float(temperature), 1e-6), int(top_k),
                           bool(approx_top_k),
@@ -224,7 +232,8 @@ def generate_device_batched(model, variables, prompts: tp.Sequence[tp.Sequence[i
                             top_k: int = 50, rng: tp.Optional[jax.Array] = None,
                             eot_id: tp.Optional[int] = None,
                             approx_top_k: bool = False,
-                            quant_int8: bool = False) -> tp.List[tp.List[int]]:
+                            quant_int8: bool = False,
+                            mesh=None) -> tp.List[tp.List[int]]:
     """Batched serving path: sample B variable-length prompts in ONE scan.
 
     Prompts are LEFT-padded to a shared length so every row appends at the
@@ -253,6 +262,13 @@ def generate_device_batched(model, variables, prompts: tp.Sequence[tp.Sequence[i
     pad = jnp.asarray([l_max - ln for ln in lens], jnp.int32)
     cache = model.apply(variables, method=model.init_cache, batch=B,
                         max_len=l_max + max_new_tokens)
+    if mesh is not None and mesh.shape.get("model", 1) > 1:
+        # same committed TP placements as generate_device: GSPMD compiles
+        # the one batched program sharded over the 'model' axis
+        from summer_clip_tpu.parallel import shard_decode_tp
+
+        assert not quant_int8, "TP decode composes with bf16, not int8 trees"
+        variables, cache = shard_decode_tp(variables, cache, mesh)
     run = _decode_program_batched(model, B, l_max, int(max_new_tokens),
                                   max(float(temperature), 1e-6), int(top_k),
                                   bool(approx_top_k),
@@ -306,6 +322,22 @@ class GptGenerator(BaseTrainer):
         gcfg = self.cfg.generation
         rng = self.rng.next()
         prompts = [str(p) for p in (self.cfg.prompts or [])]
+        mesh = None
+        tp_size = int(gcfg.get("tp", 1))
+        if tp_size > 1:
+            # Megatron-TP decode over the first tp devices (generation.tp=N);
+            # the jitted samplers are placement-agnostic — committed TP
+            # placements make GSPMD compile the sharded program
+            from summer_clip_tpu.parallel import check_tp_divisibility
+            from summer_clip_tpu.parallel.mesh import create_mesh
+
+            assert not (gcfg.get("continuous") or gcfg.get("speculative")), (
+                "generation.tp composes with the device_loop/batched "
+                "samplers, not the serving/speculative engines")
+            check_tp_divisibility(self.model.config.n_embd,
+                                  self.model.config.n_head, tp_size)
+            mesh = create_mesh(data=1, model=tp_size,
+                               devices=jax.devices()[:tp_size])
         common = dict(max_new_tokens=int(gcfg.max_new_tokens),
                       temperature=float(gcfg.temperature),
                       top_k=int(gcfg.top_k), eot_id=self.tokenizer.eot_token)
@@ -356,7 +388,7 @@ class GptGenerator(BaseTrainer):
                        for p in prompts]
             rng, sub = jax.random.split(rng)
             outs = generate_device_batched(
-                self.model, self.variables, ids_all, rng=sub,
+                self.model, self.variables, ids_all, rng=sub, mesh=mesh,
                 approx_top_k=bool(gcfg.get("approx_top_k", False)), **common)
         else:
             # device_loop (default): per-prompt decode as one lax.scan jit —
@@ -367,7 +399,8 @@ class GptGenerator(BaseTrainer):
             for prompt in prompts:
                 ids = [self.tokenizer.sot_token] + self.tokenizer.encode(prompt)
                 rng, sub = jax.random.split(rng)
-                extra = ({"approx_top_k": bool(gcfg.get("approx_top_k", False))}
+                extra = ({"approx_top_k": bool(gcfg.get("approx_top_k", False)),
+                          "mesh": mesh}
                          if device else {})
                 outs.append(sampler(self.model, self.variables, ids, rng=sub,
                                     **common, **extra))

@@ -131,7 +131,8 @@ class ContinuousBatcher:
                  eot_id: tp.Optional[int] = None,
                  rng: tp.Optional[jax.Array] = None,
                  prefill_chunk: bool = True,
-                 quant_int8: bool = False):
+                 quant_int8: bool = False,
+                 mesh=None):
         self.model = model
         if quant_int8:
             from summer_clip_tpu.engine.quant import quantize_tree
@@ -155,6 +156,15 @@ class ContinuousBatcher:
                             max_len=self.max_len)
         for layer in cache:
             layer["index"] = jnp.zeros((self.B,), jnp.int32)
+        if mesh is not None and mesh.shape.get("model", 1) > 1:
+            # Megatron-TP serving: same committed placements as the one-shot
+            # decode paths (parallel/tp.py:shard_decode_tp) — the engine's
+            # step/prefill programs are placement-agnostic, GSPMD compiles
+            # them sharded; the host-side slot state machine is unchanged
+            from summer_clip_tpu.parallel import shard_decode_tp
+
+            assert not quant_int8, "TP serving composes with bf16, not int8 trees"
+            self.variables, cache = shard_decode_tp(self.variables, cache, mesh)
         self._cache = cache
         self._step = _engine_step(model, self.temperature, self.top_k, self.greedy,
                                   self.quant_int8)

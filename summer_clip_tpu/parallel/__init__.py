@@ -7,7 +7,7 @@ from summer_clip_tpu.parallel.sharded_cache import (  # noqa: F401
     sharded_cache_logits, pad_cache_for_mesh, ShardedResidentCache,
 )
 from summer_clip_tpu.parallel.tp import (  # noqa: F401
-    gpt2_tp_spec, shard_params_tp, check_tp_divisibility,
+    gpt2_tp_spec, shard_params_tp, check_tp_divisibility, shard_decode_tp,
 )
 from summer_clip_tpu.parallel.fsdp import (  # noqa: F401
     fsdp_spec, shard_params_fsdp,

@@ -23,7 +23,8 @@ import typing as tp
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["gpt2_tp_spec", "shard_params_tp", "check_tp_divisibility"]
+__all__ = ["gpt2_tp_spec", "shard_params_tp", "check_tp_divisibility",
+           "shard_decode_tp"]
 
 
 def _path_names(path) -> tp.List[str]:
@@ -68,3 +69,26 @@ def shard_params_tp(params: tp.Any, mesh: Mesh) -> tp.Any:
     shardings = jax.tree_util.tree_map_with_path(
         lambda path, leaf: NamedSharding(mesh, gpt2_tp_spec(path, leaf)), params)
     return jax.device_put(params, shardings)
+
+
+def shard_decode_tp(variables: tp.Mapping, cache: tp.List[dict], mesh: Mesh):
+    """Megatron-TP placement for the KV-cached decode path.
+
+    Params get the train-time specs (:func:`shard_params_tp`); each layer's
+    cache ``k``/``v`` buffers (``(B, T, n_embd)``, pre-head-split embedding
+    dim last — ``models/gpt2.py:init_cache``) shard that last dim over
+    ``model``, matching the column-parallel ``c_attn`` outputs that write
+    them, so the per-step attention runs entirely shard-local and only the
+    row-parallel projections psum over ICI. ``index`` stays replicated.
+
+    The jitted decode programs (``apps/gen_gpt.py``) are placement-agnostic:
+    hand them these committed inputs and GSPMD compiles the TP program.
+    """
+    vars_sh = dict(variables)
+    vars_sh["params"] = shard_params_tp(variables["params"], mesh)
+    kv = NamedSharding(mesh, P(None, None, "model"))
+    repl = NamedSharding(mesh, P())
+    cache_sh = [{"k": jax.device_put(c["k"], kv),
+                 "v": jax.device_put(c["v"], kv),
+                 "index": jax.device_put(c["index"], repl)} for c in cache]
+    return vars_sh, cache_sh

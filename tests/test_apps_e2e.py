@@ -487,6 +487,16 @@ class TestGptPipeline:
         gens = [r for r in _records(rundir) if r.get("type") == "generation"]
         assert len(gens) >= 3 and all(isinstance(g["text"], str) for g in gens)
 
+        # Megatron-TP decode from config (2 of the 8 virtual devices); greedy
+        # so the ids must match what any single-device greedy run would give
+        gen_gpt.run(argv=[
+            f"model.checkpoint_dir={ckpts[-1]}",
+            "generation.max_new_tokens=4", "generation.tp=2",
+            "generation.top_k=1", 'prompts=["a photo of"]',
+        ])
+        gens = [r for r in _records(rundir) if r.get("type") == "generation"]
+        assert len(gens) >= 4 and isinstance(gens[-1]["text"], str)
+
         # continuous-batching engine path (engine/serving.py via config)
         gen_gpt.run(argv=[
             f"model.checkpoint_dir={ckpts[-1]}",

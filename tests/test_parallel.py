@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from summer_clip_tpu.ops.cache_kernels import cache_attention_reference
 from summer_clip_tpu.parallel import (
@@ -505,3 +506,63 @@ class TestFSDP:
         for x, y in zip(a, b):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                        atol=1e-6, rtol=1e-6)
+
+
+class TestTPDecode:
+    """Megatron-TP KV-cached decode (parallel/tp.py:shard_decode_tp +
+    gen_gpt mesh kwarg): committed placements must leave the decoded ids
+    exactly equal to the single-device program (greedy — sharded psums
+    reorder float adds, so argmax, not sampled, is the pinned contract)."""
+
+    def test_tp_decode_matches_single_device(self, devices8):
+        from summer_clip_tpu.apps.gen_gpt import generate_device
+        from summer_clip_tpu.models import gpt2 as gpt2_mod
+        from summer_clip_tpu.parallel import create_mesh
+
+        cfg = gpt2_mod.GPT2_CONFIGS["test-gpt"]
+        model = gpt2_mod.GPT2(cfg)
+        variables = {"params": jax.jit(model.init)(
+            jax.random.PRNGKey(0), np.zeros((1, 4), np.int32))["params"]}
+        prompt = [3, 14, 15, 2]
+        solo = generate_device(model, variables, prompt, max_new_tokens=10,
+                               top_k=1, rng=jax.random.PRNGKey(5))
+        mesh = create_mesh(data=1, model=2, devices=devices8[:2])
+        tp = generate_device(model, variables, prompt, max_new_tokens=10,
+                             top_k=1, rng=jax.random.PRNGKey(5), mesh=mesh)
+        assert tp == solo
+
+    def test_tp_decode_clip_gpt_batched(self, devices8):
+        """ClipGPT (adapters replicated, tower TP-sharded) through the
+        batched serving sampler over a model=2 mesh == unsharded."""
+        from summer_clip_tpu.apps.gen_gpt import generate_device_batched
+        from summer_clip_tpu.models import gpt2 as gpt2_mod
+        from summer_clip_tpu.parallel import create_mesh
+
+        cfg = gpt2_mod.GPT2_CONFIGS["test-gpt"]
+        model = gpt2_mod.ClipGPT(cfg, clip_vocab_size=64, clip_emb_dim=16,
+                                 emb_hid_dim=16, head_hid_dim=16)
+        variables = {"params": jax.jit(model.init)(
+            jax.random.PRNGKey(0), np.zeros((1, 4), np.int32))["params"]}
+        prompts = [[3, 14, 15], [9, 2, 6, 5, 3], [11]]
+        solo = generate_device_batched(
+            model, variables, prompts, max_new_tokens=8, top_k=1,
+            rng=jax.random.PRNGKey(7), eot_id=7)
+        mesh = create_mesh(data=1, model=2, devices=devices8[:2])
+        tp = generate_device_batched(
+            model, variables, prompts, max_new_tokens=8, top_k=1,
+            rng=jax.random.PRNGKey(7), eot_id=7, mesh=mesh)
+        assert tp == solo
+
+    def test_tp_decode_rejects_int8(self, devices8):
+        from summer_clip_tpu.apps.gen_gpt import generate_device
+        from summer_clip_tpu.models import gpt2 as gpt2_mod
+        from summer_clip_tpu.parallel import create_mesh
+
+        cfg = gpt2_mod.GPT2_CONFIGS["test-gpt"]
+        model = gpt2_mod.GPT2(cfg)
+        variables = {"params": jax.jit(model.init)(
+            jax.random.PRNGKey(0), np.zeros((1, 4), np.int32))["params"]}
+        mesh = create_mesh(data=1, model=2, devices=devices8[:2])
+        with pytest.raises(AssertionError, match="int8"):
+            generate_device(model, variables, [3, 1], max_new_tokens=2,
+                            top_k=1, quant_int8=True, mesh=mesh)

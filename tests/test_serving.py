@@ -145,3 +145,21 @@ class TestContinuousBatcher:
         step_logits = jnp.stack(logits_steps, axis=1)
         np.testing.assert_allclose(np.asarray(step_logits), np.asarray(full),
                                    atol=2e-4, rtol=2e-4)
+
+    def test_tp_engine_matches_single_device(self):
+        """Megatron-TP serving (mesh kwarg): greedy engine outputs over a
+        model=2 mesh == the unsharded solo oracle, mid-stream admission
+        included."""
+        from summer_clip_tpu.parallel import create_mesh
+
+        model, cfg, variables = _model()
+        mesh = create_mesh(data=1, model=2, devices=jax.devices()[:2])
+        rng = np.random.RandomState(3)
+        prompts = [list(rng.randint(1, cfg.vocab_size, n)) for n in (3, 6, 2, 5)]
+        eng = ContinuousBatcher(model, variables, batch_slots=2, max_len=48,
+                                greedy=True, mesh=mesh)
+        reqs = [eng.submit(p, max_new_tokens=5) for p in prompts]
+        done = eng.run()
+        assert len(done) == 4
+        for p, r in zip(prompts, reqs):
+            assert r.out_ids == _oracle(model, variables, p, 5), p
