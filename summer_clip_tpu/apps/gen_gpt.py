@@ -50,8 +50,8 @@ def load_pretrained_clip_gpt(checkpoint_dir: tp.Union[str, Path], tokenizer,
 
 def generate(model, variables, prompt_ids: tp.Sequence[int], *, max_new_tokens: int = 20,
              temperature: float = 1.0, top_k: int = 50,
-             rng: tp.Optional[jax.Array] = None, eot_id: tp.Optional[int] = None
-             ) -> tp.List[int]:
+             rng: tp.Optional[jax.Array] = None, eot_id: tp.Optional[int] = None,
+             top_p: float = 1.0) -> tp.List[int]:
     """Incremental sampling via the functional KV cache."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     max_len = len(prompt_ids) + max_new_tokens
@@ -68,14 +68,8 @@ def generate(model, variables, prompt_ids: tp.Sequence[int], *, max_new_tokens: 
     offset = len(prompt_ids)
     for _ in range(max_new_tokens):
         scaled = logits[0] / max(temperature, 1e-6)
-        if top_k:
-            vals, idx = jax.lax.top_k(scaled, top_k)
-            rng, sub = jax.random.split(rng)
-            pick = jax.random.categorical(sub, vals)
-            nxt = int(idx[pick])
-        else:
-            rng, sub = jax.random.split(rng)
-            nxt = int(jax.random.categorical(sub, scaled))
+        rng, sub = jax.random.split(rng)
+        nxt = int(_sample_next(scaled, sub, int(top_k), False, float(top_p)))
         out_ids.append(nxt)
         if eot_id is not None and nxt == eot_id:
             break
@@ -85,27 +79,50 @@ def generate(model, variables, prompt_ids: tp.Sequence[int], *, max_new_tokens: 
 
 
 def _sample_next(scaled: jax.Array, sub: jax.Array, top_k: int,
-                 approx_top_k: bool) -> jax.Array:
+                 approx_top_k: bool, top_p: float = 1.0) -> jax.Array:
     """One sampling pick over (..., V) logits (shared by both scan bodies).
 
     ``approx_top_k`` routes through ``jax.lax.approx_max_k`` — the
     TPU-native O(V) top-k vs the full sort ``lax.top_k`` lowers to; trades
     exact host-loop parity for ~0.95-recall boundary approximation.
+
+    ``top_p`` < 1 applies nucleus filtering AFTER the top-k cut, matching
+    HF's warper order (reference ``conf/gen_gpt.yaml:46-49`` samples with
+    ``top_k=50, top_p=0.95``): softmax over the surviving logits, then keep
+    a token iff the cumulative probability of strictly-better tokens is
+    still < top_p (the top-1 token always survives). With ``top_k=0`` the
+    nucleus runs over the full sorted vocab.
     """
-    if top_k and approx_top_k:
-        vals, idx = jax.lax.approx_max_k(scaled, int(top_k))
-    elif top_k:
-        vals, idx = jax.lax.top_k(scaled, int(top_k))
-    else:
+    if not top_k and top_p >= 1.0:
         return jax.random.categorical(sub, scaled, axis=-1)
+    vals, idx = _filter_logits(scaled, top_k, approx_top_k, top_p)
     pick = jax.random.categorical(sub, vals, axis=-1)
     return jnp.take_along_axis(idx, pick[..., None], axis=-1)[..., 0]
+
+
+def _filter_logits(scaled: jax.Array, top_k: int, approx_top_k: bool,
+                   top_p: float) -> tp.Tuple[jax.Array, jax.Array]:
+    """Top-k cut then nucleus cut; dropped entries become -inf in ``vals``.
+
+    Returns ``(vals, idx)`` sorted by descending logit; the surviving token
+    set is exactly what HF's TopKLogitsWarper -> TopPLogitsWarper chain
+    keeps (pinned against transformers in tests)."""
+    k = int(top_k) if top_k else scaled.shape[-1]
+    if top_k and approx_top_k:
+        vals, idx = jax.lax.approx_max_k(scaled, k)
+    else:
+        vals, idx = jax.lax.top_k(scaled, k)
+    if top_p < 1.0:
+        probs = jax.nn.softmax(vals, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        vals = jnp.where(cum - probs < top_p, vals, -jnp.inf)
+    return vals, idx
 
 
 @functools.lru_cache(maxsize=64)
 def _decode_program(model, n_prompt: int, max_new: int, temp: float,
                     top_k: int, approx_top_k: bool, eot: int,
-                    quant_int8: bool = False):
+                    quant_int8: bool = False, top_p: float = 1.0):
     """Jitted prefill + decode scan, memoized on (model, shapes, sampling
     params) — defining the jit inside generate_device would retrace and
     recompile on every call.
@@ -129,7 +146,7 @@ def _decode_program(model, n_prompt: int, max_new: int, temp: float,
         def body(carry, _):
             last, cache, rng, offset, done = carry
             rng, sub = jax.random.split(rng)
-            nxt = _sample_next(last[0] / temp, sub, top_k, approx_top_k)
+            nxt = _sample_next(last[0] / temp, sub, top_k, approx_top_k, top_p)
             nxt = jnp.where(done, jnp.asarray(eot, nxt.dtype), nxt).astype(jnp.int32)
             done = done | (nxt == eot)
             out = model.apply(_vars(variables, True), nxt[None, None],
@@ -150,6 +167,7 @@ def generate_device(model, variables, prompt_ids: tp.Sequence[int], *,
                     eot_id: tp.Optional[int] = None,
                     approx_top_k: bool = False,
                     quant_int8: bool = False,
+                    top_p: float = 1.0,
                     mesh=None) -> tp.List[int]:
     """Whole-sequence sampling as ONE device program (``lax.scan`` decode).
 
@@ -181,7 +199,7 @@ def generate_device(model, variables, prompt_ids: tp.Sequence[int], *,
                           max(float(temperature), 1e-6), int(top_k),
                           bool(approx_top_k),
                           -1 if eot_id is None else int(eot_id),
-                          bool(quant_int8))
+                          bool(quant_int8), float(top_p))
     toks = np.asarray(run(variables, jnp.asarray(np.asarray(prompt_ids, np.int32))[None],
                           rng, cache))
     out_ids = list(int(i) for i in prompt_ids)
@@ -195,7 +213,8 @@ def generate_device(model, variables, prompt_ids: tp.Sequence[int], *,
 @functools.lru_cache(maxsize=64)
 def _decode_program_batched(model, batch: int, l_max: int, max_new: int,
                             temp: float, top_k: int, approx_top_k: bool,
-                            eot: int, quant_int8: bool = False):
+                            eot: int, quant_int8: bool = False,
+                            top_p: float = 1.0):
     """Jitted batched prefill + decode scan (memoized; see _decode_program)."""
 
     def _vars(variables, in_loop: bool):
@@ -212,7 +231,7 @@ def _decode_program_batched(model, batch: int, l_max: int, max_new: int,
         def body(carry, step):
             last, cache, rng, done = carry
             rng, sub = jax.random.split(rng)
-            nxt = _sample_next(last / temp, sub, top_k, approx_top_k)
+            nxt = _sample_next(last / temp, sub, top_k, approx_top_k, top_p)
             nxt = jnp.where(done, jnp.asarray(eot, nxt.dtype), nxt).astype(jnp.int32)
             done = done | (nxt == eot)
             offs = (l_max + step - pad)[:, None]
@@ -233,6 +252,7 @@ def generate_device_batched(model, variables, prompts: tp.Sequence[tp.Sequence[i
                             eot_id: tp.Optional[int] = None,
                             approx_top_k: bool = False,
                             quant_int8: bool = False,
+                            top_p: float = 1.0,
                             mesh=None) -> tp.List[tp.List[int]]:
     """Batched serving path: sample B variable-length prompts in ONE scan.
 
@@ -273,7 +293,7 @@ def generate_device_batched(model, variables, prompts: tp.Sequence[tp.Sequence[i
                                   max(float(temperature), 1e-6), int(top_k),
                                   bool(approx_top_k),
                                   -1 if eot_id is None else int(eot_id),
-                                  bool(quant_int8))
+                                  bool(quant_int8), float(top_p))
     toks = np.asarray(run(variables, jnp.asarray(ids), pad, rng, cache))
     results: tp.List[tp.List[int]] = []
     for r, p in enumerate(prompts):
@@ -321,7 +341,12 @@ class GptGenerator(BaseTrainer):
 
         gcfg = self.cfg.generation
         rng = self.rng.next()
-        prompts = [str(p) for p in (self.cfg.prompts or [])]
+        base_prompts = [str(p) for p in (self.cfg.prompts or [])]
+        # reference conf/gen_gpt.yaml:50 samples num_return_sequences per
+        # prompt; each repeat flows through the samplers as its own row /
+        # rng split, so samples stay independent
+        n_ret = max(int(gcfg.get("num_return_sequences", 1)), 1)
+        prompts = [p for p in base_prompts for _ in range(n_ret)]
         mesh = None
         tp_size = int(gcfg.get("tp", 1))
         if tp_size > 1:
@@ -340,7 +365,8 @@ class GptGenerator(BaseTrainer):
                                devices=jax.devices()[:tp_size])
         common = dict(max_new_tokens=int(gcfg.max_new_tokens),
                       temperature=float(gcfg.temperature),
-                      top_k=int(gcfg.top_k), eot_id=self.tokenizer.eot_token)
+                      top_k=int(gcfg.top_k), eot_id=self.tokenizer.eot_token,
+                      top_p=float(gcfg.get("top_p", 1.0)))
         if prompts and bool(gcfg.get("continuous", False)):
             # continuous-batching engine (engine/serving.py): iteration-level
             # admission into fixed slots; here it simply drains the prompt
@@ -357,6 +383,7 @@ class GptGenerator(BaseTrainer):
                 max_len=min(self.model.config.n_positions,
                             max(len(i) for i in ids_all) + max_new),
                 temperature=float(gcfg.temperature), top_k=int(gcfg.top_k),
+                top_p=float(gcfg.get("top_p", 1.0)),
                 eot_id=self.tokenizer.eot_token, rng=sub)
             reqs = [eng.submit(ids, max_new_tokens=max_new) for ids in ids_all]
             eng.run()
@@ -404,10 +431,12 @@ class GptGenerator(BaseTrainer):
                          if device else {})
                 outs.append(sampler(self.model, self.variables, ids, rng=sub,
                                     **common, **extra))
-        for prompt, out_ids in zip(prompts, outs):
+        for i, (prompt, out_ids) in enumerate(zip(prompts, outs)):
             text = self.tokenizer.decode(out_ids)
-            results["generations"].append({"prompt": prompt, "ids": out_ids, "text": text})
-            self.logger.log_info({"type": "generation", "prompt": prompt, "text": text})
+            results["generations"].append({"prompt": prompt, "sample": i % n_ret,
+                                           "ids": out_ids, "text": text})
+            self.logger.log_info({"type": "generation", "prompt": prompt,
+                                  "sample": i % n_ret, "text": text})
 
         Path("results.yaml").write_text(yaml.safe_dump(results, allow_unicode=True))
         logging.info("Saved results.yaml")

@@ -62,12 +62,12 @@ class _Slot:
         return self.req is None
 
 
-def _pick(last, temp, top_k, greedy, rng):
+def _pick(last, temp, top_k, greedy, rng, top_p=1.0):
     from summer_clip_tpu.apps.gen_gpt import _sample_next
 
     if greedy:
         return jnp.argmax(last, axis=-1).astype(jnp.int32)
-    return _sample_next(last / temp, rng, top_k, False).astype(jnp.int32)
+    return _sample_next(last / temp, rng, top_k, False, top_p).astype(jnp.int32)
 
 
 def _maybe_dequant(variables, quant_int8: bool):
@@ -80,7 +80,8 @@ def _maybe_dequant(variables, quant_int8: bool):
 
 
 @functools.lru_cache(maxsize=16)
-def _engine_step(model, temp: float, top_k: int, greedy: bool, quant_int8: bool):
+def _engine_step(model, temp: float, top_k: int, greedy: bool, quant_int8: bool,
+                 top_p: float = 1.0):
     """One engine iteration (every slot advances one token), jitted once."""
 
     @jax.jit
@@ -89,14 +90,15 @@ def _engine_step(model, temp: float, top_k: int, greedy: bool, quant_int8: bool)
         # pos:    (B,) per-slot position of that token (for wpe)
         out = model.apply(_maybe_dequant(variables, quant_int8), tokens[:, None],
                           position_offset=pos[:, None], cache=cache, key_pad=key_pad)
-        return out["cache"], _pick(out["logits"][:, -1, :], temp, top_k, greedy, rng)
+        return out["cache"], _pick(out["logits"][:, -1, :], temp, top_k, greedy,
+                                   rng, top_p)
 
     return step
 
 
 @functools.lru_cache(maxsize=32)
 def _prefill_step(model, temp: float, top_k: int, greedy: bool, length: int,
-                  quant_int8: bool):
+                  quant_int8: bool, top_p: float = 1.0):
     """Bucketed chunk prefill: (B, length) tokens in one forward. Only the
     admitted slot's row is meaningful; batch-mates carry junk that is
     rolled back (ring index) / never attendable (causal mask)."""
@@ -106,7 +108,8 @@ def _prefill_step(model, temp: float, top_k: int, greedy: bool, length: int,
         assert tokens.shape[1] == length, (tokens.shape, length)
         out = model.apply(_maybe_dequant(variables, quant_int8), tokens,
                           position_offset=offs[:, None], cache=cache, key_pad=key_pad)
-        return out["cache"], _pick(out["logits"][:, -1, :], temp, top_k, greedy, rng)
+        return out["cache"], _pick(out["logits"][:, -1, :], temp, top_k, greedy,
+                                   rng, top_p)
 
     return prefill
 
@@ -127,7 +130,7 @@ class ContinuousBatcher:
 
     def __init__(self, model, variables, *, batch_slots: int = 8,
                  max_len: tp.Optional[int] = None, temperature: float = 1.0,
-                 top_k: int = 50, greedy: bool = False,
+                 top_k: int = 50, greedy: bool = False, top_p: float = 1.0,
                  eot_id: tp.Optional[int] = None,
                  rng: tp.Optional[jax.Array] = None,
                  prefill_chunk: bool = True,
@@ -145,6 +148,7 @@ class ContinuousBatcher:
         assert self.max_len <= model.config.n_positions
         self.temperature = max(float(temperature), 1e-6)
         self.top_k = int(top_k)
+        self.top_p = float(top_p)
         self.greedy = bool(greedy)
         self.eot_id = eot_id
         self.prefill_chunk = bool(prefill_chunk)
@@ -167,7 +171,7 @@ class ContinuousBatcher:
             self.variables, cache = shard_decode_tp(self.variables, cache, mesh)
         self._cache = cache
         self._step = _engine_step(model, self.temperature, self.top_k, self.greedy,
-                                  self.quant_int8)
+                                  self.quant_int8, self.top_p)
         # host mirrors of per-slot device state (the ring index is
         # authoritative HERE and re-stamped into the cache before every
         # dispatch — that is what makes prefill rollback a host-side no-op)
@@ -245,7 +249,7 @@ class ContinuousBatcher:
         self._key_pad[b] = pad
         self._positions[b] = 0
         prefill = _prefill_step(self.model, self.temperature, self.top_k,
-                                self.greedy, lb, self.quant_int8)
+                                self.greedy, lb, self.quant_int8, self.top_p)
         self._rng, sub = jax.random.split(self._rng)
         ring_before = self._ring.copy()
         self._cache, nxt = prefill(

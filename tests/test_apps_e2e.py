@@ -468,14 +468,19 @@ class TestGptPipeline:
         ckpts = sorted(rundir.rglob("checkpoints/epoch_1/step_*"))
         assert ckpts
 
+        # nucleus + multi-sample knobs ride the reference's generate_kwargs
+        # surface (conf/gen_gpt.yaml:46-50: top_k=50 top_p=0.95
+        # num_return_sequences=3)
         gen_gpt.run(argv=[
             f"model.checkpoint_dir={ckpts[-1]}",
             f"val.tokens_path={rundir}/corpus.npy",
             "generation.max_new_tokens=4", "batch_size=4",
+            "generation.top_p=0.9", "generation.num_return_sequences=2",
             'prompts=["a photo of"]',
         ])
         gens = [r for r in _records(rundir) if r.get("type") == "generation"]
-        assert gens and isinstance(gens[-1]["text"], str)
+        assert len(gens) == 2 and isinstance(gens[-1]["text"], str)
+        assert [g["sample"] for g in gens] == [0, 1]
         assert list(rundir.rglob("results.yaml"))
 
         # batched serving path: both prompts decode in one scan
@@ -535,13 +540,21 @@ class TestGptPipeline:
             jax.random.PRNGKey(0), np.zeros((1, 4), np.int32))["params"]}
 
         for kwargs in ({"top_k": 8}, {"top_k": 0}, {"top_k": 8, "temperature": 0.7},
-                       {"top_k": 4, "eot_id": 7}):
+                       {"top_k": 4, "eot_id": 7}, {"top_k": 8, "top_p": 0.6},
+                       {"top_k": 0, "top_p": 0.5}):
             key = jax.random.PRNGKey(42)
             host = generate(model, variables, prompt, max_new_tokens=12,
                             rng=key, **kwargs)
             dev = generate_device(model, variables, prompt, max_new_tokens=12,
                                   rng=key, **kwargs)
             assert host == dev, (kwargs, host, dev)
+
+        # a vanishing nucleus leaves only the argmax -> must equal true greedy
+        nuc = generate_device(model, variables, prompt, max_new_tokens=12,
+                              rng=jax.random.PRNGKey(3), top_k=8, top_p=1e-6)
+        greedy = generate_device(model, variables, prompt, max_new_tokens=12,
+                                 rng=jax.random.PRNGKey(99), top_k=1)
+        assert nuc == greedy
 
         # approx_top_k: every sampled id must come from the true top-k set
         # of its step's logits-distribution support (weak invariant that
@@ -562,6 +575,30 @@ class TestGptPipeline:
             generate_device(model, variables, prompt,
                             max_new_tokens=cfg.n_positions + 1, rng=key)
 
+    def test_top_p_mask_matches_hf_warpers(self):
+        """The nucleus cut must keep EXACTLY the token set HF's
+        TopKLogitsWarper -> TopPLogitsWarper chain keeps — the reference
+        samples through HF generate with ``top_k=50, top_p=0.95``
+        (``conf/gen_gpt.yaml:46-49``)."""
+        import jax.numpy as jnp
+        import torch
+        from transformers.generation.logits_process import (
+            TopKLogitsWarper, TopPLogitsWarper)
+
+        from summer_clip_tpu.apps.gen_gpt import _filter_logits
+
+        rng = np.random.RandomState(0)
+        for top_k, top_p in ((13, 0.7), (50, 0.95), (0, 0.6), (7, 0.999)):
+            logits = (rng.randn(1, 200) * 3).astype(np.float32)
+            t = torch.tensor(logits)
+            if top_k:
+                t = TopKLogitsWarper(top_k)(None, t)
+            t = TopPLogitsWarper(top_p)(None, t)
+            hf_keep = set(np.nonzero(np.isfinite(t.numpy()[0]))[0].tolist())
+            vals, idx = _filter_logits(jnp.asarray(logits[0]), top_k, False, top_p)
+            ours = set(np.asarray(idx)[np.isfinite(np.asarray(vals))].tolist())
+            assert ours == hf_keep, (top_k, top_p, sorted(ours), sorted(hf_keep))
+
     def test_batched_sampler_matches_per_prompt(self):
         """generate_device_batched (left-padded, per-row positions, key-pad
         masked) must reproduce per-prompt greedy decoding exactly for
@@ -577,15 +614,19 @@ class TestGptPipeline:
             jax.random.PRNGKey(0), np.zeros((1, 4), np.int32))["params"]}
         prompts = [[3, 14, 15], [9, 2, 6, 5, 3], [11], [7, 7, 1, 2]]
 
-        for kwargs in ({}, {"eot_id": 7}):
+        for kwargs in ({}, {"eot_id": 7}, {"top_p": 1e-6}):
             # greedy: top_k=1 makes the pick deterministic, so batched must
-            # equal the (already host-parity-pinned) per-prompt sampler
+            # equal the (already host-parity-pinned) per-prompt sampler;
+            # the top_p=1e-6 case is greedy-via-nucleus (only the argmax
+            # survives the cut), proving the mask bites in both programs
+            top_k = 1 if "top_p" not in kwargs else 8
             batched = generate_device_batched(
-                model, variables, prompts, max_new_tokens=10, top_k=1,
+                model, variables, prompts, max_new_tokens=10, top_k=top_k,
                 rng=jax.random.PRNGKey(5), **kwargs)
             for p, got in zip(prompts, batched):
                 solo = generate_device(model, variables, p, max_new_tokens=10,
-                                       top_k=1, rng=jax.random.PRNGKey(5), **kwargs)
+                                       top_k=top_k, rng=jax.random.PRNGKey(5),
+                                       **kwargs)
                 assert got == solo, (kwargs, p, got, solo)
 
     def test_train_gpt_loss_decreases(self, rundir):

@@ -146,6 +146,20 @@ class TestContinuousBatcher:
         np.testing.assert_allclose(np.asarray(step_logits), np.asarray(full),
                                    atol=2e-4, rtol=2e-4)
 
+    def test_top_p_vanishing_nucleus_is_greedy(self):
+        """top_p=1e-6 leaves only the argmax in the nucleus — engine outputs
+        (sampled path, NOT greedy flag) must equal the greedy oracle, so the
+        nucleus mask provably reaches the engine's step + prefill programs."""
+        model, cfg, variables = _model()
+        rng = np.random.RandomState(5)
+        prompts = [list(rng.randint(1, cfg.vocab_size, n)) for n in (4, 2, 6)]
+        eng = ContinuousBatcher(model, variables, batch_slots=2, max_len=48,
+                                top_k=8, top_p=1e-6)
+        reqs = [eng.submit(p, max_new_tokens=5) for p in prompts]
+        eng.run()
+        for p, r in zip(prompts, reqs):
+            assert r.out_ids == _oracle(model, variables, p, 5), p
+
     def test_tp_engine_matches_single_device(self):
         """Megatron-TP serving (mesh kwarg): greedy engine outputs over a
         model=2 mesh == the unsharded solo oracle, mid-stream admission
