@@ -69,11 +69,17 @@ def _pad_to(x: jax.Array, axis: int, multiple: int, value: float = 0.0) -> tp.Tu
     return jnp.pad(x, pad, constant_values=value), size
 
 
-@functools.partial(jax.jit, static_argnames=("causal", "block_q", "block_k", "interpret"))
+@functools.partial(jax.jit, static_argnames=("causal", "block_q", "block_k",
+                                              "interpret", "q_offset"))
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                     causal: bool = False, block_q: int = 128, block_k: int = 128,
-                    interpret: bool = False) -> jax.Array:
+                    interpret: bool = False, q_offset: int = 0) -> jax.Array:
     """Fused attention, q/k/v: (BH, T, head_dim) -> (BH, Tq, head_dim).
+
+    ``q_offset`` places the query block at absolute position ``q_offset``
+    within the key sequence for causal masking — the chunked-prefill shape
+    (q = a late chunk, k/v = the whole KV history), where row i may attend
+    keys <= q_offset + i. ``q_offset=0`` is ordinary training attention.
 
     Pads T and head_dim up to lane multiples; padded key positions are
     masked out by padding k with a large negative offset trick — instead we
@@ -118,7 +124,8 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
             k_pos = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             valid = k_pos < tk0
             if causal:
-                q_pos = q_idx * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                q_pos = (q_offset + q_idx * block_q
+                         + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0))
                 valid = jnp.logical_and(valid, q_pos >= k_pos)
             s = jnp.where(valid, s, -1e30)
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
@@ -149,9 +156,16 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     return out[:, :tq0, :d0]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _causal_bias(tq: int, tk: int, q_offset: int = 0) -> jax.Array:
+    """Additive (tq, tk) causal mask with the query block at ``q_offset``."""
+    q_pos = q_offset + jnp.arange(tq)[:, None]
+    return jnp.where(q_pos >= jnp.arange(tk)[None, :], 0.0, -1e30
+                     ).astype(jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def flash_attention_ad(q: jax.Array, k: jax.Array, v: jax.Array,
-                       causal: bool = False) -> jax.Array:
+                       causal: bool = False, q_offset: int = 0) -> jax.Array:
     """Differentiable wrapper: Pallas fused forward, XLA recompute backward.
 
     Pallas kernels define no autodiff rule; prompt learning backprops
@@ -159,21 +173,20 @@ def flash_attention_ad(q: jax.Array, k: jax.Array, v: jax.Array,
     standard-attention backward (scores rematerialized in f32 — fine at
     this workload's sequence lengths, <= 577).
     """
-    return flash_attention(q, k, v, causal=causal)
+    return flash_attention(q, k, v, causal=causal, q_offset=q_offset)
 
 
-def _flash_ad_fwd(q, k, v, causal):
-    return flash_attention(q, k, v, causal=causal), (q, k, v)
+def _flash_ad_fwd(q, k, v, causal, q_offset):
+    return flash_attention(q, k, v, causal=causal, q_offset=q_offset), (q, k, v)
 
 
-def _flash_ad_bwd(causal, residuals, g):
+def _flash_ad_bwd(causal, q_offset, residuals, g):
     q, k, v = residuals
 
     def ref(q, k, v):
         mask = None
         if causal:
-            tq, tk = q.shape[-2], k.shape[-2]
-            mask = jnp.where(jnp.tril(jnp.ones((tq, tk), bool)), 0.0, -1e30)
+            mask = _causal_bias(q.shape[-2], k.shape[-2], q_offset)
         return mha_reference(q, k, v, mask=mask)
 
     _, vjp = jax.vjp(ref, q, k, v)
@@ -185,12 +198,15 @@ flash_attention_ad.defvjp(_flash_ad_fwd, _flash_ad_bwd)
 
 def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                          num_heads: int, mask: tp.Optional[jax.Array] = None,
-                         causal: bool = False, use_flash: tp.Optional[bool] = None) -> jax.Array:
+                         causal: bool = False, use_flash: tp.Optional[bool] = None,
+                         q_offset: int = 0) -> jax.Array:
     """Split heads, attend, merge. q/k/v: (B, T, D) with D = H * head_dim.
 
     ``use_flash=None`` auto-selects: Pallas kernel on TPU backends, jnp
     reference elsewhere. An explicit additive ``mask`` forces the reference
     path (the fused kernel supports only causal/validity masking).
+    ``q_offset`` shifts causal masking for chunked-prefill queries (row i
+    attends keys <= q_offset + i) on both the fused and reference paths.
     """
     b, tq, dm = q.shape
     tk = k.shape[1]
@@ -211,14 +227,12 @@ def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
             qh.reshape(b * num_heads, tq, hd),
             kh.reshape(b * num_heads, tk, hd),
             vh.reshape(b * num_heads, tk, hd),
-            causal,
+            causal, q_offset,
         ).reshape(b, num_heads, tq, hd)
     else:
         attn_mask = mask
         if causal:
-            cmask = jnp.where(
-                jnp.tril(jnp.ones((tq, tk), bool)), 0.0, -1e30
-            ).astype(jnp.float32)
+            cmask = _causal_bias(tq, tk, q_offset)
             attn_mask = cmask if attn_mask is None else attn_mask + cmask
         o = mha_reference(qh, kh, vh, mask=attn_mask)
 

@@ -29,6 +29,48 @@ class TestFlashAttention:
         out = att.flash_attention(q, k, v, causal=True, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
 
+    @pytest.mark.parametrize("tq,tk,off", [(16, 48, 32), (7, 30, 23), (128, 300, 100)])
+    def test_q_offset_chunked_prefill_matches_reference(self, tq, tk, off):
+        """Causal attention with the query block at an absolute offset into
+        the KV history — the serving engine's chunked-prefill shape (row i
+        attends keys <= off + i); fused kernel == dense oracle."""
+        q, k, v = _rand(9, 2, tq, 64), _rand(10, 2, tk, 64), _rand(11, 2, tk, 64)
+        mask = jnp.where(off + jnp.arange(tq)[:, None] >= jnp.arange(tk)[None, :],
+                         0.0, -1e30)
+        ref = att.mha_reference(q, k, v, mask=mask)
+        out = att.flash_attention(q, k, v, causal=True, q_offset=off,
+                                  interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+        # the multi-head wrapper's XLA path must apply the same offset mask
+        b, dm, h = 2, 128, 2
+        qm, km, vm = _rand(12, b, tq, dm), _rand(13, b, tk, dm), _rand(14, b, tk, dm)
+        o_ref = att.multi_head_attention(qm, km, vm, num_heads=h, mask=mask,
+                                         use_flash=False)
+        o_off = att.multi_head_attention(qm, km, vm, num_heads=h, causal=True,
+                                         q_offset=off, use_flash=False)
+        np.testing.assert_allclose(np.asarray(o_off), np.asarray(o_ref),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_q_offset_grads_match_reference(self):
+        """flash_attention_ad's recompute backward must honor q_offset."""
+        tq, tk, off = 8, 24, 16
+        q, k, v = _rand(15, 1, tq, 64), _rand(16, 1, tk, 64), _rand(17, 1, tk, 64)
+        mask = jnp.where(off + jnp.arange(tq)[:, None] >= jnp.arange(tk)[None, :],
+                         0.0, -1e30)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(att.mha_reference(q, k, v, mask=mask) ** 2)
+
+        def loss_flash(q, k, v):
+            return jnp.sum(att.flash_attention_ad(q, k, v, True, off) ** 2)
+
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        for gf, gr in zip(g_flash, g_ref):
+            np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                       atol=2e-4, rtol=2e-4)
+
     def test_mha_wrapper_heads(self):
         b, t, dm, h = 2, 64, 128, 4
         q, k, v = _rand(6, b, t, dm), _rand(7, b, t, dm), _rand(8, b, t, dm)

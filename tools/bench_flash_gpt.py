@@ -77,6 +77,37 @@ def main() -> None:
     err = float(jnp.max(jnp.abs(o_f.astype(jnp.float32) - o_x.astype(jnp.float32))))
     print(f"max |flash - xla| = {err:.4f} (bf16 inputs)")
 
+    # --- serving shapes (VERDICT r2 #10: give flash its last plausible
+    # targets and record the outcome) -------------------------------------
+    # decode step: tq=1 against the full KV history (the last row of the
+    # causal mask attends everything -> causal=False is exact)
+    for tk_dec in (1024, 4096):
+        kd = jnp.asarray(rng.randn(b, tk_dec, d), jnp.bfloat16)
+        vd = jnp.asarray(rng.randn(b, tk_dec, d), jnp.bfloat16)
+        qd = jnp.asarray(rng.randn(b, 1, d), jnp.bfloat16)
+        for name, uf in [("xla", False), ("flash", True)]:
+            fn = jax.jit(lambda q, k, v, uf=uf: A.multi_head_attention(
+                q, k, v, num_heads=heads, causal=False, use_flash=uf))
+            dt = bench(fn, qd, kd, vd)
+            gbps = (2 * b * tk_dec * d * 2) / dt / 1e9  # bf16 K+V reads
+            print(f"decode tq=1 tk={tk_dec} {name:5}: {dt * 1e6:8.1f}us  "
+                  f"(KV read {gbps:.0f} GB/s)")
+
+    # chunked prefill: a late q chunk at q_offset into a long KV history
+    # (q_offset causal masking — exactness pinned in tests/test_ops.py)
+    for tq_c in (64, 128):
+        tk_c, off = 1024 + tq_c, 1024
+        kc = jnp.asarray(rng.randn(b, tk_c, d), jnp.bfloat16)
+        vc = jnp.asarray(rng.randn(b, tk_c, d), jnp.bfloat16)
+        qc = jnp.asarray(rng.randn(b, tq_c, d), jnp.bfloat16)
+        for name, uf in [("xla", False), ("flash", True)]:
+            fn = jax.jit(lambda q, k, v, uf=uf: A.multi_head_attention(
+                q, k, v, num_heads=heads, causal=True, q_offset=off, use_flash=uf))
+            dt = bench(fn, qc, kc, vc)
+            fl = 4 * b * heads * tq_c * tk_c * hd
+            print(f"prefill tq={tq_c} tk={tk_c} {name:5}: {dt * 1e3:7.2f}ms  "
+                  f"({fl / dt / 1e12:.2f} TFLOP/s)")
+
 
 if __name__ == "__main__":
     main()
