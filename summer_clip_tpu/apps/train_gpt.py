@@ -293,8 +293,12 @@ class ClipGPTTrainer(BaseTrainer):
                     self.params = replicate(self.params, self.mesh)
                 self.logger.log_info(f"Resumed (restacked) from {model_path}")
                 return
-            loaded = ckpt.load_checkpoint(Path(model_path),
-                                          params_target=self.params)
+            # opt_target rebuilds the typed optax state (MultiTransform /
+            # grad-accum NamedTuples) from msgpack — without it the raw
+            # nested-dict restore detonates inside tx.update on resume
+            loaded = ckpt.load_checkpoint(
+                Path(model_path), params_target=self.params,
+                opt_target=(self.opt_state if pcfg.get("optimizer") else None))
 
             def _restore_placement(new, old):
                 # checkpoint arrays arrive host-resident; re-apply the live
@@ -381,6 +385,15 @@ class ClipGPTTrainer(BaseTrainer):
                                               "metrics/perplexity": perplexity})
                 self.save_step_model(epoch_num, step,
                                      with_optimizer=(step == max(eval_steps)))
+            if self.preempted():
+                # eviction grace window (engine/preemption.py): checkpoint
+                # WITH optimizer state mid-epoch so pretrained.model/
+                # optimizer resume restarts at exactly this step
+                self.save_step_model(epoch_num, f"{step}_preempt",
+                                     with_optimizer=True)
+                self.logger.log_info({"type": "preempted", "epoch": epoch_num,
+                                      "step": step})
+                break
         return epoch_info
 
 

@@ -96,6 +96,22 @@ class BaseTrainer:
     def save_epoch_model(self, epoch_num: int):
         pass
 
+    def _install_preemption_guard(self):
+        """SIGTERM/SIGINT -> graceful stop (engine/preemption.py). Signal
+        handlers are main-thread-only; a trainer driven from a worker thread
+        simply runs unguarded (the scheduler's kill still works)."""
+        from summer_clip_tpu.engine.preemption import PreemptionGuard
+
+        try:
+            self.preempt = PreemptionGuard().install()
+        except ValueError:  # not the main thread
+            self.preempt = None
+        return self.preempt
+
+    def preempted(self) -> bool:
+        guard = getattr(self, "preempt", None)
+        return guard is not None and guard.triggered
+
     def train_loop(self):
         epochs_num = int(self.cfg.training.epochs_num)
         calculate_every = int(self.cfg.get("log", {}).get("calculate_every", 1))
@@ -111,12 +127,22 @@ class BaseTrainer:
             self.logger.log_epoch(epoch_num, epoch_info)
             self.save_epoch_model(epoch_num)
             time_log.now(epoch_num)
+            if self.preempted():
+                self.logger.log_info({"type": "preempted", "epoch": epoch_num})
+                break
         time_log.end()
 
 
 def run_trainer(trainer_cls: tp.Type[BaseTrainer], cfg: ConfigNode) -> BaseTrainer:
     print(to_yaml(cfg))
     trainer = trainer_cls(cfg)
-    trainer.setup()
-    trainer.train_loop()
+    # guard the WHOLE run, setup included: pod evictions don't wait for the
+    # first epoch, and a long compile is exactly where a grace window lands
+    guard = trainer._install_preemption_guard()
+    try:
+        trainer.setup()
+        trainer.train_loop()
+    finally:
+        if guard is not None:
+            guard.restore()
     return trainer
