@@ -359,6 +359,10 @@ class GptGenerator(BaseTrainer):
             assert not (gcfg.get("continuous") or gcfg.get("speculative")), (
                 "generation.tp composes with the device_loop/batched "
                 "samplers, not the serving/speculative engines")
+            assert gcfg.get("batched") or gcfg.get("device_loop", True), (
+                "generation.tp needs a device-scan sampler: set "
+                "generation.device_loop=true or generation.batched=true "
+                "(the host-loop oracle would silently run unsharded)")
             check_tp_divisibility(self.model.config.n_embd,
                                   self.model.config.n_head, tp_size)
             mesh = create_mesh(data=1, model=tp_size,
@@ -398,9 +402,14 @@ class GptGenerator(BaseTrainer):
             assert draft_dir, "generation.speculative needs draft_checkpoint_dir"
             draft_model, draft_vars = load_pretrained_clip_gpt(
                 draft_dir, self.tokenizer, self.rng.next())
-            if int(gcfg.top_k) != 1:
+            if int(gcfg.top_k) != 1 or float(gcfg.get("top_p", 1.0)) < 1.0:
                 self.logger.log_info(
-                    "speculative decoding is greedy — ignoring top_k/temperature")
+                    "speculative decoding is greedy — ignoring "
+                    "top_k/top_p/temperature")
+            if n_ret > 1:
+                self.logger.log_info(
+                    "speculative decoding is deterministic — "
+                    f"num_return_sequences={n_ret} repeats identical samples")
             outs = []
             for prompt in prompts:
                 ids = [self.tokenizer.sot_token] + self.tokenizer.encode(prompt)

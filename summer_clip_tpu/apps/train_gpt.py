@@ -274,51 +274,61 @@ class ClipGPTTrainer(BaseTrainer):
     def setup_pretrained(self):
         pcfg = self.cfg.get("pretrained") or {}
         model_path = pcfg.get("model") if hasattr(pcfg, "get") else None
-        if model_path and Path(model_path).exists():
-            if self._stacked_layout():
-                # checkpoints are in the standard layout: merge there, restack
-                from summer_clip_tpu.parallel import (
-                    shard_stacked_pp, stack_block_params,
-                )
+        if not (model_path and Path(model_path).exists()):
+            return
 
-                std = self._checkpoint_params()
-                loaded = ckpt.load_checkpoint(Path(model_path), params_target=std)
-                n_stages = (self.pp_mesh.shape["stage"]
-                            if self.pp_mesh is not None else 1)
-                rest, stacked = stack_block_params(loaded["params"], n_stages)
-                if self.pp_mesh is not None:
-                    stacked = shard_stacked_pp(stacked, self.pp_mesh)
-                self.params = {"rest": rest, "stacked": stacked}
-                if self.pp_mesh is None and self.mesh is not None:
-                    self.params = replicate(self.params, self.mesh)
-                self.logger.log_info(f"Resumed (restacked) from {model_path}")
-                return
-            # opt_target rebuilds the typed optax state (MultiTransform /
-            # grad-accum NamedTuples) from msgpack — without it the raw
-            # nested-dict restore detonates inside tx.update on resume
+        def _restore_placement(new, old):
+            # checkpoint arrays arrive host-resident; re-apply the live
+            # sharding (replicated for DP, Megatron/PP specs otherwise) so
+            # the jitted step doesn't see params/opt_state layouts diverge
+            sh = getattr(old, "sharding", None)
+            return jax.device_put(new, sh) if sh is not None else new
+
+        # opt_target rebuilds the typed optax state (MultiTransform /
+        # grad-accum NamedTuples) from msgpack — without it the raw
+        # nested-dict restore detonates inside tx.update on resume. In
+        # stacked layout (pp/scan_layers) the saved opt_state mirrors the
+        # stacked param tree, so resuming it requires the SAME layout config
+        # (from_bytes fails loudly on a structure mismatch).
+        want_opt = bool(pcfg.get("optimizer"))
+        if self._stacked_layout():
+            # params checkpoints are in the standard layout: merge, restack
+            from summer_clip_tpu.parallel import (
+                shard_stacked_pp, stack_block_params,
+            )
+
+            std = self._checkpoint_params()
             loaded = ckpt.load_checkpoint(
-                Path(model_path), params_target=self.params,
-                opt_target=(self.opt_state if pcfg.get("optimizer") else None))
-
-            def _restore_placement(new, old):
-                # checkpoint arrays arrive host-resident; re-apply the live
-                # sharding (replicated for DP, Megatron specs for TP) so the
-                # jitted step doesn't see params/opt_state layouts diverge
-                sh = getattr(old, "sharding", None)
-                return jax.device_put(new, sh) if sh is not None else new
-
+                Path(model_path), params_target=std,
+                opt_target=(self.opt_state if want_opt else None))
+            n_stages = (self.pp_mesh.shape["stage"]
+                        if self.pp_mesh is not None else 1)
+            rest, stacked = stack_block_params(loaded["params"], n_stages)
+            if self.pp_mesh is not None:
+                stacked = shard_stacked_pp(stacked, self.pp_mesh)
+            self.params = {"rest": rest, "stacked": stacked}
+            if self.pp_mesh is None and self.mesh is not None:
+                self.params = replicate(self.params, self.mesh)
+            if "opt_state" in loaded and want_opt:
+                self.opt_state = jax.tree_util.tree_map(
+                    _restore_placement, loaded["opt_state"], self.opt_state)
+            self.logger.log_info(f"Resumed (restacked) from {model_path}")
+            return
+        loaded = ckpt.load_checkpoint(
+            Path(model_path), params_target=self.params,
+            opt_target=(self.opt_state if want_opt else None))
+        if self.mesh is not None:
+            self.params = jax.tree_util.tree_map(
+                _restore_placement, loaded["params"], self.params)
+        else:
+            self.params = loaded["params"]
+        if "opt_state" in loaded and want_opt:
             if self.mesh is not None:
-                self.params = jax.tree_util.tree_map(
-                    _restore_placement, loaded["params"], self.params)
+                self.opt_state = jax.tree_util.tree_map(
+                    _restore_placement, loaded["opt_state"], self.opt_state)
             else:
-                self.params = loaded["params"]
-            if "opt_state" in loaded and pcfg.get("optimizer"):
-                if self.mesh is not None:
-                    self.opt_state = jax.tree_util.tree_map(
-                        _restore_placement, loaded["opt_state"], self.opt_state)
-                else:
-                    self.opt_state = loaded["opt_state"]
-            self.logger.log_info(f"Resumed from {model_path}")
+                self.opt_state = loaded["opt_state"]
+        self.logger.log_info(f"Resumed from {model_path}")
 
     def evaluate(self) -> tp.Tuple[float, float]:
         assert self.val_tokens is not None
@@ -348,8 +358,9 @@ class ClipGPTTrainer(BaseTrainer):
         step_dir = Path(str(self.cfg.training.checkpoints_dir)) / f"epoch_{epoch_num}" / f"step_{step}"
         ckpt.save_checkpoint(
             step_dir, params=self._checkpoint_params(),
-            opt_state=(self.opt_state
-                       if with_optimizer and not self._stacked_layout() else None),
+            # stacked layouts save opt_state in their stacked tree: resuming
+            # it needs the same pp/scan config (params stay interchangeable)
+            opt_state=(self.opt_state if with_optimizer else None),
             keep=lambda names: self.trainable_mask_fn(
                 tuple(type("K", (), {"key": n})() for n in names)),
             meta={"model_cfg": C.to_container(self.cfg.clip_gpt, resolve=True)})

@@ -55,15 +55,20 @@ class PreemptionGuard:
         if not self._installed:
             return
         for sig, prev in self._previous.items():
-            signal.signal(sig, prev)
+            # getsignal returns None for handlers installed by non-Python
+            # code — those can't be re-installed from Python; SIG_DFL is the
+            # only safe stand-in (passing None raises TypeError)
+            signal.signal(sig, prev if prev is not None else signal.SIG_DFL)
         self._previous.clear()
         self._installed = False
 
     def _on_signal(self, signum, frame) -> None:
         self.trigger(signum)
-        # second signal escalates: hand back the default handler so the
-        # scheduler's follow-up actually kills a job stuck past the flag
-        signal.signal(signum, self._previous.get(signum, signal.SIG_DFL))
+        # second signal escalates: hand back the previous (or default)
+        # handler so the scheduler's follow-up actually kills a job stuck
+        # past the flag
+        prev = self._previous.get(signum)
+        signal.signal(signum, prev if prev is not None else signal.SIG_DFL)
 
     # -- trainer API ----------------------------------------------------------
 

@@ -65,22 +65,27 @@ def _speculative_program(model, draft_model, n_prompt: int, max_new: int,
                           cache=cache)
         dout = draft_model.apply(dvars(draft_variables, False), prompt,
                                  position_offset=0, cache=draft_cache)
-        del dout  # draft cache advanced; its prompt logits are unused
+        # keep the draft's PREFILLED cache (its prompt logits are unused) —
+        # proposing from the empty init cache would condition every draft on
+        # garbage and drive acceptance to zero while staying bit-identical
+        # (regression pinned by test_verify_iterations_amortize)
+        draft_cache = dout["cache"]
         pending = jnp.argmax(out["logits"][0, -1, :]).astype(jnp.int32)
         cache = out["cache"]
 
         buf = jnp.zeros((max_new + k + 1,), jnp.int32)
         # carry: pending token, target cache, draft cache, emitted count,
-        # sequence length L (tokens consumed by the target cache), done flag
+        # sequence length L (tokens consumed by the target cache), done flag,
+        # buffer, verify-forward count (the quantity speculation minimizes)
         init = (pending, cache, draft_cache, jnp.asarray(0, jnp.int32),
-                jnp.asarray(n_prompt, jnp.int32), jnp.asarray(False), buf)
+                jnp.asarray(n_prompt, jnp.int32), jnp.asarray(False), buf,
+                jnp.asarray(0, jnp.int32))
 
         def cond(c):
-            _, _, _, n, _, done, _ = c
-            return (~done) & (n < max_new)
+            return (~c[5]) & (c[3] < max_new)
 
         def body(c):
-            pending, cache, dcache, n, L, done, buf = c
+            pending, cache, dcache, n, L, done, buf, iters = c
 
             # ---- draft: k+1 greedy single-token steps ------------------
             # feeding pending, d_1, ..., d_k advances the draft cache
@@ -117,10 +122,10 @@ def _speculative_program(model, draft_model, n_prompt: int, max_new: int,
             done = jnp.any((window == eot) & valid)
             L2 = L + a + 1
             return (new_pending, rollback(o["cache"], L2),
-                    rollback(dcache, L2), n + a + 1, L2, done, buf)
+                    rollback(dcache, L2), n + a + 1, L2, done, buf, iters + 1)
 
-        _, _, _, n, _, _, buf = jax.lax.while_loop(cond, body, init)
-        return buf, n
+        _, _, _, n, _, _, buf, iters = jax.lax.while_loop(cond, body, init)
+        return buf, n, iters
 
     return run
 
@@ -130,7 +135,8 @@ def generate_device_speculative(
         prompt_ids: tp.Sequence[int], *, max_new_tokens: int = 20,
         k: int = 4, eot_id: tp.Optional[int] = None,
         quant_int8: bool = False, draft_quant_int8: bool = False,
-) -> tp.List[int]:
+        return_stats: bool = False,
+) -> tp.Union[tp.List[int], tp.Tuple[tp.List[int], tp.Dict[str, int]]]:
     """Greedy decode with draft-model speculation; one device dispatch.
 
     Returns exactly what ``generate_device(..., top_k=1)`` on the target
@@ -161,11 +167,15 @@ def generate_device_speculative(
                                -1 if eot_id is None else int(eot_id),
                                bool(quant_int8), bool(draft_quant_int8))
     prompt = jnp.asarray(np.asarray(prompt_ids, np.int32))[None]
-    buf, n = run(variables, draft_variables, prompt, cache, draft_cache)
+    buf, n, iters = run(variables, draft_variables, prompt, cache, draft_cache)
     toks = np.asarray(buf)[:min(int(n), int(max_new_tokens))]
     out_ids = list(int(i) for i in prompt_ids)
     for t in toks:
         out_ids.append(int(t))
         if eot_id is not None and int(t) == eot_id:
             break
+    if return_stats:
+        # verify_iters counts target forwards in the loop; emitted/iters is
+        # the amortization factor speculation exists to maximize
+        return out_ids, {"verify_iters": int(iters), "emitted": int(n)}
     return out_ids

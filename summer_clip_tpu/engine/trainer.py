@@ -97,13 +97,18 @@ class BaseTrainer:
         pass
 
     def _install_preemption_guard(self):
-        """SIGTERM/SIGINT -> graceful stop (engine/preemption.py). Signal
-        handlers are main-thread-only; a trainer driven from a worker thread
-        simply runs unguarded (the scheduler's kill still works)."""
+        """SIGTERM -> graceful stop (engine/preemption.py). SIGTERM only:
+        trapping SIGINT would swallow the first Ctrl-C in apps whose custom
+        train_loop never polls the flag (interactive kills must stay
+        immediate; scheduler evictions are SIGTERM). Signal handlers are
+        main-thread-only; a trainer driven from a worker thread simply runs
+        unguarded (the scheduler's kill still works)."""
+        import signal
+
         from summer_clip_tpu.engine.preemption import PreemptionGuard
 
         try:
-            self.preempt = PreemptionGuard().install()
+            self.preempt = PreemptionGuard(signals=(signal.SIGTERM,)).install()
         except ValueError:  # not the main thread
             self.preempt = None
         return self.preempt

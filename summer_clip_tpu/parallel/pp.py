@@ -163,6 +163,53 @@ def pipeline_blocks(stacked_params, x: jax.Array, mesh: Mesh, *,
     return run(stacked_params, x)
 
 
+def _final_ln(rest_params, x):
+    from summer_clip_tpu.models.clip.modeling import LayerNormF32
+
+    return LayerNormF32().apply({"params": rest_params["core"]["ln_f"]}, x)
+
+
+def _gpt2_stem(model, rest_params, input_ids):
+    """Token + position embedding (``models/gpt2.py:GPT2.__call__`` front)."""
+    wte = rest_params["wte"]["embedding"]
+    t = input_ids.shape[1]
+    x = jnp.take(wte, input_ids, axis=0).astype(model.dtype)
+    return x + rest_params["core"]["wpe"][:t].astype(model.dtype)
+
+
+def _gpt2_head(model, rest_params, x):
+    """Final LN + tied-embedding logits (``GPT2.__call__`` tail)."""
+    x = _final_ln(rest_params, x)
+    wte = rest_params["wte"]["embedding"]
+    return jnp.dot(x, wte.T.astype(x.dtype), preferred_element_type=jnp.float32)
+
+
+def _clip_adapter_apply(model, rest_params, name: str, x):
+    p = rest_params.get(name) or rest_params["adapter_emb"]  # shared head
+    hid = p["fc1"]["kernel"].shape[1]
+    out = p["fc2"]["kernel"].shape[1]
+    return gpt2_mod.Adapter(hid, out, dtype=model.dtype).apply({"params": p}, x)
+
+
+def _clip_gpt_stem(model, rest_params, input_ids):
+    """CLIP table -> emb adapter -> +positions (``ClipGPT.__call__`` front).
+
+    Shared by the scan and pipeline forwards so ClipGPT adapter/head
+    semantics live in exactly one place next to ``models/gpt2.py``."""
+    t = input_ids.shape[1]
+    x = jnp.take(rest_params["clip_emb"], input_ids, axis=0).astype(model.dtype)
+    x = _clip_adapter_apply(model, rest_params, "adapter_emb", x)
+    return x + rest_params["core"]["wpe"][:t].astype(model.dtype)
+
+
+def _clip_gpt_head(model, rest_params, x):
+    """Final LN + adapter LM head (``ClipGPT.__call__`` tail)."""
+    x = _final_ln(rest_params, x)
+    head = _clip_adapter_apply(model, rest_params, "adapter_head",
+                               rest_params["clip_emb"].astype(model.dtype))
+    return jnp.dot(x, head.T, preferred_element_type=jnp.float32)
+
+
 def pp_gpt2_forward(model: gpt2_mod.GPT2, rest_params, stacked_params,
                     input_ids: jax.Array, mesh: Mesh, *,
                     n_microbatches: int, axis: str = "stage",
@@ -170,19 +217,11 @@ def pp_gpt2_forward(model: gpt2_mod.GPT2, rest_params, stacked_params,
     """Full GPT-2 LM forward with the block stack pipelined: embedding +
     positions and final LN + logits replicated (reference model semantics,
     ``models/gpt2.py:GPT2.__call__``), blocks staged over ``axis``."""
-    cfg = model.config
-    wte = rest_params["wte"]["embedding"]
-    wpe = rest_params["core"]["wpe"]
-    t = input_ids.shape[1]
-    x = jnp.take(wte, input_ids, axis=0).astype(model.dtype)
-    x = x + wpe[:t].astype(model.dtype)
-    x = pipeline_blocks(stacked_params, x, mesh, num_heads=cfg.n_head,
+    x = _gpt2_stem(model, rest_params, input_ids)
+    x = pipeline_blocks(stacked_params, x, mesh, num_heads=model.config.n_head,
                         n_microbatches=n_microbatches, axis=axis,
                         dtype=model.dtype, data_axis=data_axis)
-    from summer_clip_tpu.models.clip.modeling import LayerNormF32
-
-    x = LayerNormF32().apply({"params": rest_params["core"]["ln_f"]}, x)
-    return jnp.dot(x, wte.T.astype(x.dtype), preferred_element_type=jnp.float32)
+    return _gpt2_head(model, rest_params, x)
 
 
 def scan_gpt2_forward(model: gpt2_mod.GPT2, rest_params, stacked_params,
@@ -197,18 +236,11 @@ def scan_gpt2_forward(model: gpt2_mod.GPT2, rest_params, stacked_params,
     ``stack_block_params(params, 1)`` (the PP checkpoint layout, so save /
     resume code is shared with the pipeline path).
     """
-    cfg = model.config
-    wte = rest_params["wte"]["embedding"]
-    t = input_ids.shape[1]
-    x = jnp.take(wte, input_ids, axis=0).astype(model.dtype)
-    x = x + rest_params["core"]["wpe"][:t].astype(model.dtype)
+    x = _gpt2_stem(model, rest_params, input_ids)
     chunk = jax.tree_util.tree_map(lambda p: p[0], stacked_params)
-    x = _block_chunk(chunk, x, num_heads=cfg.n_head, dtype=model.dtype,
-                     remat=remat)
-    from summer_clip_tpu.models.clip.modeling import LayerNormF32
-
-    x = LayerNormF32().apply({"params": rest_params["core"]["ln_f"]}, x)
-    return jnp.dot(x, wte.T.astype(x.dtype), preferred_element_type=jnp.float32)
+    x = _block_chunk(chunk, x, num_heads=model.config.n_head,
+                     dtype=model.dtype, remat=remat)
+    return _gpt2_head(model, rest_params, x)
 
 
 def scan_clip_gpt_forward(model, rest_params, stacked_params,
@@ -218,27 +250,11 @@ def scan_clip_gpt_forward(model, rest_params, stacked_params,
     the single-device compile-time analog of :func:`pp_clip_gpt_forward`
     (embedding adapters / positions / final LN / head identical to
     ``models/gpt2.py:ClipGPT.__call__``)."""
-    from summer_clip_tpu.models.clip.modeling import LayerNormF32
-
-    cfg = model.config
-    clip_emb = rest_params["clip_emb"]
-
-    def adapter_apply(name: str, x):
-        p = rest_params.get(name) or rest_params["adapter_emb"]  # shared head
-        hid = p["fc1"]["kernel"].shape[1]
-        out = p["fc2"]["kernel"].shape[1]
-        return gpt2_mod.Adapter(hid, out, dtype=model.dtype).apply({"params": p}, x)
-
-    t = input_ids.shape[1]
-    x = jnp.take(clip_emb, input_ids, axis=0).astype(model.dtype)
-    x = adapter_apply("adapter_emb", x)
-    x = x + rest_params["core"]["wpe"][:t].astype(model.dtype)
+    x = _clip_gpt_stem(model, rest_params, input_ids)
     chunk = jax.tree_util.tree_map(lambda p: p[0], stacked_params)
-    x = _block_chunk(chunk, x, num_heads=cfg.n_head, dtype=model.dtype,
-                     remat=remat)
-    x = LayerNormF32().apply({"params": rest_params["core"]["ln_f"]}, x)
-    head = adapter_apply("adapter_head", clip_emb.astype(model.dtype))
-    return jnp.dot(x, head.T, preferred_element_type=jnp.float32)
+    x = _block_chunk(chunk, x, num_heads=model.config.n_head,
+                     dtype=model.dtype, remat=remat)
+    return _clip_gpt_head(model, rest_params, x)
 
 
 def shard_stacked_pp(stacked_params, mesh: Mesh, axis: str = "stage"):
@@ -258,24 +274,8 @@ def pp_clip_gpt_forward(model, rest_params, stacked_params,
     adapter LM head stay replicated (``models/gpt2.py:ClipGPT.__call__``
     semantics); only the GPT core blocks are staged.
     """
-    from summer_clip_tpu.models.clip.modeling import LayerNormF32
-
-    cfg = model.config
-    clip_emb = rest_params["clip_emb"]
-
-    def adapter_apply(name: str, x):
-        p = rest_params.get(name) or rest_params["adapter_emb"]  # shared head
-        hid = p["fc1"]["kernel"].shape[1]
-        out = p["fc2"]["kernel"].shape[1]
-        return gpt2_mod.Adapter(hid, out, dtype=model.dtype).apply({"params": p}, x)
-
-    t = input_ids.shape[1]
-    x = jnp.take(clip_emb, input_ids, axis=0).astype(model.dtype)
-    x = adapter_apply("adapter_emb", x)
-    x = x + rest_params["core"]["wpe"][:t].astype(model.dtype)
-    x = pipeline_blocks(stacked_params, x, mesh, num_heads=cfg.n_head,
+    x = _clip_gpt_stem(model, rest_params, input_ids)
+    x = pipeline_blocks(stacked_params, x, mesh, num_heads=model.config.n_head,
                         n_microbatches=n_microbatches, axis=axis,
                         dtype=model.dtype, remat=remat, data_axis=data_axis)
-    x = LayerNormF32().apply({"params": rest_params["core"]["ln_f"]}, x)
-    head = adapter_apply("adapter_head", clip_emb.astype(model.dtype))
-    return jnp.dot(x, head.T, preferred_element_type=jnp.float32)
+    return _clip_gpt_head(model, rest_params, x)

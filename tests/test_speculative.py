@@ -54,6 +54,18 @@ class TestSpeculative:
             max_new_tokens=16, k=4)
         assert out == self._solo(16)
 
+    def test_verify_iterations_amortize(self):
+        """THE point of speculation: with draft == target every k-window is
+        fully accepted, so 16 tokens need ceil(16/(k+1)) = 4 verify forwards,
+        not 16. Regression: the draft's prefilled KV cache was discarded
+        (proposals conditioned on an empty cache), silently driving
+        acceptance to zero — bit-identical output, 16 verify forwards."""
+        out, stats = generate_device_speculative(
+            self.target, self.tvars, self.target, self.tvars, self.prompt,
+            max_new_tokens=16, k=3, return_stats=True)
+        assert out == self._solo(16)
+        assert stats["verify_iters"] == 4, stats
+
     def test_eot_truncates_like_solo(self):
         solo = self._solo(16)
         eot = solo[len(self.prompt) + 3]  # 4th generated token as fake eot

@@ -28,14 +28,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def _hlo_instruction_count(compiled) -> int | None:
+    """Instruction count of the optimized module: every HLO instruction
+    prints as one ``%name = op(...)`` line in the text dump (the previously
+    used ``computation_count()`` counts computations — while-loop bodies,
+    fusions — not instructions, and undercounts the unrolled program)."""
     try:
-        mods = compiled.runtime_executable().hlo_modules()
-        return sum(m.computation_count() for m in mods)
+        return sum(1 for line in compiled.as_text().splitlines()
+                   if " = " in line)
     except Exception:
-        try:
-            return len(compiled.as_text().splitlines())
-        except Exception:
-            return None
+        return None
 
 
 def build_steps(name: str, batch: int, ctx: int):
