@@ -15,8 +15,9 @@ TPU-first changes (same grid semantics, different execution):
   (``ops.cache_kernels``), one launch per (selection, value) combo instead
   of one dense (Nt, Nc) matmul per beta (cf. reference
   ``image_attention.py:106-110``),
-- **alpha blending + top-1/top-5 accuracy** are one jitted vmap over the
-  (beta, alpha) grid — no host round-trips inside the sweep.
+- **alpha blending + top-1/top-5 accuracy** are one jitted sweep over the
+  (beta, alpha) grid — sequential over betas, vmapped over alphas — with
+  no host round-trips inside the sweep.
 """
 
 from __future__ import annotations
@@ -209,7 +210,11 @@ class ImageAttention(BaseTrainer):
                     hit5 = (top == labels[:, None]).any(axis=1).astype(jnp.float32).mean() * 100.0
                     return hit1, hit5
                 return jax.vmap(eval_alpha)(alphas)
-            return jax.vmap(eval_beta)(cache_chunk)
+            # sequential over betas: a beta-vmap materializes the full
+            # (betas, alphas, Nt, C) f32 sort input — ~11GB at ImageNet scale
+            # (50k x 1000, 8x7 grid), which OOMs a 16GB chip. lax.map keeps
+            # one (alphas, Nt, C) slab live (~1.4GB) with the same results.
+            return jax.lax.map(eval_beta, cache_chunk)
 
         return evaluate
 

@@ -102,6 +102,9 @@ def main(nt: int = 50176, nc: int = 1281024, d: int = 1024, c: int = 1000,
 
     @jax.jit
     def grid_acc(cache_b):
+        # lax.map over betas keeps one (alphas, Nt, C) sort input live at a
+        # time (~1.4GB at ImageNet scale); a beta-vmap would materialize the
+        # full (8, 7, 50176, 1000) f32 grid (~11GB) and OOM the chip.
         def eval_beta(one):
             def eval_alpha(a):
                 logits = clip_logits + a * one
@@ -110,7 +113,7 @@ def main(nt: int = 50176, nc: int = 1281024, d: int = 1024, c: int = 1000,
                 h5 = (top == labels[:, None]).any(1).astype(jnp.float32).mean()
                 return h1, h5
             return jax.vmap(eval_alpha)(alphas)
-        return jax.vmap(eval_beta)(cache_b)
+        return jax.lax.map(eval_beta, cache_b)
 
     def combo(inds):
         app._last_inds = inds

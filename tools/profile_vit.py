@@ -28,15 +28,31 @@ from summer_clip_tpu.models.clip.modeling import (
 )
 
 
-def timeit(fn, *args, iters=5, label=""):
-    out = fn(*args)
-    float(jnp.sum(out).astype(jnp.float32))
+def timeit(fn, *args, iters=3, inner=16, label=""):
+    """Per-stage time with the tunnel RTT amortized away.
+
+    A single dispatch+fetch over the tunneled chip has a ~24-29ms floor, so
+    sub-30ms stages are invisible one call at a time. Repeat the stage
+    ``inner`` times INSIDE one jitted scan (input perturbed per step by the
+    loop index so XLA cannot CSE the iterations) and fetch one checksum;
+    per-iteration time = window / inner.
+    """
+    x0, rest = args[0], args[1:]
+
+    @jax.jit
+    def window(x0, *rest):
+        def body(acc, i):
+            y = fn(x0 + i.astype(x0.dtype) * jnp.asarray(1e-6, x0.dtype), *rest)
+            return acc + jnp.sum(y).astype(jnp.float32), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(inner))
+        return acc
+
+    float(window(x0, *rest))
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = fn(*args)
-        float(jnp.sum(out).astype(jnp.float32))
-        best = min(best, time.perf_counter() - t0)
+        float(window(x0, *rest))
+        best = min(best, (time.perf_counter() - t0) / inner)
     print(f"{label:34s} {best * 1e3:8.2f} ms", flush=True)
     return best
 
@@ -60,26 +76,26 @@ def main(batch: int = 128, name: str = "ViT-B/16") -> None:
     # -- patch embed, both modes ------------------------------------------------
     for mode in ("conv", "matmul"):
         pe = PatchEmbed(width, p, dtype=dtype, mode=mode)
-        v = pe.init(rng, images[:1])
-        timeit(jax.jit(lambda vv, im: pe.apply(vv, im)), v, images,
+        v = jax.jit(pe.init)(rng, images[:1])
+        timeit(lambda im, vv: pe.apply(vv, im), images, v,
                label=f"patch_embed[{mode}]")
 
     # -- one block, split -------------------------------------------------------
     blk = ResidualAttentionBlock(cfg.vision_heads, dtype=dtype)
-    bv = blk.init(rng, tokens[:1])
-    t_block = timeit(jax.jit(lambda vv, x: blk.apply(vv, x)), bv, tokens,
+    bv = jax.jit(blk.init)(rng, tokens[:1])
+    t_block = timeit(lambda x, vv: blk.apply(vv, x), tokens, bv,
                      label="one block (attn+mlp)")
     print(f"{'blocks x' + str(layers) + ' (extrapolated)':34s} "
           f"{t_block * layers * 1e3:8.2f} ms", flush=True)
 
     ln = LayerNormF32()
-    lv = ln.init(rng, tokens[:1])
-    timeit(jax.jit(lambda vv, x: ln.apply(vv, x)), lv, tokens, label="one LayerNormF32")
+    lv = jax.jit(ln.init)(rng, tokens[:1])
+    timeit(lambda x, vv: ln.apply(vv, x), tokens, lv, label="one LayerNormF32")
 
     # -- full transformer stack -------------------------------------------------
     tr = Transformer(layers, cfg.vision_heads, dtype=dtype)
-    tv = tr.init(rng, tokens[:1])
-    timeit(jax.jit(lambda vv, x: tr.apply(vv, x)), tv, tokens,
+    tv = jax.jit(tr.init)(rng, tokens[:1])
+    timeit(lambda x, vv: tr.apply(vv, x), tokens, tv,
            label=f"transformer x{layers} (fused)")
 
     # -- full tower, both patch modes ------------------------------------------
@@ -88,8 +104,8 @@ def main(batch: int = 128, name: str = "ViT-B/16") -> None:
         variables = jax.jit(model.init)(
             rng, jnp.zeros((1, res, res, 3), jnp.float32),
             jnp.zeros((1, cfg.context_length), jnp.int32))
-        t = timeit(jax.jit(lambda vv, im: model.apply(vv, im, method=model.encode_image)),
-                   variables, images, label=f"full tower [{mode}]")
+        t = timeit(lambda im, vv: model.apply(vv, im, method=model.encode_image),
+                   images, variables, label=f"full tower [{mode}]")
         print(f"{'-> throughput [' + mode + ']':34s} {batch / t:8.0f} img/s", flush=True)
 
 

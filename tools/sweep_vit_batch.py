@@ -23,7 +23,7 @@ def sweep(model_name: str, batches, patch_embed: str = "conv") -> None:
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
     model, cfg = build_clip(model_name, dtype=dtype, patch_embed=patch_embed)
     rng = jax.random.PRNGKey(0)
-    variables = model.init(rng, jnp.zeros((1, cfg.image_resolution, cfg.image_resolution, 3), jnp.float32),
+    variables = jax.jit(model.init)(rng, jnp.zeros((1, cfg.image_resolution, cfg.image_resolution, 3), jnp.float32),
                            jnp.zeros((1, cfg.context_length), jnp.int32))
 
     @jax.jit
