@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-__all__ = ["mha_reference", "flash_attention", "flash_attention_ad", "multi_head_attention"]
+__all__ = ["mha_reference", "flash_attention", "flash_attention_ad",
+           "short_attention", "short_attention_ad", "multi_head_attention"]
 
 # Auto-selection policy for the fused kernel. MEASURED on v5e (round 2,
 # tools/bench_flash_gpt.py, steady-state): at every shape this workload
@@ -38,6 +39,16 @@ __all__ = ["mha_reference", "flash_attention", "flash_attention_ad", "multi_head
 # and remains oracle-tested.
 FLASH_ENABLED = False
 FLASH_MIN_KV = 1024
+
+# Short-sequence fused kernel (``short_attention``): ON by default for the
+# tower shapes. MEASURED motivation (round 3, tools/profile_vit_attn.py,
+# v5e, ViT-B/16 geometry b=128/T=197/H=12): the XLA reference materializes
+# the (B*H, T, T) score matrix in HBM and runs the softmax chain over it —
+# 1.21 ms/layer against a 0.08 ms FLOP ideal, i.e. HBM-bandwidth-bound at
+# ~96% of roofline. Keeping the whole (padded) sequence in VMEM removes
+# that traffic entirely. Auto-selected for tq == tk <= SHORT_MAX_T.
+SHORT_FUSED_ENABLED = True
+SHORT_MAX_T = 640  # covers ViT-L/14@336 (T=577); GPT ctx-1024 stays on XLA
 
 
 def mha_reference(q: jax.Array, k: jax.Array, v: jax.Array,
@@ -156,6 +167,192 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     return out[:, :tq0, :d0]
 
 
+def _short_group(bh: int, t: int, d: int) -> int:
+    """Heads per grid cell: the largest power of two <= 8 that divides the
+    head-batch AND keeps the live block set (q/k/v/o blocks double-buffered
+    + one (T, T) f32 score tile) around ~6MB, so grid-step overhead is
+    amortized without spilling VMEM (~16MB/core). VMEM tiles pad T and d up
+    to (8, 128) internally — budget against the padded sizes."""
+    tp_pad = -(-t // 8) * 8
+    d_pad = -(-d // 128) * 128
+    per_head = 4 * tp_pad * d_pad * 2      # q/k/v/o bf16 blocks
+    budget = 6 * 1024 * 1024 - 4 * tp_pad * (-(-t // 128) * 128)
+    g = min(8, max(1, budget // max(per_head, 1)))
+    while bh % g:
+        g //= 2
+    return int(g)
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "interpret"))
+def short_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
+                    causal: bool = False, interpret: bool = False) -> jax.Array:
+    """Fused attention for SHORT sequences: q/k/v (BH, T, hd) -> (BH, T, hd).
+
+    Unlike ``flash_attention`` (online softmax, blocked over keys), this
+    keeps the entire sequence of G heads resident in VMEM per grid cell and
+    does one exact single-pass softmax per head: the (T, T) score matrix
+    never touches HBM, the QK^T/PV dots run in the operand dtype (bf16 on
+    the towers) on the MXU with f32 accumulation, and grid overhead is
+    amortized over G heads. No explicit HBM padding: logical shapes pass
+    straight through and Mosaic tile-pads in VMEM (measured: explicit
+    jnp.pad copies of q/k/v cost more HBM traffic than the fusion saves).
+    Exact per-head math matches ``mha_reference`` (same f32 softmax, same
+    operand-dtype PV dot).
+
+    Tower shapes (reference hot loops: ViT T=197..577, text T=77 —
+    clip_adapter/save_features.py:31-35, clip_model/eval_clip.py) are all
+    HBM-bound on the materialized score matrix in the XLA form; this kernel
+    removes that traffic.
+    """
+    bh, t, d0 = q.shape
+    scale = 1.0 / (d0 ** 0.5)
+    g = _short_group(bh, t, d0)
+
+    def kernel(q_ref, k_ref, v_ref, o_ref):
+        bias = None
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+            bias = jnp.where(row >= col, 0.0, -1e30).astype(jnp.float32)
+        for i in range(g):  # static unroll over the head group
+            s = jnp.dot(q_ref[i], k_ref[i].T,
+                        preferred_element_type=jnp.float32) * scale
+            if bias is not None:
+                s = s + bias
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+            o = jnp.dot((p / l).astype(v_ref.dtype), v_ref[i],
+                        preferred_element_type=jnp.float32)
+            o_ref[i] = o.astype(o_ref.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(bh // g,),
+        in_specs=[pl.BlockSpec((g, t, d0), lambda b: (b, 0, 0))] * 3,
+        out_specs=pl.BlockSpec((g, t, d0), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, t, d0), q.dtype),
+        interpret=interpret or jax.default_backend() != "tpu",
+    )(q, k, v)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "causal", "interpret"))
+def short_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array, *,
+                           num_heads: int, causal: bool = False,
+                           interpret: bool = False) -> jax.Array:
+    """Fused short-sequence attention on the PACKED layout: q/k/v (B, T, D)
+    with D = num_heads * head_dim, heads contiguous along lanes — the
+    natural output of the qkv projections.
+
+    The (BH, T, hd) form of ``short_attention`` needs a physical
+    (B,T,H,hd)->(B,H,T,hd) transpose on each side of the kernel; XLA's
+    reference path gets those transposes for free by folding them into the
+    batched dot_general's dimension numbers, which cancels the fusion win
+    (measured round 3: tower A/B was a wash). Here the head split happens
+    INSIDE the kernel as static lane slices of the VMEM-resident (T, D)
+    tile, so the HBM layout is untouched end to end and the only traffic is
+    q/k/v in, o out.
+    """
+    b, t, dm = q.shape
+    hd = dm // num_heads
+    scale = 1.0 / (hd ** 0.5)
+    g = _short_group(b * num_heads, t, hd)
+    gb = max(1, g // num_heads) if g >= num_heads else 1
+    while b % gb:
+        gb //= 2
+
+    def kernel(q_ref, k_ref, v_ref, o_ref):
+        bias = None
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+            bias = jnp.where(row >= col, 0.0, -1e30).astype(jnp.float32)
+        for i in range(gb):  # static unroll: images x heads in this cell
+            for h in range(num_heads):
+                sl = slice(h * hd, (h + 1) * hd)
+                s = jnp.dot(q_ref[i, :, sl], k_ref[i, :, sl].T,
+                            preferred_element_type=jnp.float32) * scale
+                if bias is not None:
+                    s = s + bias
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s - m)
+                l = jnp.sum(p, axis=-1, keepdims=True)
+                o = jnp.dot((p / l).astype(v_ref.dtype), v_ref[i, :, sl],
+                            preferred_element_type=jnp.float32)
+                o_ref[i, :, sl] = o.astype(o_ref.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b // gb,),
+        in_specs=[pl.BlockSpec((gb, t, dm), lambda i: (i, 0, 0))] * 3,
+        out_specs=pl.BlockSpec((gb, t, dm), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, t, dm), q.dtype),
+        interpret=interpret or jax.default_backend() != "tpu",
+    )(q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def short_attention_ad(q: jax.Array, k: jax.Array, v: jax.Array,
+                       causal: bool = False) -> jax.Array:
+    """Differentiable wrapper: Pallas fused forward, XLA recompute backward
+    (same pattern as ``flash_attention_ad`` — prompt learning backprops
+    through the frozen towers, and T <= 640 keeps the rematerialized scores
+    cheap)."""
+    return short_attention(q, k, v, causal=causal)
+
+
+def _short_ad_fwd(q, k, v, causal):
+    return short_attention(q, k, v, causal=causal), (q, k, v)
+
+
+def _short_ad_bwd(causal, residuals, g):
+    q, k, v = residuals
+
+    def ref(q, k, v):
+        mask = _causal_bias(q.shape[-2], k.shape[-2]) if causal else None
+        return mha_reference(q, k, v, mask=mask)
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    return vjp(g)
+
+
+short_attention_ad.defvjp(_short_ad_fwd, _short_ad_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def short_attention_packed_ad(q: jax.Array, k: jax.Array, v: jax.Array,
+                              num_heads: int, causal: bool = False) -> jax.Array:
+    """Differentiable packed-layout wrapper: Pallas fused forward, XLA
+    recompute backward (head split folded into the dot_generals)."""
+    return short_attention_packed(q, k, v, num_heads=num_heads, causal=causal)
+
+
+def _short_packed_fwd(q, k, v, num_heads, causal):
+    out = short_attention_packed(q, k, v, num_heads=num_heads, causal=causal)
+    return out, (q, k, v)
+
+
+def _short_packed_bwd(num_heads, causal, residuals, g):
+    q, k, v = residuals
+
+    def ref(q, k, v):
+        b, t, dm = q.shape
+        hd = dm // num_heads
+
+        def split(x):
+            return x.reshape(b, t, num_heads, hd).transpose(0, 2, 1, 3)
+
+        mask = _causal_bias(t, t) if causal else None
+        o = mha_reference(split(q), split(k), split(v), mask=mask)
+        return o.transpose(0, 2, 1, 3).reshape(b, t, dm)
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    return vjp(g)
+
+
+short_attention_packed_ad.defvjp(_short_packed_fwd, _short_packed_bwd)
+
+
 def _causal_bias(tq: int, tk: int, q_offset: int = 0) -> jax.Array:
     """Additive (tq, tk) causal mask with the query block at ``q_offset``."""
     q_pos = q_offset + jnp.arange(tq)[:, None]
@@ -211,6 +408,14 @@ def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     b, tq, dm = q.shape
     tk = k.shape[1]
     hd = dm // num_heads
+
+    if (use_flash is None and SHORT_FUSED_ENABLED and mask is None
+            and q_offset == 0 and tq == tk and tk <= SHORT_MAX_T
+            and dm == num_heads * hd
+            and jax.default_backend() == "tpu"):
+        # packed layout: heads are split INSIDE the kernel (lane slices), so
+        # no physical (B,T,H,hd)->(B,H,T,hd) transposes bracket the call
+        return short_attention_packed_ad(q, k, v, num_heads, causal)
 
     def split(x, t):
         return x.reshape(b, t, num_heads, hd).transpose(0, 2, 1, 3)

@@ -84,6 +84,53 @@ class TestFlashAttention:
         np.testing.assert_allclose(np.asarray(out[:, :, :hd]), np.asarray(o0), atol=2e-5, rtol=2e-5)
 
 
+class TestShortAttention:
+    """VMEM-resident fused kernel for tower sequences (T <= 640)."""
+
+    @pytest.mark.parametrize("bh,t,hd", [(24, 197, 64), (6, 77, 64),
+                                         (3, 577, 64), (8, 128, 96),
+                                         (7, 50, 64)])
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_matches_reference(self, bh, t, hd, causal):
+        q, k, v = _rand(0, bh, t, hd), _rand(1, bh, t, hd), _rand(2, bh, t, hd)
+        mask = att._causal_bias(t, t) if causal else None
+        ref = att.mha_reference(q, k, v, mask=mask)
+        out = att.short_attention(q, k, v, causal=causal, interpret=True)
+        # rounding order differs from XLA's chain (lane-padded dots); both
+        # are ~4e-3 from an f64 oracle, 5e-4 apart from each other at most
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-4, rtol=5e-4)
+
+    @pytest.mark.parametrize("b,t,h,hd", [(4, 197, 12, 64), (3, 77, 8, 64),
+                                          (5, 197, 12, 64)])
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_packed_matches_mha(self, b, t, h, hd, causal):
+        q, k, v = (_rand(i, b, t, h * hd) for i in range(3))
+        ref = att.multi_head_attention(q, k, v, num_heads=h, causal=causal,
+                                       use_flash=False)
+        out = att.short_attention_packed(q, k, v, num_heads=h, causal=causal,
+                                         interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-3, rtol=1e-3)
+
+    def test_packed_grads_match_reference(self):
+        b, t, h, hd = 2, 50, 4, 32
+        q, k, v = (_rand(i, b, t, h * hd) for i in range(3))
+
+        def fused(q, k, v):
+            return jnp.sum(att.short_attention_packed_ad(q, k, v, h, True) ** 2)
+
+        def ref(q, k, v):
+            return jnp.sum(att.multi_head_attention(
+                q, k, v, num_heads=h, causal=True, use_flash=False) ** 2)
+
+        gf = jax.grad(fused, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=5e-4, rtol=5e-4)
+
+
 class TestCacheAttention:
     @pytest.mark.parametrize(
         "nt,nc,d,c,b",

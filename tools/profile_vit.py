@@ -81,12 +81,21 @@ def main(batch: int = 128, name: str = "ViT-B/16") -> None:
                label=f"patch_embed[{mode}]")
 
     # -- one block, split -------------------------------------------------------
+    from summer_clip_tpu.models.clip.modeling import MLP, Attention
+
     blk = ResidualAttentionBlock(cfg.vision_heads, dtype=dtype)
     bv = jax.jit(blk.init)(rng, tokens[:1])
     t_block = timeit(lambda x, vv: blk.apply(vv, x), tokens, bv,
                      label="one block (attn+mlp)")
     print(f"{'blocks x' + str(layers) + ' (extrapolated)':34s} "
           f"{t_block * layers * 1e3:8.2f} ms", flush=True)
+
+    attn = Attention(cfg.vision_heads, dtype=dtype)
+    av = jax.jit(attn.init)(rng, tokens[:1])
+    timeit(lambda x, vv: attn.apply(vv, x), tokens, av, label="  attn only (ln excluded)")
+    mlp = MLP(dtype=dtype)
+    mv = jax.jit(mlp.init)(rng, tokens[:1])
+    timeit(lambda x, vv: mlp.apply(vv, x), tokens, mv, label="  mlp only (ln excluded)")
 
     ln = LayerNormF32()
     lv = jax.jit(ln.init)(rng, tokens[:1])
