@@ -26,9 +26,87 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from summer_clip_tpu.ops.attention import multi_head_attention
+from summer_clip_tpu.ops import block_kernels as bk
+from summer_clip_tpu.ops.attention import SHORT_MAX_T, multi_head_attention
 
 Dtype = tp.Any
+
+# Tower-block fusion policy. "block": both halves of ResidualAttentionBlock
+# run as single Pallas kernels (ops/block_kernels) with weights VMEM-resident
+# — removes every intra-block HBM round-trip (q/k/v, scores, the (T, 4D) MLP
+# hidden). "attn": only the attention core is fused (ops/attention packed
+# kernel, via multi_head_attention auto-select). "xla": no Pallas.
+# TPU-only either way; CPU always takes the plain module math.
+# Default "attn" until the block kernels get their on-chip validation run
+# (backend outage at commit time); flip to "block" with measurements.
+FUSED_BLOCK_MODE = "attn"
+# test hook: exercise the fused path off-TPU (kernels run in interpret mode)
+FUSED_BLOCK_FORCE = False
+
+
+def _fuse_base_ok(d: int, t: int, num_heads: int) -> bool:
+    return (FUSED_BLOCK_MODE == "block"
+            and (jax.default_backend() == "tpu" or FUSED_BLOCK_FORCE)
+            and d % num_heads == 0
+            and t <= SHORT_MAX_T)
+
+
+def _fuse_attn_ok(d: int, t: int, num_heads: int) -> bool:
+    # attn weights 4*d^2 bf16 must stay VMEM-resident (ViT-L d=1024: 8.4MB ok)
+    return _fuse_base_ok(d, t, num_heads) and 8 * d * d <= bk.FUSED_MLP_MAX_WEIGHT_BYTES
+
+
+def _fuse_mlp_ok(d: int, t: int, num_heads: int) -> bool:
+    # MLP weights 2*d*4d bf16: ViT-L (16.8MB) exceeds the budget and keeps
+    # the module path for its MLP half only
+    return _fuse_base_ok(d, t, num_heads) and 16 * d * d <= bk.FUSED_MLP_MAX_WEIGHT_BYTES
+
+
+class _DenseParams(nn.Module):
+    """Parameter-holder with nn.Dense's exact tree (kernel/bias, f32) for
+    blocks whose matmuls run inside a fused Pallas kernel instead of through
+    the module's own ``__call__``. Keeps checkpoints/convert.py layouts
+    identical between the fused and unfused paths."""
+
+    din: int
+    dout: int
+
+    def setup(self):
+        self.kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                 (self.din, self.dout))
+        self.bias = self.param("bias", nn.initializers.zeros_init(),
+                               (self.dout,))
+
+
+class _LNParams(nn.Module):
+    """Parameter-holder matching LayerNormF32's tree (scale/bias, f32)."""
+
+    d: int
+
+    def setup(self):
+        self.scale = self.param("scale", nn.initializers.ones, (self.d,),
+                                jnp.float32)
+        self.bias = self.param("bias", nn.initializers.zeros, (self.d,),
+                               jnp.float32)
+
+
+class _AttnParams(nn.Module):
+    d: int
+
+    def setup(self):
+        self.q_proj = _DenseParams(self.d, self.d)
+        self.k_proj = _DenseParams(self.d, self.d)
+        self.v_proj = _DenseParams(self.d, self.d)
+        self.out_proj = _DenseParams(self.d, self.d)
+
+
+class _MLPParams(nn.Module):
+    d: int
+    ratio: int = 4
+
+    def setup(self):
+        self.c_fc = _DenseParams(self.d, self.d * self.ratio)
+        self.c_proj = _DenseParams(self.d * self.ratio, self.d)
 
 
 def quick_gelu(x: jax.Array) -> jax.Array:
@@ -92,9 +170,32 @@ class ResidualAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, causal: bool = False) -> jax.Array:
-        x = x + Attention(self.num_heads, dtype=self.dtype, name="attn")(
-            LayerNormF32(name="ln_1")(x), causal=causal
-        )
+        d, t = x.shape[-1], x.shape[-2]
+        # whole-half Pallas kernels where the weights fit VMEM: q/k/v/scores
+        # and the (T, 4D) MLP hidden never round-trip HBM. Same param tree
+        # as the module path (holders), same math (oracle-tested). Each half
+        # gates independently (ViT-L: fused attn, module MLP).
+        if _fuse_attn_ok(d, t, self.num_heads):
+            ln1 = _LNParams(d, name="ln_1")
+            attn = _AttnParams(d, name="attn")
+            x = bk.fused_ln_attn_ad(
+                x, ln1.scale, ln1.bias,
+                attn.q_proj.kernel, attn.q_proj.bias,
+                attn.k_proj.kernel, attn.k_proj.bias,
+                attn.v_proj.kernel, attn.v_proj.bias,
+                attn.out_proj.kernel, attn.out_proj.bias,
+                self.num_heads, causal)
+        else:
+            x = x + Attention(self.num_heads, dtype=self.dtype, name="attn")(
+                LayerNormF32(name="ln_1")(x), causal=causal
+            )
+        if _fuse_mlp_ok(d, t, self.num_heads):
+            ln2 = _LNParams(d, name="ln_2")
+            mlp = _MLPParams(d, name="mlp")
+            return bk.fused_ln_mlp_ad(
+                x, ln2.scale, ln2.bias,
+                mlp.c_fc.kernel, mlp.c_fc.bias,
+                mlp.c_proj.kernel, mlp.c_proj.bias)
         x = x + MLP(dtype=self.dtype, name="mlp")(LayerNormF32(name="ln_2")(x))
         return x
 

@@ -131,6 +131,88 @@ class TestShortAttention:
                                        atol=5e-4, rtol=5e-4)
 
 
+class TestFusedBlockKernels:
+    """Whole-block-half kernels (ops/block_kernels) vs their dense oracles.
+
+    Small dims: interpret mode executes element-wise and the real geometry
+    (768x3072 GEMMs) takes minutes on CPU; the TPU path is exercised by the
+    benches and the same code path modulo pallas interpret."""
+
+    def _mlp_args(self, key, b, t, d):
+        r = np.random.RandomState(key)
+        j = lambda a: jnp.asarray(a, jnp.float32)
+        return (j(r.randn(b, t, d)), j(r.rand(d)), j(r.randn(d) * .1),
+                j(r.randn(d, 4 * d) * .05), j(r.randn(4 * d) * .1),
+                j(r.randn(4 * d, d) * .05), j(r.randn(d) * .1))
+
+    @pytest.mark.parametrize("b,t,d", [(3, 50, 64), (2, 77, 128)])
+    def test_fused_ln_mlp_matches_reference(self, b, t, d):
+        from summer_clip_tpu.ops import block_kernels as bk
+        args = self._mlp_args(0, b, t, d)
+        ref = bk.ln_mlp_reference(*args)
+        out = bk.fused_ln_mlp(*args, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-5, rtol=5e-5)
+
+    def _attn_args(self, key, b, t, d):
+        r = np.random.RandomState(key)
+        j = lambda a: jnp.asarray(a, jnp.float32)
+        ws = [j(r.randn(d, d) * .08) for _ in range(4)]
+        bs = [j(r.randn(d) * .05) for _ in range(4)]
+        return [j(r.randn(b, t, d)), j(r.rand(d)), j(r.randn(d) * .1),
+                ws[0], bs[0], ws[1], bs[1], ws[2], bs[2], ws[3], bs[3]]
+
+    @pytest.mark.parametrize("b,t,d,h", [(3, 50, 64, 4), (2, 77, 128, 8)])
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_fused_ln_attn_matches_reference(self, b, t, d, h, causal):
+        from summer_clip_tpu.ops import block_kernels as bk
+        args = self._attn_args(1, b, t, d)
+        ref = bk.ln_attn_reference(*args, num_heads=h, causal=causal)
+        out = bk.fused_ln_attn(*args, num_heads=h, causal=causal,
+                               interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-5, rtol=5e-5)
+
+    def test_fused_grads_match_reference(self):
+        from summer_clip_tpu.ops import block_kernels as bk
+        args = self._mlp_args(2, 2, 40, 64)
+        gf = jax.grad(lambda x: jnp.sum(bk.fused_ln_mlp_ad(x, *args[1:]) ** 2))(args[0])
+        gr = jax.grad(lambda x: jnp.sum(bk.ln_mlp_reference(x, *args[1:]) ** 2))(args[0])
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   atol=5e-4, rtol=5e-4)
+        aargs = self._attn_args(3, 2, 40, 64)
+        gf = jax.grad(lambda x: jnp.sum(
+            bk.fused_ln_attn_ad(x, *aargs[1:], 4, True) ** 2))(aargs[0])
+        gr = jax.grad(lambda x: jnp.sum(
+            bk.ln_attn_reference(x, *aargs[1:], num_heads=4, causal=True) ** 2))(aargs[0])
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   atol=5e-4, rtol=5e-4)
+
+    def test_fused_block_path_matches_module_path(self):
+        """ResidualAttentionBlock fused path: identical param tree, identical
+        init values, bit-identical f32 outputs vs the module path."""
+        import jax.tree_util as jtu
+
+        import summer_clip_tpu.models.clip.modeling as M
+
+        blk = M.ResidualAttentionBlock(num_heads=4)
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 50, 64), jnp.float32)
+        v_plain = jax.jit(blk.init)(jax.random.PRNGKey(0), x)
+        out_plain = blk.apply(v_plain, x, True)
+        old = M.FUSED_BLOCK_FORCE
+        M.FUSED_BLOCK_FORCE = True
+        try:
+            v_fused = jax.jit(blk.init)(jax.random.PRNGKey(0), x)
+            assert (jtu.tree_structure(v_plain) == jtu.tree_structure(v_fused))
+            for a, b in zip(jtu.tree_leaves(v_plain), jtu.tree_leaves(v_fused)):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            out_fused = blk.apply(v_plain, x, True)
+        finally:
+            M.FUSED_BLOCK_FORCE = old
+        np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_plain),
+                                   atol=5e-5, rtol=5e-5)
+
+
 class TestCacheAttention:
     @pytest.mark.parametrize(
         "nt,nc,d,c,b",
