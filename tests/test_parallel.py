@@ -425,6 +425,36 @@ class TestMeshFeatureExtraction:
         np.testing.assert_array_equal(labels_m, labels_1)
         np.testing.assert_allclose(feats_m, feats_1, atol=1e-4, rtol=1e-4)
 
+    def test_dp_extraction_with_fused_block_kernels(self, devices8):
+        """The composition a TPU pod would run: DP mesh extraction with the
+        fused Pallas block halves inside each shard (interpret mode off-TPU).
+        Must match the single-device module path, not just compile."""
+        import summer_clip_tpu.models.clip.modeling as M
+        from summer_clip_tpu.apps.common import ClipSession, extract_image_features
+        from summer_clip_tpu.data.datasets import SyntheticDataset, SyntheticBatcher
+        from summer_clip_tpu.models.clip import init_clip
+        from summer_clip_tpu.parallel import create_mesh
+
+        model, cfg, variables = init_clip("test-vit")
+        mesh = create_mesh(data=8, model=1, devices=devices8)
+        ds = SyntheticDataset(num_classes=2, per_class=8, image_size=cfg.image_resolution)
+        batcher = lambda: SyntheticBatcher(ds.test, batch_size=8,
+                                           image_size=cfg.image_resolution)
+
+        session_one = ClipSession(model, cfg, variables, mesh=None)
+        feats_1, labels_1, _ = extract_image_features(session_one, batcher())
+
+        old = M.FUSED_BLOCK_FORCE
+        M.FUSED_BLOCK_FORCE = True
+        try:
+            session_mesh = ClipSession(model, cfg, variables, mesh=mesh)
+            feats_m, labels_m, _ = extract_image_features(session_mesh, batcher())
+        finally:
+            M.FUSED_BLOCK_FORCE = old
+
+        np.testing.assert_array_equal(labels_m, labels_1)
+        np.testing.assert_allclose(feats_m, feats_1, atol=1e-4, rtol=1e-4)
+
 
 class TestFSDP:
     """ZeRO-3 placement (parallel/fsdp.py): spec choices, shard sizes, and
