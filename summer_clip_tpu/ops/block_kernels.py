@@ -40,6 +40,21 @@ def quick_gelu(x: jax.Array) -> jax.Array:
     return x * jax.nn.sigmoid(1.702 * x)
 
 
+def _seq_group(b: int, t: int, d: int, weight_bytes: int,
+               act_mult: int) -> int:
+    """Sequences per grid cell: largest power of two <= 8 dividing the batch
+    whose activation block set (x/o double-buffered + intermediates,
+    ~act_mult * t * d bf16 each) fits beside the resident weights in a
+    ~13MB VMEM budget. Small-T towers (text, 77 tokens) need gb > 1 to
+    amortize grid-step overhead over enough MXU work."""
+    per_seq = act_mult * t * d * 2
+    budget = 13 * 1024 * 1024 - weight_bytes
+    g = min(8, max(1, budget // max(per_seq, 1)))
+    while b % g:
+        g //= 2
+    return int(g)
+
+
 def ln_mlp_reference(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
                      w1: jax.Array, b1: jax.Array, w2: jax.Array,
                      b2: jax.Array, eps: float = 1e-5) -> jax.Array:
@@ -71,27 +86,30 @@ def fused_ln_mlp(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
     b, t, d = x.shape
     h_dim = w1.shape[1]
     dtype = x.dtype
+    # x/o double-buffered + the (t, h_dim) hidden ~= (4 + h_dim/d) * t * d
+    gb = _seq_group(b, t, d, 2 * d * h_dim * 2, 4 + h_dim // d)
 
     def kernel(x_ref, s_ref, bia_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
-        xb = x_ref[0]
-        x32 = xb.astype(jnp.float32)
-        mean = jnp.mean(x32, axis=-1, keepdims=True)
-        var = jnp.var(x32, axis=-1, keepdims=True)
-        y = ((x32 - mean) * jax.lax.rsqrt(var + eps) * s_ref[:] + bia_ref[:]
-             ).astype(dtype)
-        h = jnp.dot(y, w1_ref[:], preferred_element_type=jnp.float32
-                    ).astype(dtype) + b1_ref[:]
-        # dtype-pinned constant: Mosaic rejects the weak-f32 * bf16 broadcast
-        h = h * jax.nn.sigmoid(jnp.asarray(1.702, dtype) * h)
-        out = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32
-                      ).astype(dtype) + b2_ref[:]
-        o_ref[0] = xb + out
+        for i in range(gb):  # static unroll over the sequence group
+            xb = x_ref[i]
+            x32 = xb.astype(jnp.float32)
+            mean = jnp.mean(x32, axis=-1, keepdims=True)
+            var = jnp.var(x32, axis=-1, keepdims=True)
+            y = ((x32 - mean) * jax.lax.rsqrt(var + eps) * s_ref[:] + bia_ref[:]
+                 ).astype(dtype)
+            h = jnp.dot(y, w1_ref[:], preferred_element_type=jnp.float32
+                        ).astype(dtype) + b1_ref[:]
+            # dtype-pinned constant: Mosaic rejects weak-f32 * bf16 broadcasts
+            h = h * jax.nn.sigmoid(jnp.asarray(1.702, dtype) * h)
+            out = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32
+                          ).astype(dtype) + b2_ref[:]
+            o_ref[i] = xb + out
 
     return pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b // gb,),
         in_specs=[
-            pl.BlockSpec((1, t, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((gb, t, d), lambda i: (i, 0, 0)),
             pl.BlockSpec((d,), lambda i: (0,)),
             pl.BlockSpec((d,), lambda i: (0,)),
             pl.BlockSpec((d, h_dim), lambda i: (0, 0)),
@@ -99,7 +117,7 @@ def fused_ln_mlp(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
             pl.BlockSpec((h_dim, d), lambda i: (0, 0)),
             pl.BlockSpec((d,), lambda i: (0,)),
         ],
-        out_specs=pl.BlockSpec((1, t, d), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((gb, t, d), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, t, d), dtype),
         interpret=interpret or jax.default_backend() != "tpu",
     )(x, ln_scale, ln_bias, w1.astype(dtype), b1.astype(dtype),
@@ -163,48 +181,51 @@ def fused_ln_attn(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
     hd = d // num_heads
     scale = 1.0 / (hd ** 0.5)
     dtype = x.dtype
+    # x/o double-buffered + y/q/k/v/attn-out live intermediates
+    gb = _seq_group(b, t, d, 4 * d * d * 2, 9)
 
     def kernel(x_ref, s_ref, bia_ref, wq_ref, bq_ref, wk_ref, bk_ref,
                wv_ref, bv_ref, wo_ref, bo_ref, o_ref):
-        xb = x_ref[0]
-        y = _ln_f32(xb, s_ref[:], bia_ref[:], eps)
-        q = jnp.dot(y, wq_ref[:], preferred_element_type=jnp.float32
-                    ).astype(dtype) + bq_ref[:]
-        k = jnp.dot(y, wk_ref[:], preferred_element_type=jnp.float32
-                    ).astype(dtype) + bk_ref[:]
-        v = jnp.dot(y, wv_ref[:], preferred_element_type=jnp.float32
-                    ).astype(dtype) + bv_ref[:]
         bias = None
         if causal:
             row = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
             col = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
             bias = jnp.where(row >= col, 0.0, -1e30).astype(jnp.float32)
-        outs = []
-        for h in range(num_heads):
-            sl = slice(h * hd, (h + 1) * hd)
-            s = jnp.dot(q[:, sl], k[:, sl].T,
-                        preferred_element_type=jnp.float32) * scale
-            if bias is not None:
-                s = s + bias
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m)
-            l = jnp.sum(p, axis=-1, keepdims=True)
-            outs.append(jnp.dot((p / l).astype(dtype), v[:, sl],
-                                preferred_element_type=jnp.float32
-                                ).astype(dtype))
-        o = jnp.concatenate(outs, axis=-1)
-        proj = jnp.dot(o, wo_ref[:], preferred_element_type=jnp.float32
-                       ).astype(dtype) + bo_ref[:]
-        o_ref[0] = xb + proj
+        for i in range(gb):  # static unroll over the sequence group
+            xb = x_ref[i]
+            y = _ln_f32(xb, s_ref[:], bia_ref[:], eps)
+            q = jnp.dot(y, wq_ref[:], preferred_element_type=jnp.float32
+                        ).astype(dtype) + bq_ref[:]
+            k = jnp.dot(y, wk_ref[:], preferred_element_type=jnp.float32
+                        ).astype(dtype) + bk_ref[:]
+            v = jnp.dot(y, wv_ref[:], preferred_element_type=jnp.float32
+                        ).astype(dtype) + bv_ref[:]
+            outs = []
+            for h in range(num_heads):
+                sl = slice(h * hd, (h + 1) * hd)
+                s = jnp.dot(q[:, sl], k[:, sl].T,
+                            preferred_element_type=jnp.float32) * scale
+                if bias is not None:
+                    s = s + bias
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s - m)
+                l = jnp.sum(p, axis=-1, keepdims=True)
+                outs.append(jnp.dot((p / l).astype(dtype), v[:, sl],
+                                    preferred_element_type=jnp.float32
+                                    ).astype(dtype))
+            o = jnp.concatenate(outs, axis=-1)
+            proj = jnp.dot(o, wo_ref[:], preferred_element_type=jnp.float32
+                           ).astype(dtype) + bo_ref[:]
+            o_ref[i] = xb + proj
 
     mat = pl.BlockSpec((d, d), lambda i: (0, 0))
     vec = pl.BlockSpec((d,), lambda i: (0,))
     return pl.pallas_call(
         kernel,
-        grid=(b,),
-        in_specs=[pl.BlockSpec((1, t, d), lambda i: (i, 0, 0)),
+        grid=(b // gb,),
+        in_specs=[pl.BlockSpec((gb, t, d), lambda i: (i, 0, 0)),
                   vec, vec, mat, vec, mat, vec, mat, vec, mat, vec],
-        out_specs=pl.BlockSpec((1, t, d), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((gb, t, d), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, t, d), dtype),
         interpret=interpret or jax.default_backend() != "tpu",
     )(x, ln_scale, ln_bias, wq.astype(dtype), bq.astype(dtype),

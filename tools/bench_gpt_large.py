@@ -142,6 +142,28 @@ def bench_decode(name: str = "gpt2-large", max_new: int = 128) -> None:
           f"{floor_ms:.1f} ms param-read floor), {agg:,.0f} tok/s at B=8",
           flush=True)
 
+    # weight-only compression: decode is parameter-read-bound, so bf16
+    # params halve and int8 quarters the per-token HBM floor (engine/quant)
+    import jax.numpy as jnp
+
+    from summer_clip_tpu.engine import quant as Q
+
+    model_bf16 = gpt2_mod.ClipGPT(cfg, clip_vocab_size=49408, clip_emb_dim=512,
+                                  emb_hid_dim=1024, head_hid_dim=1024,
+                                  dtype=jnp.bfloat16)
+    for vname, vvars, kw in (
+            ("bf16 params", {"params": Q.cast_params(variables["params"])}, {}),
+            ("int8 weights", {"params": Q.quantize_tree(variables["params"])},
+             {"quant_int8": True})):
+        generate_device(model_bf16, vvars, prompt, max_new_tokens=max_new,
+                        rng=jax.random.PRNGKey(1), **kw)
+        t0 = time.perf_counter()
+        generate_device(model_bf16, vvars, prompt, max_new_tokens=max_new,
+                        rng=jax.random.PRNGKey(1), **kw)
+        tps = max_new / (time.perf_counter() - t0)
+        print(f"[decode] {name} {vname}: {tps:,.1f} tok/s single "
+              f"({1e3 / tps:.2f} ms/tok)", flush=True)
+
 
 def main() -> None:
     import jax
