@@ -106,7 +106,8 @@ class ClipGPTTrainer(BaseTrainer):
             clip_emb_dim=int(mcfg.clip_emb_dim),
             emb_hid_dim=int(mcfg.adapters.emb_hid_dim),
             head_hid_dim=mcfg.adapters.get("head_hid_dim"),
-            dtype=dtype, remat=bool(tcfg.get("remat", False)))
+            dtype=dtype, remat=bool(tcfg.get("remat", False)),
+            remat_policy=tcfg.get("remat_policy"))
         self.params = self.model.init(self.rng.next(),
                                       jnp.zeros((1, 8), jnp.int32))["params"]
         # trainable subset mask

@@ -144,6 +144,12 @@ class GPT2Core(nn.Module):
     config: GPT2Config
     dtype: Dtype = jnp.float32
     remat: bool = False
+    # jax.checkpoint policy name for the per-block remat (None = recompute
+    # everything). "dots": keep matmul outputs resident and recompute only
+    # the cheap elementwise/LN chain — spends more HBM to cut the backward's
+    # recompute FLOPs, worthwhile when activation memory isn't the binding
+    # constraint (e.g. adapter-only gpt2-large at b=8).
+    remat_policy: tp.Optional[str] = None
 
     @nn.compact
     def __call__(self, inputs_embeds: jax.Array, position_offset: tp.Union[int, jax.Array] = 0,
@@ -162,7 +168,9 @@ class GPT2Core(nn.Module):
         positions = jnp.clip(position_offset + jnp.arange(t), 0, cfg.n_positions - 1)
         x = inputs_embeds.astype(self.dtype) + jnp.take(wpe, positions, axis=0).astype(self.dtype)
         new_caches = [] if cache is not None else None
-        block_cls = (nn.remat(GPT2Block, prevent_cse=False)
+        policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                  if self.remat_policy == "dots" else None)
+        block_cls = (nn.remat(GPT2Block, prevent_cse=False, policy=policy)
                      if (self.remat and cache is None) else GPT2Block)
         for i in range(cfg.n_layer):
             layer_cache = cache[i] if cache is not None else None
@@ -179,12 +187,14 @@ class GPT2(nn.Module):
     config: GPT2Config
     dtype: Dtype = jnp.float32
     remat: bool = False
+    remat_policy: tp.Optional[str] = None
 
     def setup(self):
         self.wte = nn.Embed(self.config.vocab_size, self.config.n_embd,
                             embedding_init=nn.initializers.normal(0.02),
                             param_dtype=jnp.float32, name="wte")
-        self.core = GPT2Core(self.config, dtype=self.dtype, remat=self.remat, name="core")
+        self.core = GPT2Core(self.config, dtype=self.dtype, remat=self.remat,
+                             remat_policy=self.remat_policy, name="core")
 
     def init_cache(self, batch: int, max_len: int) -> tp.List[dict]:
         cfg = self.config
@@ -244,6 +254,7 @@ class ClipGPT(nn.Module):
     head_hid_dim: tp.Optional[int] = 1024
     dtype: Dtype = jnp.float32
     remat: bool = False
+    remat_policy: tp.Optional[str] = None
 
     def setup(self):
         self.clip_emb = self.param("clip_emb", nn.initializers.normal(0.02),
@@ -255,7 +266,8 @@ class ClipGPT(nn.Module):
                                         dtype=self.dtype, name="adapter_head")
         else:
             self.adapter_head = self.adapter_emb
-        self.core = GPT2Core(self.config, dtype=self.dtype, remat=self.remat, name="core")
+        self.core = GPT2Core(self.config, dtype=self.dtype, remat=self.remat,
+                             remat_policy=self.remat_policy, name="core")
 
     def embed(self, input_ids: jax.Array) -> jax.Array:
         """CLIP-space token embeddings (pre-adapter)."""

@@ -70,6 +70,17 @@ class TestGPT2:
                                                     atol=1e-5, rtol=1e-4),
             g_p, g_r)
 
+        # remat_policy="dots" (keep matmul outputs, recompute the rest) is
+        # the same math again — only the backward's HBM/FLOP trade moves
+        dots = G.GPT2(cfg, remat=True, remat_policy="dots")
+        np.testing.assert_allclose(np.asarray(dots.apply(variables, ids)["logits"]),
+                                   np.asarray(out_p), atol=1e-5)
+        g_d = jax.grad(loss(dots))(variables["params"])
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                    atol=1e-5, rtol=1e-4),
+            g_p, g_d)
+
     def test_causality(self, tiny_gpt):
         model, cfg, variables = tiny_gpt
         ids = jax.random.randint(jax.random.PRNGKey(3), (1, 8), 0, cfg.vocab_size)

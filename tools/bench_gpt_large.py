@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import sys
 import time
+import typing as tp
 from pathlib import Path
 
 import numpy as np
@@ -28,7 +29,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def bench_train(name: str = "gpt2-large", batch: int = 8, ctx: int = 1024,
-                remat: bool = True) -> None:
+                remat: bool = True,
+                remat_policy: tp.Optional[str] = None) -> None:
     import jax
     import jax.numpy as jnp
     import optax
@@ -39,7 +41,8 @@ def bench_train(name: str = "gpt2-large", batch: int = 8, ctx: int = 1024,
     cfg = gpt2_mod.GPT2_CONFIGS[name]
     model = gpt2_mod.ClipGPT(cfg, clip_vocab_size=49408, clip_emb_dim=512,
                              emb_hid_dim=1024, head_hid_dim=1024,
-                             dtype=jnp.bfloat16, remat=remat)
+                             dtype=jnp.bfloat16, remat=remat,
+                             remat_policy=remat_policy)
     ids = jnp.asarray(np.random.RandomState(0).randint(
         1, 49408, (batch, ctx)), jnp.int32)
     t0 = time.perf_counter()
@@ -98,7 +101,8 @@ def bench_train(name: str = "gpt2-large", batch: int = 8, ctx: int = 1024,
         best = min(best, (time.perf_counter() - t0) / iters)
     toks = batch * ctx / best
     msg = (f"[train] {name} ClipGPT adapter-only (b={batch}, ctx={ctx}, "
-           f"remat={remat}): {best * 1e3:.1f} ms/step = {toks:,.0f} tokens/s")
+           f"remat={remat}, policy={remat_policy}): "
+           f"{best * 1e3:.1f} ms/step = {toks:,.0f} tokens/s")
     if flops:
         msg += f" | {flops / best / 1e12:.1f} TFLOP/s ({flops / best / 197e12:.0%} of bf16 peak)"
     if hbm:
@@ -176,6 +180,7 @@ def main() -> None:
     batch = int(args[0]) if args else 8
     ctx = int(args[1]) if len(args) > 1 else 1024
     bench_train(batch=batch, ctx=ctx)
+    bench_train(batch=batch, ctx=ctx, remat_policy="dots")
     bench_decode()
 
 
