@@ -45,21 +45,26 @@ FUSED_BLOCK_FORCE = False
 
 
 def _fuse_base_ok(d: int, t: int, num_heads: int) -> bool:
-    return (FUSED_BLOCK_MODE == "block"
+    # FORCE (the test hook) implies block mode: tests exercise the fused
+    # path off-TPU regardless of the production default
+    return ((FUSED_BLOCK_MODE == "block" or FUSED_BLOCK_FORCE)
             and (jax.default_backend() == "tpu" or FUSED_BLOCK_FORCE)
             and d % num_heads == 0
             and t <= SHORT_MAX_T)
 
 
-def _fuse_attn_ok(d: int, t: int, num_heads: int) -> bool:
-    # attn weights 4*d^2 bf16 must stay VMEM-resident (ViT-L d=1024: 8.4MB ok)
-    return _fuse_base_ok(d, t, num_heads) and 8 * d * d <= bk.FUSED_MLP_MAX_WEIGHT_BYTES
+def _fuse_attn_ok(d: int, t: int, num_heads: int, itemsize: int) -> bool:
+    # attn weights 4*d^2 in the COMPUTE dtype must stay VMEM-resident
+    # (bf16 ViT-L d=1024: 8.4MB ok; an f32 tower doubles every footprint)
+    return (_fuse_base_ok(d, t, num_heads)
+            and 4 * d * d * itemsize <= bk.FUSED_MLP_MAX_WEIGHT_BYTES)
 
 
-def _fuse_mlp_ok(d: int, t: int, num_heads: int) -> bool:
-    # MLP weights 2*d*4d bf16: ViT-L (16.8MB) exceeds the budget and keeps
+def _fuse_mlp_ok(d: int, t: int, num_heads: int, itemsize: int) -> bool:
+    # MLP weights 2*d*4d: bf16 ViT-L (16.8MB) exceeds the budget and keeps
     # the module path for its MLP half only
-    return _fuse_base_ok(d, t, num_heads) and 16 * d * d <= bk.FUSED_MLP_MAX_WEIGHT_BYTES
+    return (_fuse_base_ok(d, t, num_heads)
+            and 8 * d * d * itemsize <= bk.FUSED_MLP_MAX_WEIGHT_BYTES)
 
 
 class _DenseParams(nn.Module):
@@ -109,9 +114,9 @@ class _MLPParams(nn.Module):
         self.c_proj = _DenseParams(self.d * self.ratio, self.d)
 
 
-def quick_gelu(x: jax.Array) -> jax.Array:
-    """OpenAI CLIP's activation: x * sigmoid(1.702 x)."""
-    return x * jax.nn.sigmoid(1.702 * x)
+# OpenAI CLIP's activation — single definition lives beside the fused
+# kernel that re-implements it in-kernel (ops/block_kernels.quick_gelu)
+quick_gelu = bk.quick_gelu
 
 
 class LayerNormF32(nn.Module):
@@ -171,11 +176,12 @@ class ResidualAttentionBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, causal: bool = False) -> jax.Array:
         d, t = x.shape[-1], x.shape[-2]
+        itemsize = jnp.dtype(x.dtype).itemsize
         # whole-half Pallas kernels where the weights fit VMEM: q/k/v/scores
         # and the (T, 4D) MLP hidden never round-trip HBM. Same param tree
         # as the module path (holders), same math (oracle-tested). Each half
         # gates independently (ViT-L: fused attn, module MLP).
-        if _fuse_attn_ok(d, t, self.num_heads):
+        if _fuse_attn_ok(d, t, self.num_heads, itemsize):
             ln1 = _LNParams(d, name="ln_1")
             attn = _AttnParams(d, name="attn")
             x = bk.fused_ln_attn_ad(
@@ -189,7 +195,7 @@ class ResidualAttentionBlock(nn.Module):
             x = x + Attention(self.num_heads, dtype=self.dtype, name="attn")(
                 LayerNormF32(name="ln_1")(x), causal=causal
             )
-        if _fuse_mlp_ok(d, t, self.num_heads):
+        if _fuse_mlp_ok(d, t, self.num_heads, itemsize):
             ln2 = _LNParams(d, name="ln_2")
             mlp = _MLPParams(d, name="mlp")
             return bk.fused_ln_mlp_ad(

@@ -25,7 +25,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 __all__ = ["mha_reference", "flash_attention", "flash_attention_ad",
-           "short_attention", "short_attention_ad", "multi_head_attention"]
+           "short_attention", "short_attention_ad",
+           "short_attention_packed", "short_attention_packed_ad",
+           "multi_head_attention"]
 
 # Auto-selection policy for the fused kernel. MEASURED on v5e (round 2,
 # tools/bench_flash_gpt.py, steady-state): at every shape this workload
@@ -177,10 +179,11 @@ def _short_group(bh: int, t: int, d: int) -> int:
     d_pad = -(-d // 128) * 128
     per_head = 4 * tp_pad * d_pad * 2      # q/k/v/o bf16 blocks
     budget = 6 * 1024 * 1024 - 4 * tp_pad * (-(-t // 128) * 128)
-    g = min(8, max(1, budget // max(per_head, 1)))
-    while bh % g:
+    g = int(min(8, max(1, budget // max(per_head, 1))))
+    g = 1 << (g.bit_length() - 1)  # floor to a power of two FIRST: halving
+    while bh % g:                  # a non-pow2 g (3,5,6,7) skips valid sizes
         g //= 2
-    return int(g)
+    return g
 
 
 @functools.partial(jax.jit, static_argnames=("causal", "interpret"))

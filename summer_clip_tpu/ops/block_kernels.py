@@ -48,11 +48,12 @@ def _seq_group(b: int, t: int, d: int, weight_bytes: int,
     ~13MB VMEM budget. Small-T towers (text, 77 tokens) need gb > 1 to
     amortize grid-step overhead over enough MXU work."""
     per_seq = act_mult * t * d * 2
-    budget = 13 * 1024 * 1024 - weight_bytes
-    g = min(8, max(1, budget // max(per_seq, 1)))
-    while b % g:
+    budget = 12 * 1024 * 1024 - weight_bytes
+    g = int(min(8, max(1, budget // max(per_seq, 1))))
+    g = 1 << (g.bit_length() - 1)  # floor to a power of two FIRST: halving
+    while b % g:                   # a non-pow2 g (3,5,6,7) skips valid sizes
         g //= 2
-    return int(g)
+    return g
 
 
 def ln_mlp_reference(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
@@ -60,11 +61,7 @@ def ln_mlp_reference(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
                      b2: jax.Array, eps: float = 1e-5) -> jax.Array:
     """x + c_proj(quick_gelu(c_fc(LN_f32(x)))) — the exact module math."""
     dtype = x.dtype
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.var(x32, axis=-1, keepdims=True)
-    y = ((x32 - mean) * jax.lax.rsqrt(var + eps) * ln_scale + ln_bias
-         ).astype(dtype)
+    y = _ln_f32(x, ln_scale, ln_bias, eps)
     h = quick_gelu(jnp.dot(y, w1.astype(dtype),
                            preferred_element_type=jnp.float32
                            ).astype(dtype) + b1.astype(dtype))

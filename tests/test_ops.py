@@ -202,6 +202,10 @@ class TestFusedBlockKernels:
         old = M.FUSED_BLOCK_FORCE
         M.FUSED_BLOCK_FORCE = True
         try:
+            # guard against vacuous passes: the fused branch must actually
+            # be taken (round-3 review found FORCE ignored by the gate once)
+            jaxpr = str(jax.make_jaxpr(lambda v, z: blk.apply(v, z, True))(v_plain, x))
+            assert jaxpr.count("pallas_call") == 2, "fused branch not taken"
             v_fused = jax.jit(blk.init)(jax.random.PRNGKey(0), x)
             assert (jtu.tree_structure(v_plain) == jtu.tree_structure(v_fused))
             for a, b in zip(jtu.tree_leaves(v_plain), jtu.tree_leaves(v_fused)):

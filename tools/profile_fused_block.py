@@ -36,6 +36,7 @@ def main(models) -> None:
     import jax.numpy as jnp
 
     import summer_clip_tpu.models.clip.modeling as M
+    import summer_clip_tpu.ops.attention as A
     from summer_clip_tpu.core.compile_cache import enable_persistent_cache
     from summer_clip_tpu.models.clip import build_clip
 
@@ -54,6 +55,9 @@ def main(models) -> None:
                                          cfg.image_resolution, 3), dtype)
             for mode in MODES:
                 M.FUSED_BLOCK_MODE = mode
+                # "xla" must be a TRUE no-Pallas baseline: also disable the
+                # packed short-attention auto-select for that row
+                A.SHORT_FUSED_ENABLED = mode != "xla"
                 f = jax.jit(lambda v, im: jnp.sum(model.apply(
                     v, im, method=model.encode_image).astype(jnp.float32)))
                 dt = _steady(f, variables, im)
@@ -65,12 +69,14 @@ def main(models) -> None:
         ids = ids.at[:, -1].set(49407)
         for mode in MODES:
             M.FUSED_BLOCK_MODE = mode
+            A.SHORT_FUSED_ENABLED = mode != "xla"
             g = jax.jit(lambda v, ids: jnp.sum(model.apply(
                 v, ids, method=model.encode_text).astype(jnp.float32)))
             dt = _steady(g, variables, ids)
             print(f"{name} text  b={rows} mode={mode:5s}: "
                   f"{dt * 1e3:7.2f} ms = {rows / dt:6.0f} rows/s", flush=True)
         M.FUSED_BLOCK_MODE = "attn"
+        A.SHORT_FUSED_ENABLED = True
 
 
 if __name__ == "__main__":

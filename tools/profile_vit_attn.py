@@ -49,8 +49,11 @@ def main(batches) -> None:
 
     def timeit(fn, *args, iters=8, label=""):
         out = fn(*args)
-        jnp.sum(sum(jax.tree_util.tree_leaves(out))
-                if isinstance(out, (tuple, list)) else out).astype(jnp.float32).block_until_ready()
+        # warmup must FETCH a value: on the tunneled TPU block_until_ready
+        # does not prove execution (CLAUDE.md / bench.py)
+        float(jnp.sum(sum(jax.tree_util.tree_leaves(out))
+                      if isinstance(out, (tuple, list)) else out
+                      ).astype(jnp.float32))
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
