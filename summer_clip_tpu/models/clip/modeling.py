@@ -54,17 +54,20 @@ def _fuse_base_ok(d: int, t: int, num_heads: int) -> bool:
 
 
 def _fuse_attn_ok(d: int, t: int, num_heads: int, itemsize: int) -> bool:
-    # attn weights 4*d^2 in the COMPUTE dtype must stay VMEM-resident
-    # (bf16 ViT-L d=1024: 8.4MB ok; an f32 tower doubles every footprint)
-    return (_fuse_base_ok(d, t, num_heads)
-            and 4 * d * d * itemsize <= bk.FUSED_MLP_MAX_WEIGHT_BYTES)
+    # weights (4*d^2) + one sequence's activations (x/o double-buffered,
+    # y/q/k/v, ~9 tiles) + the (t, t) f32 score tile must fit VMEM in the
+    # COMPUTE dtype. bf16 ViT-B: 7.6MB ok; ViT-L@224 13.4MB marginal-ok;
+    # ViT-L@336 (t=577) 20MB -> module path (packed attention kernel).
+    total = (4 * d * d + 9 * t * d) * itemsize + 4 * t * t
+    return _fuse_base_ok(d, t, num_heads) and total <= 14 * 1024 * 1024
 
 
 def _fuse_mlp_ok(d: int, t: int, num_heads: int, itemsize: int) -> bool:
-    # MLP weights 2*d*4d: bf16 ViT-L (16.8MB) exceeds the budget and keeps
-    # the module path for its MLP half only
-    return (_fuse_base_ok(d, t, num_heads)
-            and 8 * d * d * itemsize <= bk.FUSED_MLP_MAX_WEIGHT_BYTES)
+    # weights (2*d*4d) + one sequence's activations incl. the (t, 4d)
+    # hidden: bf16 ViT-L weights alone (16.8MB) exceed the budget and keep
+    # the module path for the MLP half only
+    total = (8 * d * d + 8 * t * d) * itemsize
+    return _fuse_base_ok(d, t, num_heads) and total <= 14 * 1024 * 1024
 
 
 class _DenseParams(nn.Module):
