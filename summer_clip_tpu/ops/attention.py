@@ -121,7 +121,10 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     kv_len = k_p.shape[1]
 
     def kernel(q_ref, k_ref, v_ref, o_ref):
-        q_blk = q_ref[0].astype(jnp.float32) * scale
+        # dots run in the OPERAND dtype with f32 MXU accumulation; the
+        # round-2 form upcast q/k/v to f32 first, which quadruples MXU cost
+        # on bf16 towers and was the main reason XLA won every shape
+        q_blk = q_ref[0]
         bq, dd = q_blk.shape
         num_kb = kv_len // block_k
         m0 = jnp.full((bq, 1), -jnp.inf, jnp.float32)
@@ -131,9 +134,10 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
 
         def body(kb, carry):
             m, l, acc = carry
-            k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-            v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-            s = jnp.dot(q_blk, k_blk.T, preferred_element_type=jnp.float32)
+            k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]
+            v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
+            s = jnp.dot(q_blk, k_blk.T,
+                        preferred_element_type=jnp.float32) * scale
             k_pos = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             valid = k_pos < tk0
             if causal:
@@ -145,7 +149,8 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
             p = jnp.exp(s - m_new)
             alpha = jnp.exp(m - m_new)
             l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            acc_new = acc * alpha + jnp.dot(p, v_blk, preferred_element_type=jnp.float32)
+            acc_new = acc * alpha + jnp.dot(
+                p.astype(v_blk.dtype), v_blk, preferred_element_type=jnp.float32)
             return m_new, l_new, acc_new
 
         m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
