@@ -363,7 +363,12 @@ def main() -> None:
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / 10000.0, 4),
     }), flush=True)
-    for fn in (bench_cache_affinity, bench_imagenet_scale_cache,
+    def bench_vit():
+        # ViT-B/16 secondary: the round-3 packed/fused Pallas attention win
+        # rides this number (docs/KERNELS.md); batch 64 is the sweet spot
+        bench_encode("ViT-B/16", batch=64, iters=128)
+
+    for fn in (bench_cache_affinity, bench_vit, bench_imagenet_scale_cache,
                bench_imagenet_e2e_app, bench_image_attention_combo,
                bench_gpt_train_step, bench_gpt_decode):
         if time.perf_counter() - _T0 > 520:
