@@ -45,7 +45,7 @@ void ErrorExit(j_common_ptr cinfo) {
 
 // Decode a JPEG from memory into an RGB byte image. Uses libjpeg's DCT
 // scaling to avoid decoding full resolution when the target is much smaller.
-bool DecodeJpeg(const uint8_t* data, size_t len, int target_short,
+bool DecodeJpeg(const uint8_t* data, size_t len, int target_short, int fast,
                 std::vector<uint8_t>* out, int* w, int* h) {
   jpeg_decompress_struct cinfo;
   JpegErrorMgr jerr;
@@ -61,11 +61,15 @@ bool DecodeJpeg(const uint8_t* data, size_t len, int target_short,
   cinfo.out_color_space = JCS_RGB;
 
   // pick the smallest DCT scale that keeps the short side >= 2x the target
-  // (leaves headroom so the bicubic pass controls final quality)
+  // (headroom so the bicubic pass controls final quality). fast mode only
+  // requires >= 1x: e.g. 480x640 -> 224 decodes at 1/2 resolution (4x fewer
+  // pixels through the IDCT; libjpeg's scaled IDCT is itself a low-pass, so
+  // quality loss vs the full decode is small -- measured in bench_loader).
   int short_side = std::min<int>(cinfo.image_width, cinfo.image_height);
+  const int margin = fast ? 1 : 2;
   int denom = 1;
   while (denom < 8 && target_short > 0 &&
-         short_side / (denom * 2) >= 2 * target_short) {
+         short_side / (denom * 2) >= margin * target_short) {
     denom *= 2;
   }
   cinfo.scale_num = 1;
@@ -173,7 +177,7 @@ void ResizeBicubic(const uint8_t* src, int sw, int sh, float* dst, int dw, int d
 }
 
 // Full eval transform for one image file -> normalized float32 (S, S, 3).
-bool PreprocessFile(const char* path, int out_size, float* out) {
+bool PreprocessFile(const char* path, int out_size, int fast, float* out) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return false;
   std::fseek(f, 0, SEEK_END);
@@ -186,7 +190,7 @@ bool PreprocessFile(const char* path, int out_size, float* out) {
 
   std::vector<uint8_t> rgb;
   int w = 0, h = 0;
-  if (!DecodeJpeg(bytes.data(), bytes.size(), out_size, &rgb, &w, &h)) return false;
+  if (!DecodeJpeg(bytes.data(), bytes.size(), out_size, fast, &rgb, &w, &h)) return false;
 
   // shorter-side resize
   int rw, rh;
@@ -224,9 +228,11 @@ extern "C" {
 
 // Decode+preprocess a batch of image files in parallel.
 // paths: array of n C strings; out: (n, out_size, out_size, 3) float32;
-// ok: (n,) uint8 success flags. Returns number of successes.
+// ok: (n,) uint8 success flags; fast: relax the DCT-scale margin to 1x
+// (see DecodeJpeg). Returns number of successes.
 int clip_preprocess_batch(const char** paths, int n, int out_size,
-                          float* out, uint8_t* ok, int num_threads) {
+                          float* out, uint8_t* ok, int num_threads,
+                          int fast) {
   if (num_threads <= 0) {
     num_threads = static_cast<int>(std::thread::hardware_concurrency());
     if (num_threads <= 0) num_threads = 4;
@@ -240,7 +246,7 @@ int clip_preprocess_batch(const char** paths, int n, int out_size,
     for (;;) {
       int i = next.fetch_add(1);
       if (i >= n) break;
-      bool good = PreprocessFile(paths[i], out_size, out + stride * i);
+      bool good = PreprocessFile(paths[i], out_size, fast, out + stride * i);
       ok[i] = good ? 1 : 0;
       if (good) successes.fetch_add(1);
     }
@@ -254,7 +260,7 @@ int clip_preprocess_batch(const char** paths, int n, int out_size,
 
 // Single-image variant (for tests / fallbacks).
 int clip_preprocess_one(const char* path, int out_size, float* out) {
-  return PreprocessFile(path, out_size, out) ? 1 : 0;
+  return PreprocessFile(path, out_size, /*fast=*/0, out) ? 1 : 0;
 }
 
 }  // extern "C"

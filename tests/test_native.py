@@ -35,6 +35,25 @@ class TestNativePreprocess:
             ref = t(load_image(p))
             assert np.abs(imgs[i] - ref).mean() < 0.03, f"image {i} diverges from PIL"
 
+    def test_fast_mode_close_to_slow(self, tmp_path_factory):
+        """fast=True (1x DCT-scale margin) must stay near the slow path on
+        natural-statistics content and produce valid rows."""
+        tmp = tmp_path_factory.mktemp("jpegs_fast")
+        rng = np.random.RandomState(1)
+        coarse = (rng.rand(30, 40, 3) * 255).astype(np.uint8)
+        arr = np.asarray(Image.fromarray(coarse).resize((640, 480),
+                                                        Image.BILINEAR))
+        p = tmp / "smooth.jpg"
+        Image.fromarray(arr).save(p, quality=92)
+        slow, ok1 = native.preprocess_batch([str(p)], 224)
+        fast, ok2 = native.preprocess_batch([str(p)], 224, fast=True)
+        assert ok1.all() and ok2.all()
+        # normalized units (CLIP std ~0.27): 0.05 ~= 1.3% pixel error
+        assert np.abs(fast - slow).mean() < 0.05
+        # and fast must actually take the scaled-decode branch: outputs
+        # differ (a bitwise match would mean the margin logic regressed)
+        assert np.abs(fast - slow).max() > 0.0
+
     def test_bad_file_flags_failure(self, jpegs, tmp_path):
         bad = tmp_path / "bad.jpg"
         bad.write_bytes(b"not a jpeg")
@@ -48,8 +67,10 @@ class TestNativePreprocess:
         regression for silent 0-255-into-float32 corruption."""
         real = native.preprocess_batch
 
-        def native_fails_row1(paths, out_size, num_threads=0, out=None):
-            imgs, ok = real(paths, out_size, num_threads=num_threads, out=out)
+        def native_fails_row1(paths, out_size, num_threads=0, out=None,
+                              fast=False):
+            imgs, ok = real(paths, out_size, num_threads=num_threads, out=out,
+                            fast=fast)
             ok = ok.copy()
             ok[1] = False
             imgs[1] = 0.0

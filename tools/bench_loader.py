@@ -31,7 +31,12 @@ def make_jpegs(n: int, hw=(480, 640)) -> list:
     d = Path(tempfile.mkdtemp(prefix="bench_jpeg_"))
     rng = np.random.RandomState(0)
     paths = []
-    base = rng.randint(0, 255, (*hw, 3), np.uint8)
+    # natural-statistics content (low-frequency): white noise is the worst
+    # case for both JPEG entropy size and DCT-scaled decode quality, and
+    # photos are not white noise — upsample coarse noise instead
+    coarse = rng.randint(0, 255, (hw[0] // 16, hw[1] // 16, 3), np.uint8)
+    base = np.asarray(Image.fromarray(coarse).resize(
+        (hw[1], hw[0]), Image.BILINEAR), np.uint8)
     for i in range(n):
         p = d / f"{i}.jpg"
         # vary content slightly so decode work is real, but reuse the base
@@ -61,6 +66,19 @@ def main(n: int = 512, size: int = 224) -> None:
             assert ok.all()
             print(f"native decode+preprocess ({threads} threads): "
                   f"{n / dt:,.0f} img/s", flush=True)
+        # fast DCT-scale mode: decode at the smallest scale whose short side
+        # still covers the target (1x margin instead of 2x) — throughput +
+        # quality delta vs the PIL-parity slow path
+        slow, _ = preprocess_batch(paths, size, num_threads=16)
+        preprocess_batch(paths[:32], size, num_threads=16, fast=True)  # warm
+        t0 = time.perf_counter()
+        fast_imgs, ok = preprocess_batch(paths, size, num_threads=16, fast=True)
+        dt = time.perf_counter() - t0
+        assert ok.all()
+        diff = np.abs(fast_imgs - slow).mean()
+        print(f"native FAST decode (16 threads, 1x DCT margin): "
+              f"{n / dt:,.0f} img/s (mean |diff| vs slow path: {diff:.4f})",
+              flush=True)
     else:
         print("native path unavailable (g++/libjpeg missing)", flush=True)
 
