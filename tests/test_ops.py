@@ -188,6 +188,29 @@ class TestFusedBlockKernels:
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
                                    atol=5e-4, rtol=5e-4)
 
+    def test_fuse_gates_production_geometries(self):
+        """Pin which tower geometries take each fused half (bf16): a gate
+        regression silently changes what runs on the chip."""
+        import summer_clip_tpu.models.clip.modeling as M
+
+        old_force, old_mode = M.FUSED_BLOCK_FORCE, M.FUSED_BLOCK_MODE
+        M.FUSED_BLOCK_FORCE, M.FUSED_BLOCK_MODE = True, "block"
+        try:
+            cases = [
+                ("ViT-B/16 vision", 768, 197, 12, True, True),
+                ("ViT-L/14 vision", 1024, 257, 16, True, False),
+                ("ViT-L/14@336 vision", 1024, 577, 16, False, False),
+                ("text 512", 512, 77, 8, True, True),
+                ("text 768 (ViT-L)", 768, 77, 12, True, True),
+            ]
+            for name, d, t, h, want_attn, want_mlp in cases:
+                assert M._fuse_attn_ok(d, t, h, 2) == want_attn, name
+                assert M._fuse_mlp_ok(d, t, h, 2) == want_mlp, name
+            # f32 halves the viable width
+            assert not M._fuse_mlp_ok(768, 197, 12, 4)
+        finally:
+            M.FUSED_BLOCK_FORCE, M.FUSED_BLOCK_MODE = old_force, old_mode
+
     def test_fused_block_path_matches_module_path(self):
         """ResidualAttentionBlock fused path: identical param tree, identical
         init values, bit-identical f32 outputs vs the module path."""
