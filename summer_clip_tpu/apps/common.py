@@ -134,23 +134,28 @@ def create_clip_session(model_name: str,
                         mesh: tp.Optional[jax.sharding.Mesh] = None,
                         logger: tp.Optional[tp.Any] = None,
                         remat: tp.Optional[bool] = None,
-                        proj_path: tp.Optional[str] = None) -> ClipSession:
+                        proj_path: tp.Optional[str] = None,
+                        quant: tp.Optional[str] = None) -> ClipSession:
     """Build a session from a config: converted checkpoint if provided,
     otherwise randomly-initialized towers (smoke/synthetic runs).
 
     ``proj_path``: optional ``.npy`` with a (width, embed_dim) vision
     projection to swap into the tower — how a ProLIP-tuned W
     (apps/train_prolip.py) drops into any downstream workload.
+
+    ``quant='int8'`` (config ``clip.quant``) selects the int8-MXU inference
+    towers — an opt-in speed/accuracy trade (ops/int8.py, docs/KERNELS.md).
     """
     jdtype = resolve_dtype(dtype)
     if checkpoint_path and Path(checkpoint_path).exists():
-        model, cfg, variables = load_clip_ckpt(checkpoint_path, dtype=jdtype)
+        model, cfg, variables = load_clip_ckpt(checkpoint_path, dtype=jdtype, quant=quant)
         if logger:
             logger.log_info(f"Loaded CLIP weights from {checkpoint_path} ({cfg.name})")
     else:
         if checkpoint_path and logger:
             logger.log_info(f"WARNING: checkpoint {checkpoint_path} not found — random init")
-        model, cfg, variables = init_clip(model_name, dtype=jdtype, remat=bool(remat))
+        model, cfg, variables = init_clip(model_name, dtype=jdtype, remat=bool(remat),
+                                          quant=quant)
     if proj_path:
         W = np.load(proj_path)
         old = variables["params"]["visual"].get("proj")

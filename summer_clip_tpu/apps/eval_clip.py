@@ -23,7 +23,8 @@ from summer_clip_tpu.store import FeatureStore
 def eval_clip(cfg, logger) -> dict:
     set_random_state(int(cfg.meta.random_state))
     session = create_clip_session(cfg.clip.model_name, cfg.clip.get("checkpoint_path"),
-                                  cfg.clip.get("dtype"), remat=cfg.clip.get("remat"), logger=logger)
+                                  cfg.clip.get("dtype"), remat=cfg.clip.get("remat"),
+                                  logger=logger, quant=cfg.clip.get("quant"))
     view = C.instantiate(cfg.dataset)
     store = FeatureStore(cfg.store.root) if cfg.get("store") else None
 

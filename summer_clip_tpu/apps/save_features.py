@@ -72,7 +72,8 @@ def run(cfg) -> None:
         logger.log_info(f"Sharding extraction batches over {n_dev} devices")
     session = create_clip_session(cfg.clip.model_name, cfg.clip.get("checkpoint_path"),
                                   cfg.clip.get("dtype"), mesh=mesh, logger=logger,
-                                  proj_path=cfg.clip.get("proj_path"))
+                                  proj_path=cfg.clip.get("proj_path"),
+                                  quant=cfg.clip.get("quant"))
     store = FeatureStore(cfg.store.root)
     model_tag = session.cfg.name.replace("/", "")
     if cfg.get("train_dataset") is not None:

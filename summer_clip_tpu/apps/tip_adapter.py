@@ -41,7 +41,8 @@ class TipAdapterTrainer(BaseTrainer):
                                            cfg.clip.get("checkpoint_path"),
                                            cfg.clip.get("dtype"), mesh=self.mesh,
                                            logger=self.logger,
-                                           proj_path=cfg.clip.get("proj_path"))
+                                           proj_path=cfg.clip.get("proj_path"),
+                                           quant=cfg.clip.get("quant"))
         size = self.session.input_size
         bs = int(cfg.data.batch_size)
         shots = int(cfg.shots)

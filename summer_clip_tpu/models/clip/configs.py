@@ -75,7 +75,11 @@ def available_models() -> tp.List[str]:
 
 
 def build_clip(name: str, dtype: tp.Any = jnp.float32, remat: bool = False,
-               patch_embed: str = "conv") -> tp.Tuple[CLIP, CLIPConfig]:
+               patch_embed: str = "conv",
+               quant: tp.Optional[str] = None) -> tp.Tuple[CLIP, CLIPConfig]:
+    """``quant='int8'`` builds the int8-MXU inference towers (ops/int8.py) —
+    identical param tree, opt-in speed/accuracy trade for feature
+    extraction (``clip.quant`` in the app configs)."""
     cfg = CLIP_CONFIGS[name]
     if cfg.vision_kind == "resnet":
         visual: tp.Any = ModifiedResNet(
@@ -84,6 +88,7 @@ def build_clip(name: str, dtype: tp.Any = jnp.float32, remat: bool = False,
             num_heads=cfg.vision_heads,
             output_dim=cfg.embed_dim,
             dtype=dtype,
+            quant=quant,
         )
     else:
         visual = VisionTransformer(
@@ -95,6 +100,7 @@ def build_clip(name: str, dtype: tp.Any = jnp.float32, remat: bool = False,
             dtype=dtype,
             remat=remat,
             patch_embed=patch_embed,
+            quant=quant,
         )
     text = TextTransformer(
         vocab_size=cfg.vocab_size,
@@ -104,14 +110,16 @@ def build_clip(name: str, dtype: tp.Any = jnp.float32, remat: bool = False,
         num_heads=cfg.text_heads,
         output_dim=cfg.embed_dim,
         dtype=dtype,
+        quant=quant,
     )
     return CLIP(visual=visual, text=text), cfg
 
 
 def init_clip(name: str, rng: tp.Optional[jax.Array] = None,
-              dtype: tp.Any = jnp.float32, remat: bool = False) -> tp.Tuple[CLIP, CLIPConfig, tp.Any]:
+              dtype: tp.Any = jnp.float32, remat: bool = False,
+              quant: tp.Optional[str] = None) -> tp.Tuple[CLIP, CLIPConfig, tp.Any]:
     """Build + init variables with dummy inputs (shape-driven)."""
-    model, cfg = build_clip(name, dtype=dtype, remat=remat)
+    model, cfg = build_clip(name, dtype=dtype, remat=remat, quant=quant)
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     images = jnp.zeros((1, cfg.image_resolution, cfg.image_resolution, 3), jnp.float32)
     tokens = jnp.zeros((1, cfg.context_length), jnp.int32)

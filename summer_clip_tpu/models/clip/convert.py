@@ -212,7 +212,7 @@ def convert_state_dict(sd: tp.Mapping[str, np.ndarray]) -> tp.Dict[str, tp.Any]:
     return variables
 
 
-def load_clip(checkpoint_path: tp.Union[str, Path], dtype=None):
+def load_clip(checkpoint_path: tp.Union[str, Path], dtype=None, quant=None):
     """One-call loader: checkpoint -> (model, cfg, variables)."""
     import jax.numpy as jnp
 
@@ -220,6 +220,6 @@ def load_clip(checkpoint_path: tp.Union[str, Path], dtype=None):
 
     sd = load_torch_state_dict(checkpoint_path)
     name = detect_model_name(sd)
-    model, cfg = build_clip(name, dtype=dtype or jnp.float32)
+    model, cfg = build_clip(name, dtype=dtype or jnp.float32, quant=quant)
     variables = convert_state_dict(sd)
     return model, cfg, variables

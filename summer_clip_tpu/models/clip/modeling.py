@@ -28,6 +28,7 @@ from flax import linen as nn
 
 from summer_clip_tpu.ops import block_kernels as bk
 from summer_clip_tpu.ops.attention import SHORT_MAX_T, multi_head_attention
+from summer_clip_tpu.ops.int8 import QuantConv, QuantDense
 
 Dtype = tp.Any
 
@@ -145,17 +146,20 @@ class Attention(nn.Module):
     num_heads: int
     dtype: Dtype = jnp.float32
     out_features: tp.Optional[int] = None
+    quant: tp.Optional[str] = None
 
     @nn.compact
     def __call__(self, q_in: jax.Array, kv_in: tp.Optional[jax.Array] = None, *,
                  causal: bool = False, mask: tp.Optional[jax.Array] = None) -> jax.Array:
         kv_in = q_in if kv_in is None else kv_in
         d = q_in.shape[-1]
-        q = nn.Dense(d, dtype=self.dtype, name="q_proj")(q_in)
-        k = nn.Dense(d, dtype=self.dtype, name="k_proj")(kv_in)
-        v = nn.Dense(d, dtype=self.dtype, name="v_proj")(kv_in)
+        dense = lambda feats, name: QuantDense(feats, quant=self.quant,
+                                               dtype=self.dtype, name=name)
+        q = dense(d, "q_proj")(q_in)
+        k = dense(d, "k_proj")(kv_in)
+        v = dense(d, "v_proj")(kv_in)
         o = multi_head_attention(q, k, v, num_heads=self.num_heads, causal=causal, mask=mask)
-        return nn.Dense(self.out_features or d, dtype=self.dtype, name="out_proj")(o)
+        return dense(self.out_features or d, "out_proj")(o)
 
 
 class MLP(nn.Module):
@@ -163,18 +167,21 @@ class MLP(nn.Module):
 
     dtype: Dtype = jnp.float32
     ratio: int = 4
+    quant: tp.Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         d = x.shape[-1]
-        h = nn.Dense(d * self.ratio, dtype=self.dtype, name="c_fc")(x)
+        h = QuantDense(d * self.ratio, quant=self.quant, dtype=self.dtype,
+                       name="c_fc")(x)
         h = quick_gelu(h)
-        return nn.Dense(d, dtype=self.dtype, name="c_proj")(h)
+        return QuantDense(d, quant=self.quant, dtype=self.dtype, name="c_proj")(h)
 
 
 class ResidualAttentionBlock(nn.Module):
     num_heads: int
     dtype: Dtype = jnp.float32
+    quant: tp.Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, causal: bool = False) -> jax.Array:
@@ -183,8 +190,10 @@ class ResidualAttentionBlock(nn.Module):
         # whole-half Pallas kernels where the weights fit VMEM: q/k/v/scores
         # and the (T, 4D) MLP hidden never round-trip HBM. Same param tree
         # as the module path (holders), same math (oracle-tested). Each half
-        # gates independently (ViT-L: fused attn, module MLP).
-        if _fuse_attn_ok(d, t, self.num_heads, itemsize):
+        # gates independently (ViT-L: fused attn, module MLP). The fused
+        # halves are bf16 kernels — int8 quant takes the module path (whose
+        # attention core still auto-selects the packed Pallas kernel).
+        if self.quant is None and _fuse_attn_ok(d, t, self.num_heads, itemsize):
             ln1 = _LNParams(d, name="ln_1")
             attn = _AttnParams(d, name="attn")
             x = bk.fused_ln_attn_ad(
@@ -195,17 +204,19 @@ class ResidualAttentionBlock(nn.Module):
                 attn.out_proj.kernel, attn.out_proj.bias,
                 self.num_heads, causal)
         else:
-            x = x + Attention(self.num_heads, dtype=self.dtype, name="attn")(
+            x = x + Attention(self.num_heads, dtype=self.dtype, quant=self.quant,
+                              name="attn")(
                 LayerNormF32(name="ln_1")(x), causal=causal
             )
-        if _fuse_mlp_ok(d, t, self.num_heads, itemsize):
+        if self.quant is None and _fuse_mlp_ok(d, t, self.num_heads, itemsize):
             ln2 = _LNParams(d, name="ln_2")
             mlp = _MLPParams(d, name="mlp")
             return bk.fused_ln_mlp_ad(
                 x, ln2.scale, ln2.bias,
                 mlp.c_fc.kernel, mlp.c_fc.bias,
                 mlp.c_proj.kernel, mlp.c_proj.bias)
-        x = x + MLP(dtype=self.dtype, name="mlp")(LayerNormF32(name="ln_2")(x))
+        x = x + MLP(dtype=self.dtype, quant=self.quant,
+                    name="mlp")(LayerNormF32(name="ln_2")(x))
         return x
 
 
@@ -214,6 +225,7 @@ class Transformer(nn.Module):
     num_heads: int
     dtype: Dtype = jnp.float32
     remat: bool = False
+    quant: tp.Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, causal: bool = False) -> jax.Array:
@@ -223,7 +235,8 @@ class Transformer(nn.Module):
             # it must stay static under checkpointing (arg 0 is the module)
             block_cls = nn.remat(ResidualAttentionBlock, static_argnums=(2,))
         for i in range(self.num_layers):
-            x = block_cls(self.num_heads, dtype=self.dtype, name=f"resblocks_{i}")(x, causal)
+            x = block_cls(self.num_heads, dtype=self.dtype, quant=self.quant,
+                          name=f"resblocks_{i}")(x, causal)
         return x
 
 
@@ -276,6 +289,7 @@ class VisionTransformer(nn.Module):
     dtype: Dtype = jnp.float32
     remat: bool = False
     patch_embed: str = "conv"
+    quant: tp.Optional[str] = None
 
     @nn.compact
     def __call__(self, images: jax.Array, apply_proj: bool = True) -> jax.Array:
@@ -295,7 +309,7 @@ class VisionTransformer(nn.Module):
 
         x = LayerNormF32(name="ln_pre")(x)
         x = Transformer(self.num_layers, self.num_heads, dtype=self.dtype,
-                        remat=self.remat, name="transformer")(x)
+                        remat=self.remat, quant=self.quant, name="transformer")(x)
         x = LayerNormF32(name="ln_post")(x[:, 0])
 
         proj = self.param("proj", nn.initializers.normal(self.width ** -0.5),
@@ -324,29 +338,31 @@ class Bottleneck(nn.Module):
     stride: int = 1
     dtype: Dtype = jnp.float32
     expansion: int = 4
+    quant: tp.Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         out_ch = self.planes * self.expansion
         bn = lambda name: nn.BatchNorm(use_running_average=True, dtype=self.dtype,
                                        param_dtype=jnp.float32, name=name)
+        conv = lambda ch, k, name, pad=0: QuantConv(
+            ch, (k, k), padding=pad, quant=self.quant, dtype=self.dtype, name=name)
         identity = x
 
-        y = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = conv(self.planes, 1, "conv1")(x)
         y = nn.relu(bn("bn1")(y))
-        y = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False, dtype=self.dtype, name="conv2")(y)
+        y = conv(self.planes, 3, "conv2", pad=1)(y)
         y = nn.relu(bn("bn2")(y))
         if self.stride > 1:
             y = nn.avg_pool(y, (self.stride, self.stride), strides=(self.stride, self.stride))
-        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)
+        y = conv(out_ch, 1, "conv3")(y)
         y = bn("bn3")(y)
 
         if self.stride > 1 or x.shape[-1] != out_ch:
             if self.stride > 1:
                 identity = nn.avg_pool(identity, (self.stride, self.stride),
                                        strides=(self.stride, self.stride))
-            identity = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
-                               name="downsample_conv")(identity)
+            identity = conv(out_ch, 1, "downsample_conv")(identity)
             identity = bn("downsample_bn")(identity)
 
         return nn.relu(y + identity)
@@ -358,6 +374,7 @@ class AttentionPool2d(nn.Module):
     num_heads: int
     output_dim: int
     dtype: Dtype = jnp.float32
+    quant: tp.Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -369,7 +386,7 @@ class AttentionPool2d(nn.Module):
                          (h * w + 1, c), jnp.float32)
         x = x + pos.astype(self.dtype)
         out = Attention(self.num_heads, dtype=self.dtype, out_features=self.output_dim,
-                        name="attn")(x[:, :1], x)
+                        quant=self.quant, name="attn")(x[:, :1], x)
         return out[:, 0]
 
 
@@ -381,21 +398,22 @@ class ModifiedResNet(nn.Module):
     num_heads: int
     output_dim: int
     dtype: Dtype = jnp.float32
+    quant: tp.Optional[str] = None
 
     @nn.compact
     def __call__(self, images: jax.Array) -> jax.Array:
         bn = lambda name: nn.BatchNorm(use_running_average=True, dtype=self.dtype,
                                        param_dtype=jnp.float32, name=name)
+        conv = lambda ch, name, stride=1: QuantConv(
+            ch, (3, 3), strides=(stride, stride), padding=1, quant=self.quant,
+            dtype=self.dtype, name=name)
         x = images.astype(self.dtype)
         # stem
-        x = nn.Conv(self.width // 2, (3, 3), strides=2, padding=1, use_bias=False,
-                    dtype=self.dtype, name="conv1")(x)
+        x = conv(self.width // 2, "conv1", stride=2)(x)
         x = nn.relu(bn("bn1")(x))
-        x = nn.Conv(self.width // 2, (3, 3), padding=1, use_bias=False,
-                    dtype=self.dtype, name="conv2")(x)
+        x = conv(self.width // 2, "conv2")(x)
         x = nn.relu(bn("bn2")(x))
-        x = nn.Conv(self.width, (3, 3), padding=1, use_bias=False,
-                    dtype=self.dtype, name="conv3")(x)
+        x = conv(self.width, "conv3")(x)
         x = nn.relu(bn("bn3")(x))
         x = nn.avg_pool(x, (2, 2), strides=(2, 2))
 
@@ -404,10 +422,10 @@ class ModifiedResNet(nn.Module):
         for stage, (n_blocks, p, s) in enumerate(zip(self.layers, planes, strides), start=1):
             for blk in range(n_blocks):
                 x = Bottleneck(p, stride=s if blk == 0 else 1, dtype=self.dtype,
-                               name=f"layer{stage}_{blk}")(x)
+                               quant=self.quant, name=f"layer{stage}_{blk}")(x)
 
         return AttentionPool2d(self.num_heads, self.output_dim, dtype=self.dtype,
-                               name="attnpool")(x)
+                               quant=self.quant, name="attnpool")(x)
 
 
 # ---------------------------------------------------------------------------
@@ -430,6 +448,7 @@ class TextTransformer(nn.Module):
     num_heads: int
     output_dim: int
     dtype: Dtype = jnp.float32
+    quant: tp.Optional[str] = None
 
     def setup(self):
         self.token_embedding = nn.Embed(self.vocab_size, self.width,
@@ -439,7 +458,8 @@ class TextTransformer(nn.Module):
             "positional_embedding", nn.initializers.normal(0.01),
             (self.context_length, self.width), jnp.float32)
         self.transformer = Transformer(self.num_layers, self.num_heads,
-                                       dtype=self.dtype, name="transformer")
+                                       dtype=self.dtype, quant=self.quant,
+                                       name="transformer")
         self.ln_final = LayerNormF32(name="ln_final")
         self.text_projection = self.param(
             "text_projection", nn.initializers.normal(self.width ** -0.5),

@@ -10,3 +10,6 @@ from summer_clip_tpu.ops.block_kernels import (  # noqa: F401
 from summer_clip_tpu.ops.cache_kernels import (  # noqa: F401
     cache_attention, cache_attention_reference, cache_attention_auto,
 )
+from summer_clip_tpu.ops.int8 import (  # noqa: F401
+    QuantConv, QuantDense, int8_dense, quantize_cols, quantize_rows,
+)
