@@ -70,6 +70,23 @@ class _ShardedValueSpec(tp.NamedTuple):
     scale: float
 
 
+class _OnehotValues(tp.NamedTuple):
+    """Marker: Hard (one-hot) values represented by per-row labels only —
+    feeds the structure-exploiting ``cache_attention_onehot`` kernel (the
+    value matrix is never materialized). Produced when the resident cache is
+    prediction-sorted, so selections gather class-grouped rows."""
+    labels: np.ndarray   # (valid,) int32 predicted class per selected row
+    num_classes: int
+
+
+# test hook: exercise the one-hot kernel path off-TPU (interpret mode)
+ONEHOT_FORCE = False
+
+
+def _onehot_kernel_ok() -> bool:
+    return jax.default_backend() == "tpu" or ONEHOT_FORCE
+
+
 class ImageAttention(BaseTrainer):
     # -- setup ---------------------------------------------------------------
     def setup_mesh(self):
@@ -136,6 +153,9 @@ class ImageAttention(BaseTrainer):
         self._cache_dev = None
         self._outs_dev = None
         self._resident_shards = None
+        self._resident_order = None   # original -> sorted permutation
+        self._resident_rank = None    # original id -> sorted position
+        self._resident_preds = None   # predicted class per SORTED row
         self._cache_rows = self.origin_cache_image_features.shape[0]
         if self.mesh is not None:
             from summer_clip_tpu.parallel import ShardedResidentCache
@@ -153,13 +173,28 @@ class ImageAttention(BaseTrainer):
                       "float32": jnp.float32, "f32": jnp.float32}[rd]
             cn = self.origin_cache_image_features
             cn = cn / np.maximum(np.linalg.norm(cn, axis=-1, keepdims=True), 1e-12)
+            # PREDICTION-SORTED residence: row order is irrelevant to every
+            # combo (the cache logits are sums over rows), so store the
+            # resident matrices grouped by predicted class. Selections map
+            # through `_resident_rank` and gather class-grouped rows, which
+            # makes Hard-value combos eligible for the one-hot kernel
+            # (ops/cache_kernels.cache_attention_onehot: the (N, C) value
+            # matrix is never built, and its matmul collapses to two skinny
+            # dots). Host-side index math, per house rules.
+            preds = self.origin_cache_image_outs.argmax(axis=1).astype(np.int32)
+            order = np.argsort(preds, kind="stable")
+            self._resident_order = order
+            self._resident_rank = np.empty_like(order)
+            self._resident_rank[order] = np.arange(order.size)
+            self._resident_preds = preds[order]
+            cn = cn[order]
             # pre-pad rows to the kernel's max block so neither the identity
             # (AllLogits) path nor the kernel ever copies the big matrix
             pad = (-cn.shape[0]) % 1024
             if pad:
                 cn = np.concatenate([cn, np.zeros((pad, cn.shape[1]), np.float32)])
             self._cache_dev = jnp.asarray(cn, rdtype)
-            co = self.origin_cache_image_outs
+            co = self.origin_cache_image_outs[order]
             if pad:
                 co = np.concatenate([co, np.zeros((pad, co.shape[1]), np.float32)])
             self._outs_dev = jnp.asarray(co, rdtype)
@@ -268,14 +303,27 @@ class ImageAttention(BaseTrainer):
             identity = (len(inds) == self._cache_rows
                         and bool((inds == np.arange(self._cache_rows)).all()))
             if identity:
+                # identity over a prediction-sorted residence: host values
+                # must be permuted by the residence order to stay row-aligned
+                self._sel_perm = getattr(self, "_resident_order", None)
+                self._sel_pos = None
                 sel = (self._cache_dev, outs_dev, self._cache_rows)
             else:
+                if getattr(self, "_resident_rank", None) is not None:
+                    # gather in SORTED-position order (class-grouped rows);
+                    # remember the permutation for host-side value matrices
+                    perm = np.argsort(self._resident_rank[inds], kind="stable")
+                    pos = self._resident_rank[inds][perm]
+                else:
+                    perm, pos = None, inds
+                self._sel_perm = perm
+                self._sel_pos = pos
                 pad = (-len(inds)) % 1024
-                inds_p = np.concatenate([inds, np.zeros(pad, inds.dtype)]) if pad else inds
-                inds_j = jnp.asarray(inds_p)
-                outs = (jnp.take(outs_dev, inds_j, axis=0)
+                pos_p = np.concatenate([pos, np.zeros(pad, pos.dtype)]) if pad else pos
+                pos_j = jnp.asarray(pos_p)
+                outs = (jnp.take(outs_dev, pos_j, axis=0)
                         if outs_dev is not None else None)
-                sel = (jnp.take(self._cache_dev, inds_j, axis=0), outs, len(inds))
+                sel = (jnp.take(self._cache_dev, pos_j, axis=0), outs, len(inds))
             self._sel_cache = (inds, outs_dev, sel)
         return self._sel_cache[2]
 
@@ -300,6 +348,13 @@ class ImageAttention(BaseTrainer):
             return None
         _, outs_sel, valid = sel
         if isinstance(value_strategy, cache_methods.HardCacheStrategy):
+            if getattr(self, "_resident_preds", None) is not None and _onehot_kernel_ok():
+                # Hard values == one-hot of predictions: hand the kernel the
+                # labels instead of a value matrix (class-grouped rows by
+                # construction of the sorted residence)
+                labels = (self._resident_preds if self._sel_pos is None
+                          else self._resident_preds[self._sel_pos])
+                return _OnehotValues(labels, int(outs_sel.shape[1]))
             return _device_hard_values(outs_sel, jnp.asarray(valid))
         if isinstance(value_strategy, cache_methods.SoftmaxCacheStrategy):
             scale = float(value_strategy.clip_scale) * float(value_strategy.scale)
@@ -325,16 +380,33 @@ class ImageAttention(BaseTrainer):
         if sel is not None:
             # device gather of the pre-normalized resident cache; row counts
             # pad to the kernel's max block with zero VALUE rows (exact)
-            from summer_clip_tpu.ops.cache_kernels import cache_attention_auto
+            from summer_clip_tpu.ops.cache_kernels import (
+                cache_attention_auto, cache_attention_onehot)
 
-            cf_dev, _, valid = sel
+            cf_dev, outs_sel, valid = sel
             pad = cf_dev.shape[0] - valid
+            if isinstance(values, _OnehotValues):
+                labels_p = np.full((cf_dev.shape[0],), -1, np.int32)
+                labels_p[:valid] = values.labels
+                try:
+                    return cache_attention_onehot(
+                        self._test_norm, cf_dev, labels_p,
+                        jnp.asarray(list(betas), jnp.float32), values.num_classes,
+                        interpret=jax.default_backend() != "tpu")
+                except ValueError:
+                    # selection too class-scattered for the one-hot kernel
+                    # (e.g. 1 row/class): dense values instead
+                    values = _device_hard_values(outs_sel, jnp.asarray(valid))
             if isinstance(values, jax.Array):
                 # device-computed values (already padded + pad rows zeroed)
                 assert values.shape[0] == cf_dev.shape[0], (values.shape, cf_dev.shape)
                 values_dev = values
             else:
                 v_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+                if getattr(self, "_sel_perm", None) is not None:
+                    # resident rows are gathered in sorted order — permute
+                    # host-built value matrices to stay row-aligned
+                    values = np.asarray(values)[self._sel_perm]
                 values_p = (np.concatenate([values, np.zeros((pad, values.shape[1]), np.float32)])
                             if pad else values)
                 values_dev = jnp.asarray(values_p, v_dtype)

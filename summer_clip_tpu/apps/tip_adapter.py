@@ -68,6 +68,9 @@ class TipAdapterTrainer(BaseTrainer):
 
         self.logger.log_info("Constructing cache model by few-shot visual features and labels.")
         self.cache_keys, self.cache_values = self.build_cache_model(train_view, bs)
+        # values are strict one-hots (build_cache_from_features): recover the
+        # per-row labels so the sweeps can ride the one-hot kernel
+        self.cache_key_labels = np.argmax(self.cache_values, axis=1).astype(np.int32)
 
         self.logger.log_info("Loading visual features and labels from val set.")
         self.val_features, self.val_labels = self.preload_features("val", val_view, bs)
@@ -127,7 +130,8 @@ class TipAdapterTrainer(BaseTrainer):
 
         beta, alpha = float(cfg.init_beta), float(cfg.init_alpha)
         tip = tip_methods.tip_logits(clip_logits, self.test_features,
-                                     self.cache_keys, self.cache_values, beta, alpha)
+                                     self.cache_keys, self.cache_values, beta, alpha,
+                                     cache_labels=self.cache_key_labels)
         acc_tip = accuracy(np.asarray(tip), self.test_labels)[0]
         self.logger.log_info(f"**** Tip-Adapter's test accuracy: {acc_tip:.2f}. ****")
         self.logger.log_info({"type": "tip_result", "beta": beta, "alpha": alpha, "acc1": acc_tip})
@@ -140,13 +144,15 @@ class TipAdapterTrainer(BaseTrainer):
             best_beta, best_alpha, best_acc = tip_methods.search_hp(
                 feats, labels, v_clip, self.cache_keys, self.cache_values,
                 search_scale=list(cfg.search_scale), search_step=list(cfg.search_step),
-                log_fn=self.logger.log_info_wandb)
+                log_fn=self.logger.log_info_wandb,
+                cache_labels=self.cache_key_labels)
             self.logger.log_info(
                 f"After searching, the best accuracy: {best_acc:.2f} "
                 f"(beta={best_beta:.2f}, alpha={best_alpha:.2f}).")
             tip_best = tip_methods.tip_logits(clip_logits, self.test_features,
                                               self.cache_keys, self.cache_values,
-                                              best_beta, best_alpha)
+                                              best_beta, best_alpha,
+                                              cache_labels=self.cache_key_labels)
             acc_best = accuracy(np.asarray(tip_best), self.test_labels)[0]
             self.logger.log_info(f"**** Tip-Adapter's searched test accuracy: {acc_best:.2f}. ****")
             self.logger.log_info({"type": "tip_searched", "beta": best_beta,
@@ -173,7 +179,8 @@ class TipAdapterTrainer(BaseTrainer):
                         extra={"values": self.cache_values})
 
         tip_f = tip_methods.tip_logits(clip_logits, self.test_features,
-                                       keys_f, self.cache_values, beta, alpha)
+                                       keys_f, self.cache_values, beta, alpha,
+                                       cache_labels=self.cache_key_labels)
         acc_f = accuracy(np.asarray(tip_f), self.test_labels)[0]
         self.logger.log_info(f"**** Tip-Adapter-F's test accuracy: {acc_f:.2f}. ****")
         self.logger.log_info({"type": "tipf_result", "beta": beta, "alpha": alpha,
@@ -186,9 +193,11 @@ class TipAdapterTrainer(BaseTrainer):
             b_beta, b_alpha, b_acc = tip_methods.search_hp(
                 feats, labels, v_clip, keys_f, self.cache_values,
                 search_scale=list(cfg.search_scale), search_step=list(cfg.search_step),
-                log_fn=self.logger.log_info_wandb)
+                log_fn=self.logger.log_info_wandb,
+                cache_labels=self.cache_key_labels)
             tip_fb = tip_methods.tip_logits(clip_logits, self.test_features,
-                                            keys_f, self.cache_values, b_beta, b_alpha)
+                                            keys_f, self.cache_values, b_beta, b_alpha,
+                                            cache_labels=self.cache_key_labels)
             acc_fb = accuracy(np.asarray(tip_fb), self.test_labels)[0]
             self.logger.log_info(
                 f"**** Tip-Adapter-F searched test accuracy: {acc_fb:.2f} "

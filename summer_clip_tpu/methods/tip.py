@@ -25,9 +25,28 @@ import jax.numpy as jnp
 import numpy as np
 
 from summer_clip_tpu.methods.zeroshot import accuracy
-from summer_clip_tpu.ops.cache_kernels import cache_attention_auto
+from summer_clip_tpu.ops.cache_kernels import cache_attention_auto, cache_attention_onehot
 
 __all__ = ["build_cache_from_features", "tip_logits", "search_hp", "beta_alpha_grid"]
+
+# test hook: exercise the one-hot kernel path off-TPU (interpret mode)
+ONEHOT_FORCE = False
+
+
+def _cache_sweep(f: jax.Array, keys: jax.Array, vals: jax.Array,
+                 betas: jax.Array, cache_labels) -> jax.Array:
+    """(B, Nt, C) cache logits; labels route to the structure-exploiting
+    one-hot kernel (Tip values are ALWAYS one-hot of the few-shot train
+    labels — ``build_cache_from_features``; class-grouped by construction)."""
+    on_tpu = jax.default_backend() == "tpu"
+    if cache_labels is not None and (on_tpu or ONEHOT_FORCE):
+        try:
+            return cache_attention_onehot(f, keys, cache_labels, betas,
+                                          int(vals.shape[1]),
+                                          interpret=not on_tpu)
+        except ValueError:  # labels too scattered per block — dense fallback
+            pass
+    return cache_attention_auto(f, keys, vals, betas)
 
 
 def build_cache_from_features(feature_passes: tp.Sequence[np.ndarray],
@@ -49,10 +68,11 @@ def build_cache_from_features(feature_passes: tp.Sequence[np.ndarray],
 
 
 def tip_logits(clip_logits: jax.Array, features: jax.Array, cache_keys: jax.Array,
-               cache_values: jax.Array, beta: float, alpha: float) -> jax.Array:
+               cache_values: jax.Array, beta: float, alpha: float,
+               cache_labels=None) -> jax.Array:
     """Single-point Tip-Adapter logits (features/keys already normalized)."""
-    cache = cache_attention_auto(features, cache_keys, cache_values,
-                                 jnp.asarray([beta], jnp.float32))[0]
+    cache = _cache_sweep(features, cache_keys, cache_values,
+                         jnp.asarray([beta], jnp.float32), cache_labels)[0]
     return jnp.asarray(clip_logits, jnp.float32) + cache * alpha
 
 
@@ -74,8 +94,8 @@ def search_hp(features: tp.Union[np.ndarray, jax.Array],
               search_scale: tp.Sequence[float] = (7, 3),
               search_step: tp.Sequence[int] = (200, 20),
               beta_chunk: int = 16,
-              log_fn: tp.Optional[tp.Callable[[dict], None]] = None
-              ) -> tp.Tuple[float, float, float]:
+              log_fn: tp.Optional[tp.Callable[[dict], None]] = None,
+              cache_labels=None) -> tp.Tuple[float, float, float]:
     """Grid-search (beta, alpha); returns (best_beta, best_alpha, best_acc).
 
     Batched evaluation: for each beta chunk, one fused kernel call produces
@@ -103,7 +123,7 @@ def search_hp(features: tp.Union[np.ndarray, jax.Array],
     best = (-1.0, 0.0, 0.0)  # acc, beta, alpha
     for s in range(0, len(betas), beta_chunk):
         chunk = betas[s:s + beta_chunk]
-        cache = cache_attention_auto(f, keys, vals, jnp.asarray(chunk))
+        cache = _cache_sweep(f, keys, vals, jnp.asarray(chunk), cache_labels)
         accs = np.asarray(accs_for_chunk(cache))
         bi, ai = np.unravel_index(np.argmax(accs), accs.shape)
         if accs[bi, ai] > best[0]:

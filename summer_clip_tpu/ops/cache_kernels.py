@@ -31,10 +31,12 @@ import typing as tp
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 
 __all__ = [
     "cache_attention_reference", "cache_attention", "cache_attention_auto",
+    "cache_attention_onehot", "onehot_block_classes",
 ]
 
 
@@ -208,6 +210,187 @@ def cache_attention(test_features: jax.Array, cache_features: jax.Array,
         ),
     )(bet2d, f, cf, v)
     return out[:b, :nt, :c]
+
+
+def onehot_block_classes(labels_padded: np.ndarray, block_n: int
+                         ) -> tp.Tuple[np.ndarray, int]:
+    """Per-cache-block distinct-class table for the one-hot kernel.
+
+    ``labels_padded``: (Nc_p,) int32, pad rows carry -1. Returns
+    ``(table (num_n, k_max) int32 padded with -2, k_max)`` where ``k_max``
+    is the max distinct real labels in any block, rounded up to 8.
+    Host-side numpy by design (selection/index math stays on host).
+    """
+    num_n = labels_padded.shape[0] // block_n
+    rows = labels_padded.reshape(num_n, block_n)
+    uniques = [np.unique(r[r >= 0]) for r in rows]
+    need = max((u.shape[0] for u in uniques), default=1)
+    k_max = max(8, -(-need // 8) * 8)
+    table = np.full((num_n, k_max), -2, np.int32)
+    for i, u in enumerate(uniques):
+        table[i, : u.shape[0]] = u
+    return table, k_max
+
+
+def cache_attention_onehot(test_features: jax.Array, cache_features: jax.Array,
+                           cache_labels: tp.Any, betas: jax.Array,
+                           num_classes: int, *,
+                           block_q: tp.Optional[int] = None,
+                           block_n: tp.Optional[int] = None,
+                           block_b: tp.Optional[int] = None,
+                           interpret: bool = False,
+                           compute_dtype: tp.Any = None,
+                           k_limit: int = 128) -> jax.Array:
+    """Fused sweep for ONE-HOT values, exploiting class-grouped caches.
+
+    Mathematically identical to :func:`cache_attention` with
+    ``values = one_hot(cache_labels, num_classes)``, but the values matrix is
+    never materialized or streamed. When cache rows are grouped by class
+    (``select_topk_per_label`` output order, or a sorted full cache), each
+    Nc-block touches only k ≪ C classes, so the dominant ``w @ V``
+    contraction collapses into two skinny dots per beta:
+
+        small  = w @ local          (bq, bn) @ (bn, k_max)   — segment sums
+        out   += small @ expand     (bq, k_max) @ (k_max, C) — column scatter
+
+    with ``local[r, j] = [label_r == class_j]`` and
+    ``expand[j, c] = [class_j == c]`` built on the VPU from the block's
+    label slice + a per-block distinct-class table. At ImageNet geometry
+    (bn=512..1024, C=1000, k≈2) this is ~6x less MXU work and removes the
+    (Nc, C) value streaming entirely (reference dense form:
+    ``tip_adapter/utils.py:109-118``, ``image_attention.py:106-110``).
+
+    Correct for ANY row order (the table adapts); efficient for grouped
+    rows. Raises if a block needs more than ``k_limit`` distinct classes —
+    callers fall back to :func:`cache_attention` (see
+    ``methods/cache.py:cache_logits_for_betas``).
+
+    ``cache_labels`` must be host-available (numpy or fetchable): the class
+    table is static kernel input.
+    """
+    nt, d = test_features.shape
+    nc, _ = cache_features.shape
+    if compute_dtype is None:
+        compute_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+    # -1 marks pad/disabled rows (zero value vector — contributes nothing),
+    # mirroring cache_attention's zero-value-row padding invariant
+    labels = np.asarray(cache_labels, np.int32).reshape(-1)
+    assert labels.shape[0] == nc, (labels.shape, nc)
+    if labels.size and (labels.min() < -1 or labels.max() >= num_classes):
+        raise ValueError("cache_labels out of range")
+
+    d_p = _ceil_to(d, 128)
+    c_p = _ceil_to(max(num_classes, 128), 128)
+    f_bytes = jnp.dtype(compute_dtype).itemsize
+    # no value streaming: the value-block budget goes to a wider cache block
+    block_q = block_q or 128
+    block_n = block_n or (1024 if d_p * f_bytes * 2 * 1024 <= 5 * 1024 * 1024 else 512)
+    block_b = block_b or min(8, max(1, betas.shape[0]))
+    nc_p = _ceil_to(nc, block_n)
+
+    labels_p = np.full((nc_p,), -1, np.int32)
+    labels_p[:nc] = labels
+    table, k_max = onehot_block_classes(labels_p, block_n)
+    if k_max > k_limit:
+        raise ValueError(
+            f"one-hot kernel: a cache block spans {k_max} classes (> {k_limit}); "
+            "group rows by class or use cache_attention with dense values")
+
+    f = test_features.astype(compute_dtype) if jnp.issubdtype(
+        test_features.dtype, jnp.floating) else test_features
+    cf = cache_features.astype(compute_dtype) if jnp.issubdtype(
+        cache_features.dtype, jnp.floating) else cache_features
+    return _cache_attention_onehot_jit(
+        f, cf, jnp.asarray(labels_p.reshape(-1, 1)),
+        jnp.asarray(table), jnp.asarray(table.T.copy()),
+        betas.astype(jnp.float32),
+        block_q=block_q, block_n=block_n, block_b=block_b,
+        c_p=c_p, num_classes=num_classes, interpret=interpret,
+        compute_dtype=compute_dtype,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_q", "block_n", "block_b", "c_p", "num_classes",
+                     "interpret", "compute_dtype"),
+)
+def _cache_attention_onehot_jit(f, cf, labels2d, crow, ccol, betas, *,
+                                block_q, block_n, block_b, c_p, num_classes,
+                                interpret, compute_dtype):
+    nt, d = f.shape
+    nc = cf.shape[0]
+    b = betas.shape[0]
+    d_p = _ceil_to(d, 128)
+    nt_p = _ceil_to(nt, block_q)
+    nc_p = labels2d.shape[0]
+    b_p = _ceil_to(b, block_b)
+    num_n = nc_p // block_n
+    num_bb = b_p // block_b
+    k_max = crow.shape[1]
+
+    f = _pad_axis(_pad_axis(f, 1, d_p), 0, nt_p)
+    cf = _pad_axis(_pad_axis(cf, 1, d_p), 0, nc_p)
+    bet = jnp.concatenate([
+        betas, jnp.full((b_p - b,), betas[-1], jnp.float32),
+    ]) if b_p != b else betas
+    bet2d = bet.reshape(num_bb, block_b)
+
+    def kernel(beta_ref, lab_ref, crow_ref, ccol_ref, f_ref, c_ref, o_ref):
+        bb_idx = pl.program_id(0)
+        n_idx = pl.program_id(2)
+
+        @pl.when(n_idx == 0)
+        def _():
+            o_ref[:] = jnp.zeros_like(o_ref)
+
+        fq = f_ref[:]                                 # (bq, d_p)
+        cn = c_ref[:]                                 # (bn, d_p)
+        lab = lab_ref[:]                              # (bn, 1) int32
+        # local[r, j] = [label_r == class_j]; pad rows (-1) and pad class
+        # slots (-2) never match, contributing exactly zero
+        local = (lab == crow_ref[:]).astype(compute_dtype)      # (bn, k_max)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (k_max, c_p), 1)
+        expand = (ccol_ref[:] == iota).astype(compute_dtype)    # (k_max, c_p)
+        aff = jax.lax.dot_general(
+            fq, cn, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                             # (bq, bn) f32
+        for bi in range(block_b):
+            beta = beta_ref[bb_idx, bi]
+            w = jnp.exp(-beta * (1.0 - aff)).astype(compute_dtype)
+            small = jnp.dot(w, local, preferred_element_type=jnp.float32)
+            o_ref[bi] += jnp.dot(small.astype(compute_dtype), expand,
+                                 preferred_element_type=jnp.float32)
+
+    grid = (num_bb, nt_p // block_q, num_n)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((num_bb, block_b), lambda bb, q, n: (0, 0)),
+            pl.BlockSpec((block_n, 1), lambda bb, q, n: (n, 0)),
+            pl.BlockSpec((1, k_max), lambda bb, q, n: (n, 0)),
+            pl.BlockSpec((k_max, 1), lambda bb, q, n: (0, n)),
+            pl.BlockSpec((block_q, d_p), lambda bb, q, n: (q, 0)),
+            pl.BlockSpec((block_n, d_p), lambda bb, q, n: (n, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_b, block_q, c_p), lambda bb, q, n: (bb, q, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b_p, nt_p, c_p), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nt_p * nc_p * d_p * num_bb
+            + b_p * (2 * nt_p * nc_p * k_max + 2 * nt_p * k_max * c_p * num_n
+                     + 2 * nt_p * nc_p),
+            bytes_accessed=(nt_p * d_p * 2 + nc_p * d_p * 2
+                            + b_p * nt_p * c_p * 4),
+            transcendentals=b_p * nt_p * nc_p,
+        ),
+    )(bet2d, labels2d, crow, ccol, f, cf)
+    return out[:b, :nt, :num_classes]
 
 
 def cache_attention_auto(test_features: jax.Array, cache_features: jax.Array,

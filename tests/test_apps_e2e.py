@@ -108,6 +108,50 @@ class TestImageAttention:
         assert "acc5" in r
 
 
+class TestImageAttentionOnehotKernel:
+    def test_onehot_kernel_grid_matches_dense(self, rundir, monkeypatch):
+        """The one-hot kernel path (prediction-sorted residence +
+        cache_attention_onehot, forced on via ONEHOT_FORCE/interpret) must
+        reproduce the dense path's searcher records exactly."""
+        from summer_clip_tpu.apps import save_features, image_attention
+
+        store_root = str(rundir / "features")
+        save_features.run(argv=[
+            "dataset_name=synthetic",
+            "dataset@train_dataset=synthetic_train", "dataset@test_dataset=synthetic_test",
+            "clip=test_vit", "data.batch_size=8", f"store.root={store_root}",
+        ])
+        argv = [
+            "dataset_name=synthetic",
+            "dataset=synthetic_test", "dataset@cache.dataset=synthetic_train",
+            "dataset.load_images=false", "cache.dataset.load_images=false",
+            "clip=test_vit", f"store.root={store_root}",
+            "data.features_key=synthetic_test-test-vit",
+            "cache.features_key=synthetic_train-test-vit",
+            "cache.outs_key=synthetic_train-test-vit",
+            "cache.alpha=[0.0,1.0]",
+            "cache_weights_strategy.beta=[1.0,5.5]",
+        ]
+
+        def run_and_collect(tag):
+            sub = rundir / tag
+            sub.mkdir()
+            monkeypatch.chdir(sub)
+            image_attention.run(argv=argv)
+            recs = [r for r in _records(sub) if r.get("type") == "searcher_result"]
+            key = lambda r: json.dumps(
+                {k: r[k] for k in ("cache_strategy", "cache_weights_strategy",
+                                   "cache_value_strategy", "alpha")}, sort_keys=True)
+            return {key(r): (r["acc1"], r["acc5"]) for r in recs}
+
+        dense = run_and_collect("dense")
+        monkeypatch.setattr(image_attention, "ONEHOT_FORCE", True)
+        fused = run_and_collect("onehot")
+        assert dense.keys() == fused.keys() and len(dense) > 0
+        for k in dense:
+            assert dense[k] == pytest.approx(fused[k], abs=1e-4), k
+
+
 class TestImageAttentionBf16Resident:
     def test_bf16_resident_dtype_runs(self, rundir):
         """cache.resident_dtype=bf16 (the ImageNet-scale fit knob) runs the

@@ -148,6 +148,31 @@ class TestTipAdapter:
         expected = cl + np.exp(-(beta - beta * affinity)) @ vals * alpha
         np.testing.assert_allclose(got, expected, atol=1e-4, rtol=1e-4)
 
+    def test_onehot_kernel_path_matches_dense(self, monkeypatch):
+        """tip_logits/search_hp with cache_labels (one-hot kernel, forced on
+        via ONEHOT_FORCE/interpret) == the dense value-matrix path."""
+        monkeypatch.setattr(T, "ONEHOT_FORCE", True)
+        rng = np.random.default_rng(1)
+        n, nk, c, d = 24, 40, 7, 16
+        f = _feats(0, n, d)
+        labels = np.sort(rng.integers(0, c, nk)).astype(np.int32)
+        keys, values = T.build_cache_from_features([_feats(1, nk, d, normed=False)],
+                                                   labels, c)
+        cl = _feats(2, n, c, normed=False)
+        dense = np.asarray(T.tip_logits(cl, f, keys, values, 5.5, 1.0))
+        fused = np.asarray(T.tip_logits(cl, f, keys, values, 5.5, 1.0,
+                                        cache_labels=labels))
+        np.testing.assert_allclose(fused, dense, atol=1e-4, rtol=1e-4)
+
+        y = rng.integers(0, c, n)
+        b1, a1, acc1 = T.search_hp(f, y, cl, keys, values,
+                                   search_scale=(7, 3), search_step=(8, 4),
+                                   beta_chunk=4)
+        b2, a2, acc2 = T.search_hp(f, y, cl, keys, values,
+                                   search_scale=(7, 3), search_step=(8, 4),
+                                   beta_chunk=4, cache_labels=labels)
+        assert (b1, a1, acc1) == (b2, a2, acc2)
+
 
 class TestAccuracy:
     def test_topk(self):

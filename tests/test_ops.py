@@ -277,6 +277,58 @@ class TestCacheAttention:
         np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-5, rtol=1e-5)
 
 
+class TestCacheAttentionOnehot:
+    """cache_attention_onehot == cache_attention with one_hot(labels) values
+    (the value matrix is implicit; segment-sum + column-scatter decomposition)."""
+
+    @pytest.mark.parametrize("sorted_labels", [True, False])
+    @pytest.mark.parametrize("nt,nc,d,c,b", [(64, 300, 32, 17, 3), (50, 513, 96, 111, 8)])
+    def test_matches_reference(self, nt, nc, d, c, b, sorted_labels):
+        rng = np.random.RandomState(0)
+        f = _rand(0, nt, d)
+        f = f / jnp.linalg.norm(f, axis=-1, keepdims=True)
+        cf = _rand(1, nc, d)
+        cf = cf / jnp.linalg.norm(cf, axis=-1, keepdims=True)
+        labels = rng.randint(0, c, nc)
+        if sorted_labels:
+            labels = np.sort(labels)
+        betas = jnp.linspace(0.5, 11.5, b)
+        ref = ca.cache_attention_reference(
+            f, cf, jax.nn.one_hot(jnp.asarray(labels), c), betas)
+        out = ca.cache_attention_onehot(f, cf, labels, betas, c, interpret=True,
+                                        block_q=32, block_n=128, block_b=4)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+    def test_pad_labels_contribute_nothing(self):
+        """-1 labels behave exactly like cache_attention's zero value rows."""
+        f = _rand(0, 16, 32)
+        f = f / jnp.linalg.norm(f, axis=-1, keepdims=True)
+        cf = _rand(1, 96, 32)
+        cf = cf / jnp.linalg.norm(cf, axis=-1, keepdims=True)
+        labels = np.concatenate([np.arange(64) % 9, np.full(32, -1)]).astype(np.int32)
+        betas = jnp.asarray([1.0, 5.5])
+        ref = ca.cache_attention_reference(
+            f[:, :], cf[:64], jax.nn.one_hot(jnp.asarray(labels[:64]), 9), betas)
+        out = ca.cache_attention_onehot(f, cf, labels, betas, 9, interpret=True,
+                                        block_q=16, block_n=32, block_b=2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+    def test_k_limit_raises_for_scattered_labels(self):
+        f = _rand(0, 8, 16)
+        cf = _rand(1, 256, 16)
+        labels = np.arange(256) % 200  # every block spans ~128+ classes
+        with pytest.raises(ValueError, match="spans"):
+            ca.cache_attention_onehot(f, cf, labels, jnp.asarray([1.0]), 200,
+                                      interpret=True, block_n=128, k_limit=64)
+
+    def test_block_class_table(self):
+        labels = np.asarray([3, 3, 5, -1, 7, 7, 7, 7], np.int32)
+        table, k_max = ca.onehot_block_classes(labels, block_n=4)
+        assert k_max == 8 and table.shape == (2, 8)
+        assert list(table[0][:2]) == [3, 5] and table[0][2] == -2
+        assert list(table[1][:1]) == [7] and table[1][1] == -2
+
+
 class TestFlashAttentionGrad:
     def test_custom_vjp_matches_reference_grads(self):
         """Pallas forward + XLA backward must agree with pure-XLA grads."""
