@@ -31,7 +31,8 @@ class ClassProjector(BaseTrainer):
     def setup_model(self):
         session = create_clip_session(self.cfg.clip.model_name,
                                       self.cfg.clip.get("checkpoint_path"),
-                                      self.cfg.clip.get("dtype"), remat=self.cfg.clip.get("remat"), logger=self.logger)
+                                      self.cfg.clip.get("dtype"), remat=self.cfg.clip.get("remat"),
+                                      logger=self.logger, quant=self.cfg.clip.get("quant"))
         classes = self.cfg.prompting.classes or self.dataset.classes
         self.test_text_features = zeroshot_classifier(
             session.encode_text, classes, self.cfg.prompting.templates)

@@ -37,7 +37,8 @@ def eval_adapter(cfg, logger) -> dict:
     features = np.asarray(resolve_features(cfg.eval, store), np.float32)
 
     session = create_clip_session(clip_cfg["model_name"], clip_cfg.get("checkpoint_path"),
-                                  clip_cfg.get("dtype"), logger=logger)
+                                  clip_cfg.get("dtype"), logger=logger,
+                                  quant=clip_cfg.get("quant"))
     classes = prompting.get("classes") or view.classes
     text_features = zeroshot_classifier(session.encode_text, classes, prompting["templates"])
 

@@ -76,7 +76,8 @@ class PromptEvaluator(BaseTrainer):
     def setup_model(self):
         self.session = create_clip_session(self.cfg.clip.model_name,
                                            self.cfg.clip.get("checkpoint_path"),
-                                           self.cfg.clip.get("dtype"), remat=self.cfg.clip.get("remat"), logger=self.logger)
+                                           self.cfg.clip.get("dtype"), remat=self.cfg.clip.get("remat"),
+                                           logger=self.logger, quant=self.cfg.clip.get("quant"))
         store = FeatureStore(self.cfg.store.root) if self.cfg.get("store") else None
         feats = np.asarray(resolve_features(self.cfg.clip_data, store), np.float32)
         self.image_features = feats / np.maximum(

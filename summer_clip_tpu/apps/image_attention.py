@@ -79,12 +79,12 @@ class _OnehotValues(tp.NamedTuple):
     num_classes: int
 
 
-# test hook: exercise the one-hot kernel path off-TPU (interpret mode)
-ONEHOT_FORCE = False
-
-
 def _onehot_kernel_ok() -> bool:
-    return jax.default_backend() == "tpu" or ONEHOT_FORCE
+    """Single source of truth for one-hot routing lives in ops.cache_kernels
+    (ONEHOT_FORCE there is the off-TPU test hook)."""
+    from summer_clip_tpu.ops import cache_kernels as ck
+
+    return jax.default_backend() == "tpu" or ck.ONEHOT_FORCE
 
 
 class ImageAttention(BaseTrainer):
@@ -128,7 +128,8 @@ class ImageAttention(BaseTrainer):
 
         session = create_clip_session(self.cfg.clip.model_name,
                                       self.cfg.clip.get("checkpoint_path"),
-                                      self.cfg.clip.get("dtype"), remat=self.cfg.clip.get("remat"), logger=self.logger)
+                                      self.cfg.clip.get("dtype"), remat=self.cfg.clip.get("remat"),
+                                      logger=self.logger, quant=self.cfg.clip.get("quant"))
         classes = self.cfg.prompting.classes or self.dataset.classes
         classifier = zeroshot_classifier(session.encode_text, classes,
                                          self.cfg.prompting.templates)
@@ -181,7 +182,16 @@ class ImageAttention(BaseTrainer):
             # (ops/cache_kernels.cache_attention_onehot: the (N, C) value
             # matrix is never built, and its matmul collapses to two skinny
             # dots). Host-side index math, per house rules.
-            preds = self.origin_cache_image_outs.argmax(axis=1).astype(np.int32)
+            # predictions from the outs AS THEY WILL RESIDE: with bf16
+            # residency the dense fallback argmaxes bf16-rounded outs, so
+            # the one-hot labels must come from the same rounded values or
+            # tie rows flip class between the two paths
+            outs_for_preds = self.origin_cache_image_outs
+            if rdtype == jnp.bfloat16:
+                import ml_dtypes
+
+                outs_for_preds = outs_for_preds.astype(ml_dtypes.bfloat16).astype(np.float32)
+            preds = outs_for_preds.argmax(axis=1).astype(np.int32)
             order = np.argsort(preds, kind="stable")
             self._resident_order = order
             self._resident_rank = np.empty_like(order)
@@ -393,9 +403,14 @@ class ImageAttention(BaseTrainer):
                         self._test_norm, cf_dev, labels_p,
                         jnp.asarray(list(betas), jnp.float32), values.num_classes,
                         interpret=jax.default_backend() != "tpu")
-                except ValueError:
-                    # selection too class-scattered for the one-hot kernel
-                    # (e.g. 1 row/class): dense values instead
+                except Exception as e:  # noqa: BLE001 — dense path is always valid
+                    # class-scattered selection (ValueError) or a Mosaic/VMEM
+                    # compile failure at an unusual geometry: dense values
+                    import warnings
+
+                    warnings.warn(f"one-hot cache kernel unavailable "
+                                  f"({type(e).__name__}: {str(e)[:120]}); "
+                                  "dense fallback")
                     values = _device_hard_values(outs_sel, jnp.asarray(valid))
             if isinstance(values, jax.Array):
                 # device-computed values (already padded + pad rows zeroed)

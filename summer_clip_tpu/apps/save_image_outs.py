@@ -22,7 +22,8 @@ class SaveImageOuts(BaseTrainer):
     def setup_model(self):
         session = create_clip_session(self.cfg.clip.model_name,
                                       self.cfg.clip.get("checkpoint_path"),
-                                      self.cfg.clip.get("dtype"), remat=self.cfg.clip.get("remat"), logger=self.logger)
+                                      self.cfg.clip.get("dtype"), remat=self.cfg.clip.get("remat"),
+                                      logger=self.logger, quant=self.cfg.clip.get("quant"))
         classes = self.cfg.prompting.classes or self.dataset.classes
         self.classifier = zeroshot_classifier(session.encode_text, classes,
                                               self.cfg.prompting.templates)

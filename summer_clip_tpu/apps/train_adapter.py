@@ -58,7 +58,8 @@ class ClipAdapterTrainer(BaseTrainer):
         self.features = np.asarray(resolve_features(self.cfg.data, store), np.float32)
         session = create_clip_session(self.cfg.clip.model_name,
                                       self.cfg.clip.get("checkpoint_path"),
-                                      self.cfg.clip.get("dtype"), remat=self.cfg.clip.get("remat"), logger=self.logger)
+                                      self.cfg.clip.get("dtype"), remat=self.cfg.clip.get("remat"),
+                                      logger=self.logger, quant=self.cfg.clip.get("quant"))
         classes = self.cfg.prompting.classes or self.dataset.classes
         self.text_features = np.asarray(
             zeroshot_classifier(session.encode_text, classes, self.cfg.prompting.templates),

@@ -25,28 +25,18 @@ import jax.numpy as jnp
 import numpy as np
 
 from summer_clip_tpu.methods.zeroshot import accuracy
-from summer_clip_tpu.ops.cache_kernels import cache_attention_auto, cache_attention_onehot
+from summer_clip_tpu.ops.cache_kernels import cache_attention_auto
 
 __all__ = ["build_cache_from_features", "tip_logits", "search_hp", "beta_alpha_grid"]
-
-# test hook: exercise the one-hot kernel path off-TPU (interpret mode)
-ONEHOT_FORCE = False
 
 
 def _cache_sweep(f: jax.Array, keys: jax.Array, vals: jax.Array,
                  betas: jax.Array, cache_labels) -> jax.Array:
     """(B, Nt, C) cache logits; labels route to the structure-exploiting
     one-hot kernel (Tip values are ALWAYS one-hot of the few-shot train
-    labels — ``build_cache_from_features``; class-grouped by construction)."""
-    on_tpu = jax.default_backend() == "tpu"
-    if cache_labels is not None and (on_tpu or ONEHOT_FORCE):
-        try:
-            return cache_attention_onehot(f, keys, cache_labels, betas,
-                                          int(vals.shape[1]),
-                                          interpret=not on_tpu)
-        except ValueError:  # labels too scattered per block — dense fallback
-            pass
-    return cache_attention_auto(f, keys, vals, betas)
+    labels — ``build_cache_from_features``; class-grouped by construction).
+    Routing/fallback lives in ``cache_attention_auto``."""
+    return cache_attention_auto(f, keys, vals, betas, cache_labels=cache_labels)
 
 
 def build_cache_from_features(feature_passes: tp.Sequence[np.ndarray],

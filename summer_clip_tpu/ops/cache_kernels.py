@@ -212,6 +212,15 @@ def cache_attention(test_features: jax.Array, cache_features: jax.Array,
     return out[:b, :nt, :c]
 
 
+# test hook: route label-carrying auto dispatches through the one-hot
+# kernel off-TPU (interpret mode) so CPU tests exercise the real path
+ONEHOT_FORCE = False
+
+# (labels fingerprint, block_n) -> (table, k_max): the table is pure host
+# work repeated identically per beta chunk of a sweep — memoize the last few
+_TABLE_CACHE: "tp.Dict[tp.Tuple[int, int, int], tp.Tuple[np.ndarray, int]]" = {}
+
+
 def onehot_block_classes(labels_padded: np.ndarray, block_n: int
                          ) -> tp.Tuple[np.ndarray, int]:
     """Per-cache-block distinct-class table for the one-hot kernel.
@@ -219,8 +228,14 @@ def onehot_block_classes(labels_padded: np.ndarray, block_n: int
     ``labels_padded``: (Nc_p,) int32, pad rows carry -1. Returns
     ``(table (num_n, k_max) int32 padded with -2, k_max)`` where ``k_max``
     is the max distinct real labels in any block, rounded up to 8.
-    Host-side numpy by design (selection/index math stays on host).
+    Host-side numpy by design (selection/index math stays on host);
+    memoized on a content fingerprint (the same labels sweep through many
+    beta chunks).
     """
+    key = (labels_padded.shape[0], block_n, hash(labels_padded.tobytes()))
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
     num_n = labels_padded.shape[0] // block_n
     rows = labels_padded.reshape(num_n, block_n)
     uniques = [np.unique(r[r >= 0]) for r in rows]
@@ -229,7 +244,33 @@ def onehot_block_classes(labels_padded: np.ndarray, block_n: int
     table = np.full((num_n, k_max), -2, np.int32)
     for i, u in enumerate(uniques):
         table[i, : u.shape[0]] = u
+    if len(_TABLE_CACHE) >= 8:
+        _TABLE_CACHE.pop(next(iter(_TABLE_CACHE)))
+    _TABLE_CACHE[key] = (table, k_max)
     return table, k_max
+
+
+def _pick_blocks_onehot(d_p: int, c_p: int, f_bytes: int = 2,
+                        budget_bytes: int = 14 * 1024 * 1024
+                        ) -> tp.Tuple[int, int, int]:
+    """(block_q, block_n, block_b) for the one-hot kernel's VMEM budget.
+
+    No value block to stream, so the cache block widens; the out block
+    (2 * bb * bq * c_p * 4, double-buffered f32) dominates at large C and
+    forces bb/bq down exactly like the dense kernel's chooser."""
+    candidates = [
+        (128, 1024, 8), (128, 512, 8), (128, 512, 4), (128, 256, 4),
+        (128, 256, 2), (128, 128, 2), (128, 128, 1),
+        # extreme class counts (C >= ~8k): shrink the query block so the
+        # f32 out block still double-buffers inside the budget
+        (64, 128, 1), (32, 128, 1), (16, 128, 1),
+    ]
+    for bq, bn, bb in candidates:
+        need = (2 * bn * d_p * f_bytes + bq * d_p * f_bytes
+                + 2 * bb * bq * c_p * 4 + bq * bn * 4)
+        if need <= budget_bytes:
+            return bq, bn, bb
+    return 16, 128, 1
 
 
 def cache_attention_onehot(test_features: jax.Array, cache_features: jax.Array,
@@ -283,10 +324,10 @@ def cache_attention_onehot(test_features: jax.Array, cache_features: jax.Array,
     d_p = _ceil_to(d, 128)
     c_p = _ceil_to(max(num_classes, 128), 128)
     f_bytes = jnp.dtype(compute_dtype).itemsize
-    # no value streaming: the value-block budget goes to a wider cache block
-    block_q = block_q or 128
-    block_n = block_n or (1024 if d_p * f_bytes * 2 * 1024 <= 5 * 1024 * 1024 else 512)
-    block_b = block_b or min(8, max(1, betas.shape[0]))
+    auto_bq, auto_bn, auto_bb = _pick_blocks_onehot(d_p, c_p, f_bytes)
+    block_q = block_q or auto_bq
+    block_n = block_n or auto_bn
+    block_b = block_b or min(auto_bb, max(1, betas.shape[0]))
     nc_p = _ceil_to(nc, block_n)
 
     labels_p = np.full((nc_p,), -1, np.int32)
@@ -349,10 +390,14 @@ def _cache_attention_onehot_jit(f, cf, labels2d, crow, ccol, betas, *,
         cn = c_ref[:]                                 # (bn, d_p)
         lab = lab_ref[:]                              # (bn, 1) int32
         # local[r, j] = [label_r == class_j]; pad rows (-1) and pad class
-        # slots (-2) never match, contributing exactly zero
+        # slots (-2) never match, contributing exactly zero. local rides in
+        # the compute dtype (0/1 are exact in bf16) so `w @ local` has the
+        # SAME addends as the dense kernel's `w @ V`; the expand scatter
+        # stays f32 end-to-end — rounding `small` to bf16 would lose up to
+        # ~2^-9 relative on ~1e3-sized class sums and break dense parity.
         local = (lab == crow_ref[:]).astype(compute_dtype)      # (bn, k_max)
         iota = jax.lax.broadcasted_iota(jnp.int32, (k_max, c_p), 1)
-        expand = (ccol_ref[:] == iota).astype(compute_dtype)    # (k_max, c_p)
+        expand = (ccol_ref[:] == iota).astype(jnp.float32)      # (k_max, c_p)
         aff = jax.lax.dot_general(
             fq, cn, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -361,7 +406,7 @@ def _cache_attention_onehot_jit(f, cf, labels2d, crow, ccol, betas, *,
             beta = beta_ref[bb_idx, bi]
             w = jnp.exp(-beta * (1.0 - aff)).astype(compute_dtype)
             small = jnp.dot(w, local, preferred_element_type=jnp.float32)
-            o_ref[bi] += jnp.dot(small.astype(compute_dtype), expand,
+            o_ref[bi] += jnp.dot(small, expand,
                                  preferred_element_type=jnp.float32)
 
     grid = (num_bb, nt_p // block_q, num_n)
@@ -396,14 +441,32 @@ def _cache_attention_onehot_jit(f, cf, labels2d, crow, ccol, betas, *,
 def cache_attention_auto(test_features: jax.Array, cache_features: jax.Array,
                          cache_values: jax.Array,
                          betas: tp.Union[jax.Array, tp.Sequence[float], float],
+                         cache_labels: tp.Optional[np.ndarray] = None,
+                         num_classes: tp.Optional[int] = None,
                          **kwargs) -> jax.Array:
     """Dispatch: Pallas kernel on TPU, dense XLA reference elsewhere.
 
     Accepts a scalar / python list of betas for convenience; always returns
-    (B, Nt, C).
+    (B, Nt, C). When ``cache_labels`` is provided (values known to be
+    one-hot(labels)), the structure-exploiting one-hot kernel is tried
+    first; ANY failure there (class-scattered blocks, Mosaic/VMEM compile
+    errors for unusual geometries) falls back to the dense kernel, so the
+    fast path is never load-bearing for correctness.
     """
     if not isinstance(betas, jax.Array):
         betas = jnp.atleast_1d(jnp.asarray(betas, jnp.float32))
-    if jax.default_backend() == "tpu":
+    on_tpu = jax.default_backend() == "tpu"
+    if cache_labels is not None and (on_tpu or ONEHOT_FORCE):
+        c = int(num_classes if num_classes is not None else cache_values.shape[1])
+        try:
+            return cache_attention_onehot(
+                test_features, cache_features, cache_labels, betas, c,
+                interpret=not on_tpu)
+        except Exception as e:  # noqa: BLE001 — dense kernel is always valid
+            import warnings
+
+            warnings.warn(f"one-hot cache kernel unavailable for this shape "
+                          f"({type(e).__name__}: {str(e)[:120]}); dense fallback")
+    if on_tpu:
         return cache_attention(test_features, cache_features, cache_values, betas, **kwargs)
     return cache_attention_reference(test_features, cache_features, cache_values, betas)

@@ -145,7 +145,8 @@ class TestImageAttentionOnehotKernel:
             return {key(r): (r["acc1"], r["acc5"]) for r in recs}
 
         dense = run_and_collect("dense")
-        monkeypatch.setattr(image_attention, "ONEHOT_FORCE", True)
+        from summer_clip_tpu.ops import cache_kernels as ck
+        monkeypatch.setattr(ck, "ONEHOT_FORCE", True)
         fused = run_and_collect("onehot")
         assert dense.keys() == fused.keys() and len(dense) > 0
         for k in dense:

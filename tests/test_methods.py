@@ -151,7 +151,8 @@ class TestTipAdapter:
     def test_onehot_kernel_path_matches_dense(self, monkeypatch):
         """tip_logits/search_hp with cache_labels (one-hot kernel, forced on
         via ONEHOT_FORCE/interpret) == the dense value-matrix path."""
-        monkeypatch.setattr(T, "ONEHOT_FORCE", True)
+        from summer_clip_tpu.ops import cache_kernels as ck
+        monkeypatch.setattr(ck, "ONEHOT_FORCE", True)
         rng = np.random.default_rng(1)
         n, nk, c, d = 24, 40, 7, 16
         f = _feats(0, n, d)

@@ -328,6 +328,45 @@ class TestCacheAttentionOnehot:
         assert list(table[0][:2]) == [3, 5] and table[0][2] == -2
         assert list(table[1][:1]) == [7] and table[1][1] == -2
 
+    def test_block_chooser_respects_vmem_budget(self):
+        """Large C shrinks the (bb, bq) out block instead of blowing VMEM
+        (the dense kernel adapts the same way; the one-hot kernel must too)."""
+        from summer_clip_tpu.ops.cache_kernels import _pick_blocks_onehot
+
+        assert _pick_blocks_onehot(1024, 1024) == (128, 1024, 8)
+        for c_p in (2048, 4096, 16384):
+            bq, bn, bb = _pick_blocks_onehot(1024, c_p)
+            need = (2 * bn * 1024 * 2 + bq * 1024 * 2
+                    + 2 * bb * bq * c_p * 4 + bq * bn * 4)
+            assert need <= 14 * 1024 * 1024, (c_p, bq, bn, bb)
+
+    def test_auto_routes_labels_and_falls_back(self, monkeypatch):
+        """cache_attention_auto(cache_labels=...) uses the one-hot kernel
+        when forced, equals the dense result, and silently falls back for
+        class-scattered labels."""
+        monkeypatch.setattr(ca, "ONEHOT_FORCE", True)
+        f = _rand(0, 16, 32)
+        f = f / jnp.linalg.norm(f, axis=-1, keepdims=True)
+        cf = _rand(1, 128, 32)
+        cf = cf / jnp.linalg.norm(cf, axis=-1, keepdims=True)
+        labels = np.sort(np.arange(128) % 6)
+        v = jax.nn.one_hot(jnp.asarray(labels), 6)
+        betas = jnp.asarray([1.0, 5.5])
+        want = ca.cache_attention_reference(f, cf, v, betas)
+        got = ca.cache_attention_auto(f, cf, v, betas, cache_labels=labels)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4, rtol=1e-4)
+        # scattered labels exceed k_limit -> warns + dense fallback, same result
+        scattered = np.arange(512) % 400
+        cf2 = _rand(2, 512, 32)
+        cf2 = cf2 / jnp.linalg.norm(cf2, axis=-1, keepdims=True)
+        v2 = jax.nn.one_hot(jnp.asarray(scattered), 400)
+        with pytest.warns(UserWarning, match="dense fallback"):
+            got2 = ca.cache_attention_auto(f, cf2, v2, betas, cache_labels=scattered)
+        want2 = ca.cache_attention_reference(f, cf2, v2, betas)
+        np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                                   atol=1e-4, rtol=1e-4)
+
 
 class TestFlashAttentionGrad:
     def test_custom_vjp_matches_reference_grads(self):
