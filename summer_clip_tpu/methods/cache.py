@@ -272,11 +272,15 @@ class TipAdapterWeightsStrategy(CacheWeightsStrategy):
 
 def cache_logits_for_betas(test_features, cache_features, cache_values,
                            betas: tp.Sequence[float], *, normalize: bool = True,
+                           cache_labels: tp.Optional[np.ndarray] = None,
                            **kernel_kwargs):
     """Fused (B, Nt, C) cache logits over a beta sweep (the hot path).
 
     Replaces the reference's per-beta weight recompute
-    (``image_attention.py:106-110``) with one Pallas launch.
+    (``image_attention.py:106-110``) with one Pallas launch. Pass
+    ``cache_labels`` when ``cache_values`` is one_hot(labels) — the sweep
+    then rides the structure-exploiting one-hot kernel
+    (``ops.cache_attention_onehot``) with automatic dense fallback.
     """
     import jax.numpy as jnp
 
@@ -325,4 +329,11 @@ def cache_logits_for_betas(test_features, cache_features, cache_values,
     if normalize:
         f = f / jnp.maximum(jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-12)
     f = f.astype(f_dtype)
-    return cache_attention_auto(f, c, v, jnp.asarray(list(betas), jnp.float32), **kernel_kwargs)
+    if cache_labels is not None:
+        # row padding added by _host_prep: pad labels with -1 (zero rows)
+        cache_labels = np.asarray(cache_labels, np.int32)
+        pad = c.shape[0] - cache_labels.shape[0]
+        if pad:
+            cache_labels = np.concatenate([cache_labels, np.full(pad, -1, np.int32)])
+    return cache_attention_auto(f, c, v, jnp.asarray(list(betas), jnp.float32),
+                                cache_labels=cache_labels, **kernel_kwargs)

@@ -352,14 +352,13 @@ def cache_attention_onehot(test_features: jax.Array, cache_features: jax.Array,
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("block_q", "block_n", "block_b", "c_p", "num_classes",
-                     "interpret", "compute_dtype"),
-)
-def _cache_attention_onehot_jit(f, cf, labels2d, crow, ccol, betas, *,
-                                block_q, block_n, block_b, c_p, num_classes,
-                                interpret, compute_dtype):
+def onehot_pallas(f, cf, labels2d, crow, ccol, betas, *,
+                  block_q, block_n, block_b, c_p, num_classes,
+                  interpret, compute_dtype):
+    """Traceable one-hot kernel launch (also usable INSIDE shard_map for the
+    N-sharded pod composition — ``parallel/sharded_cache.py``). ``labels2d``
+    (nc_p, 1) and the class tables ``crow`` (num_n, k_max) / ``ccol``
+    (k_max, num_n) must already be block_n-aligned; f/betas pad here."""
     nt, d = f.shape
     nc = cf.shape[0]
     b = betas.shape[0]
@@ -436,6 +435,13 @@ def _cache_attention_onehot_jit(f, cf, labels2d, crow, ccol, betas, *,
         ),
     )(bet2d, labels2d, crow, ccol, f, cf)
     return out[:b, :nt, :num_classes]
+
+
+_cache_attention_onehot_jit = functools.partial(
+    jax.jit,
+    static_argnames=("block_q", "block_n", "block_b", "c_p", "num_classes",
+                     "interpret", "compute_dtype"),
+)(onehot_pallas)
 
 
 def cache_attention_auto(test_features: jax.Array, cache_features: jax.Array,

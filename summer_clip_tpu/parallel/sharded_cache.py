@@ -23,7 +23,9 @@ from jax import shard_map
 import numpy as np
 from jax.sharding import NamedSharding
 
-from summer_clip_tpu.ops.cache_kernels import cache_attention_auto, cache_attention_reference
+from summer_clip_tpu.ops.cache_kernels import (
+    _ceil_to, _pick_blocks_onehot, cache_attention_auto,
+    cache_attention_reference, onehot_block_classes, onehot_pallas)
 
 __all__ = ["sharded_cache_logits", "pad_cache_for_mesh", "ShardedResidentCache"]
 
@@ -118,11 +120,29 @@ class ShardedResidentCache:
         cf = np.asarray(cache_features, np.float32)
         cf = cf / np.maximum(np.linalg.norm(cf, axis=1, keepdims=True), 1e-12)
         co = np.asarray(cache_outs, np.float32)
-        pad = (-self.n_rows) % n_shards
+        # PREDICTION-SORTED residence (like the single-device app path): row
+        # order never changes the psum'd logits, and class-grouped rows make
+        # Hard-value combos eligible for the one-hot kernel per shard.
+        # Selection masks map through `_rank` in logits().
+        preds = co.argmax(axis=1).astype(np.int32)
+        order = np.argsort(preds, kind="stable")
+        self._rank = np.empty_like(order)
+        self._rank[order] = np.arange(order.size)
+        cf, co = cf[order], co[order]
+        # one-hot kernel geometry: per-shard rows must align to its cache
+        # block, so pad rows to a multiple of n_shards * block_n
+        self._onehot_bq, self._onehot_bn, self._onehot_bb = _pick_blocks_onehot(
+            _ceil_to(cf.shape[1], 128), _ceil_to(max(co.shape[1], 128), 128))
+        pad = (-self.n_rows) % (n_shards * self._onehot_bn)
         if pad:
             cf = np.concatenate([cf, np.zeros((pad, cf.shape[1]), np.float32)])
             co = np.concatenate([co, np.zeros((pad, co.shape[1]), np.float32)])
         self.padded_rows = cf.shape[0]
+        self._preds = np.concatenate([preds[order],
+                                      np.full(pad, -1, np.int32)])
+        # k_max from the FULL label set = a stable upper bound for every
+        # selection (masking only removes classes from blocks)
+        _, self._k_max = onehot_block_classes(self._preds, self._onehot_bn)
         spec = NamedSharding(mesh, P(axis, None))
         # device_put straight from host numpy: each device receives only its
         # row shard (staging through jnp.asarray would commit the full ~GBs
@@ -159,16 +179,81 @@ class ShardedResidentCache:
 
         return compute
 
+    def _build_onehot(self, n_betas: int) -> tp.Callable:
+        """shard_map body running the one-hot kernel on each shard's rows:
+        the per-shard label slice + block class tables replace the value
+        matrix entirely; the only collective stays the final psum."""
+        axis = self.axis
+        other_axes = [a for a in self.mesh.axis_names if a != axis]
+        on_tpu = jax.default_backend() == "tpu"
+        compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
+        num_classes = int(self.outs.shape[1])
+        c_p = _ceil_to(max(num_classes, 128), 128)
+        bq, bn = self._onehot_bq, self._onehot_bn
+        bb = min(self._onehot_bb, max(1, n_betas))
+
+        @functools.partial(
+            shard_map, mesh=self.mesh,
+            in_specs=(P(), P(axis, None), P(axis, None), P(axis, None),
+                      P(None, axis), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+        def compute(f, c_shard, lab_shard, crow_shard, ccol_shard, b):
+            part = onehot_pallas(
+                f.astype(compute_dtype), c_shard.astype(compute_dtype),
+                lab_shard, crow_shard, ccol_shard, b,
+                block_q=bq, block_n=bn, block_b=bb, c_p=c_p,
+                num_classes=num_classes, interpret=not on_tpu,
+                compute_dtype=compute_dtype)
+            part = jax.lax.psum(part, axis)
+            for a in other_axes:
+                part = jax.lax.pmean(part, a)
+            return part
+
+        return compute
+
+    def _onehot_logits(self, test_norm, pos: np.ndarray, betas) -> jnp.ndarray:
+        labels_eff = np.full(self.padded_rows, -1, np.int32)
+        labels_eff[pos] = self._preds[pos]
+        table, k = onehot_block_classes(labels_eff, self._onehot_bn)
+        if k < self._k_max:  # stable static shape across selections
+            table = np.concatenate([
+                table, np.full((table.shape[0], self._k_max - k), -2, np.int32)], 1)
+        spec_rows = NamedSharding(self.mesh, P(self.axis, None))
+        spec_cols = NamedSharding(self.mesh, P(None, self.axis))
+        key = ("onehot", int(betas.shape[0]))
+        if key not in self._compute:
+            self._compute[key] = self._build_onehot(int(betas.shape[0]))
+        return self._compute[key](
+            jnp.asarray(test_norm, jnp.float32), self.features,
+            jax.device_put(labels_eff.reshape(-1, 1), spec_rows),
+            jax.device_put(table, spec_rows),
+            jax.device_put(table.T.copy(), spec_cols), betas)
+
     def logits(self, test_norm: jnp.ndarray, inds: np.ndarray, betas,
                kind: str = "hard", scale: float = 1.0) -> jnp.ndarray:
         """(B, Nt, C) fused cache logits for the selected rows ``inds``."""
         if kind not in ("hard", "softmax"):
             raise ValueError(f"unknown value kind: {kind}")
+        betas = jnp.atleast_1d(jnp.asarray(betas, jnp.float32))
+        # selection indices are in ORIGINAL row order; residence is sorted
+        pos = self._rank[np.asarray(inds)]
+        from summer_clip_tpu.ops import cache_kernels as ck
+
+        if kind == "hard" and (jax.default_backend() == "tpu" or ck.ONEHOT_FORCE):
+            try:
+                return self._onehot_logits(test_norm, pos, betas)
+            except Exception as e:  # noqa: BLE001 — masked dense path is always valid
+                import warnings
+
+                warnings.warn(f"sharded one-hot kernel unavailable "
+                              f"({type(e).__name__}: {str(e)[:120]}); "
+                              "masked dense fallback")
         if kind not in self._compute:
             self._compute[kind] = self._build(kind)
         mask = np.zeros(self.padded_rows, np.float32)
-        mask[np.asarray(inds)] = 1.0
-        betas = jnp.atleast_1d(jnp.asarray(betas, jnp.float32))
+        mask[pos] = 1.0
         return self._compute[kind](jnp.asarray(test_norm, jnp.float32),
                                    self.features, self.outs, jnp.asarray(mask),
                                    betas, jnp.asarray(scale, jnp.float32))

@@ -117,6 +117,34 @@ class TestShardedCache:
                                         jnp.asarray(hard), jnp.asarray(betas))
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4)
 
+    def test_resident_cache_onehot_shard_path(self, devices8, monkeypatch):
+        """The one-hot kernel INSIDE shard_map (per-shard labels + class
+        tables, no value matrix anywhere) == dense oracle — the pod-scale
+        composition of the structure-exploiting kernel, forced on via
+        ONEHOT_FORCE (interpret kernels per shard)."""
+        from summer_clip_tpu.ops import cache_kernels as ck
+
+        monkeypatch.setattr(ck, "ONEHOT_FORCE", True)
+        mesh = create_mesh(data=2, model=4, devices=devices8)
+        rng = np.random.RandomState(5)
+        nt, nc, d, c = 7, 43, 16, 6
+        f = rng.randn(nt, d).astype(np.float32)
+        f /= np.linalg.norm(f, axis=1, keepdims=True)
+        cache = rng.randn(nc, d).astype(np.float32)
+        outs = rng.randn(nc, c).astype(np.float32)
+        cn = cache / np.linalg.norm(cache, axis=1, keepdims=True)
+        betas = [0.5, 5.5, 11.0]
+
+        resident = ShardedResidentCache(cache, outs, mesh, axis="model")
+        for inds in (np.arange(nc), np.asarray([0, 3, 8, 15, 24, 35, 42])):
+            got = resident.logits(jnp.asarray(f), inds, betas, kind="hard")
+            hard = np.zeros((len(inds), c), np.float32)
+            hard[np.arange(len(inds)), outs[inds].argmax(1)] = 1.0
+            ref = cache_attention_reference(jnp.asarray(f), jnp.asarray(cn[inds]),
+                                            jnp.asarray(hard), jnp.asarray(betas))
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=1e-4, rtol=1e-4)
+
     def test_data_axis_sharding(self, devices8):
         mesh = create_mesh(data=8, model=1, devices=devices8)
         rng = np.random.RandomState(1)

@@ -181,6 +181,42 @@ def bench_tower(name: str, batch: int, iters: int = 64) -> None:
         f"int8 {batch/t_i8:8.0f} img/s  speedup {t_bf/t_i8:.2f}x  {drift}")
 
 
+def bench_text_tower(name: str, rows: int = 1024, iters: int = 16) -> None:
+    """Zero-shot classifier build throughput: encode_text over (rows, 77)
+    token batches (the reference's per-class encode_text loop,
+    eval_clip.py:21-28, batched here), bf16 vs int8."""
+    from summer_clip_tpu.models.clip import build_clip
+
+    model, cfg = build_clip(name, dtype=jnp.bfloat16)
+    qmodel, _ = build_clip(name, dtype=jnp.bfloat16, quant="int8")
+    rng = np.random.RandomState(0)
+    tokens = jnp.asarray(rng.randint(1, cfg.vocab_size, (rows, cfg.context_length)),
+                         jnp.int32)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.image_resolution, cfg.image_resolution, 3), jnp.float32),
+        jnp.zeros((1, cfg.context_length), jnp.int32))
+
+    def encode(m):
+        @jax.jit
+        def fn(tokens):
+            t = m.apply(variables, tokens, method=m.encode_text).astype(jnp.float32)
+            return t / jnp.linalg.norm(t, axis=-1, keepdims=True)
+        return fn
+
+    f_bf, f_i8 = encode(model), encode(qmodel)
+    try:
+        cos = jnp.sum(f_bf(tokens) * f_i8(tokens), axis=-1)
+        drift = f"cos_min {float(jnp.min(cos)):.4f}"
+    except Exception as e:
+        log(f"[text {name}] int8 path FAILED: {type(e).__name__}: {str(e)[:160]}")
+        return
+    t_bf = _time(f_bf, tokens, iters=iters, repeats=2)
+    t_i8 = _time(f_i8, tokens, iters=iters, repeats=2)
+    log(f"[text {name} rows={rows}] bf16 {rows/t_bf:8.0f} texts/s  "
+        f"int8 {rows/t_i8:8.0f} texts/s  speedup {t_bf/t_i8:.2f}x  {drift}")
+
+
 def main() -> None:
     enable_persistent_cache()
     log(f"backend={jax.default_backend()}")
@@ -204,6 +240,7 @@ def main() -> None:
     # the decision numbers: full towers at their production batch sizes
     bench_tower("ViT-B/16", batch=64)
     bench_tower("RN50", batch=128, iters=32)
+    bench_text_tower("ViT-B/16")
     log("done")
 
 
