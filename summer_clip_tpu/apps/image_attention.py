@@ -391,7 +391,7 @@ class ImageAttention(BaseTrainer):
             # device gather of the pre-normalized resident cache; row counts
             # pad to the kernel's max block with zero VALUE rows (exact)
             from summer_clip_tpu.ops.cache_kernels import (
-                cache_attention_auto, cache_attention_onehot)
+                cache_attention_auto, cache_attention_from_labels)
 
             cf_dev, outs_sel, valid = sel
             pad = cf_dev.shape[0] - valid
@@ -399,16 +399,19 @@ class ImageAttention(BaseTrainer):
                 labels_p = np.full((cf_dev.shape[0],), -1, np.int32)
                 labels_p[:valid] = values.labels
                 try:
-                    return cache_attention_onehot(
+                    # skinny two-dot kernel for class-grouped selections,
+                    # label-built dense for scattered ones — either way the
+                    # (N, C) value matrix never exists (ops/cache_kernels)
+                    return cache_attention_from_labels(
                         self._test_norm, cf_dev, labels_p,
                         jnp.asarray(list(betas), jnp.float32), values.num_classes,
                         interpret=jax.default_backend() != "tpu")
                 except Exception as e:  # noqa: BLE001 — dense path is always valid
-                    # class-scattered selection (ValueError) or a Mosaic/VMEM
-                    # compile failure at an unusual geometry: dense values
+                    # a Mosaic/VMEM compile failure at an unusual geometry:
+                    # dense values
                     import warnings
 
-                    warnings.warn(f"one-hot cache kernel unavailable "
+                    warnings.warn(f"label-driven cache kernels unavailable "
                                   f"({type(e).__name__}: {str(e)[:120]}); "
                                   "dense fallback")
                     values = _device_hard_values(outs_sel, jnp.asarray(valid))

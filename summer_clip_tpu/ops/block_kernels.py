@@ -96,8 +96,14 @@ def fused_ln_mlp(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
                  ).astype(dtype)
             h = jnp.dot(y, w1_ref[:], preferred_element_type=jnp.float32
                         ).astype(dtype) + b1_ref[:]
-            # dtype-pinned constant: Mosaic rejects weak-f32 * bf16 broadcasts
-            h = h * jax.nn.sigmoid(jnp.asarray(1.702, dtype) * h)
+            # QuickGELU, Mosaic-safe: bf16 `logistic` lowers to an f32->bf16
+            # vector.broadcast that fails MLIR verification on real TPUs
+            # (interpret mode can't see it), so run the sigmoid in f32 and
+            # round back — exactly XLA's bf16 transcendental semantics
+            # (upcast, compute, downcast), keeping the oracle bit-match.
+            s_in = jnp.asarray(1.702, dtype) * h          # bf16 multiply, as the module
+            sig = jax.nn.sigmoid(s_in.astype(jnp.float32)).astype(dtype)
+            h = h * sig
             out = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32
                           ).astype(dtype) + b2_ref[:]
             o_ref[i] = xb + out

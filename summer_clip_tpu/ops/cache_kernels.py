@@ -36,7 +36,9 @@ from jax.experimental import pallas as pl
 
 __all__ = [
     "cache_attention_reference", "cache_attention", "cache_attention_auto",
-    "cache_attention_onehot", "onehot_block_classes",
+    "cache_attention_onehot", "cache_attention_labels",
+    "cache_attention_from_labels", "onehot_block_classes",
+    "onehot_table_operands",
 ]
 
 
@@ -250,6 +252,43 @@ def onehot_block_classes(labels_padded: np.ndarray, block_n: int
     return table, k_max
 
 
+def onehot_table_operands(labels_padded: np.ndarray, block_n: int,
+                          k_pad: tp.Optional[int] = None
+                          ) -> tp.Tuple[np.ndarray, np.ndarray, int]:
+    """Mosaic-tile-legal forms of the per-block class table.
+
+    The natural table shapes — (num_n, k_max) blocked (1, k_max) and its
+    transpose blocked (k_max, 1) — violate Mosaic's block-tiling rule (a
+    block's last two dims must be multiples of (8, 128) or span the array;
+    a 1-wide partial dim is neither), which the interpret-mode tests cannot
+    see: the first real-TPU run failed to lower. Legal layouts instead:
+
+    - ``crow8``  (num_n * 8, k_max): rows [8n, 8n+8) all carry table row n;
+      blocked (8, k_max) — 8 divides the sublane tile, k_max spans the lane
+      axis. The kernel reads row 0.
+    - ``ccol128`` (k_max, num_n * 128): columns [128n, 128n+128) all carry
+      table row n as a column; blocked (k_max, 128). The kernel reads
+      column 0. (A column form is required to build the (k_max, C) expand
+      matrix — Mosaic has no cheap in-kernel transpose for int vectors.)
+
+    ``k_pad`` pins k_max to a caller-chosen static width (sharded residence
+    keeps one width across selections so programs never recompile).
+    """
+    table, k_max = onehot_block_classes(labels_padded, block_n)
+    if k_pad is not None:
+        if k_pad < k_max:
+            raise ValueError(f"k_pad={k_pad} < required k_max={k_max}")
+        if k_pad % 8:
+            raise ValueError(f"k_pad must be a multiple of 8, got {k_pad}")
+        if k_pad != k_max:
+            table = np.concatenate(
+                [table, np.full((table.shape[0], k_pad - k_max), -2, np.int32)], 1)
+            k_max = k_pad
+    crow8 = np.repeat(table, 8, axis=0)
+    ccol128 = np.repeat(table.T, 128, axis=1)
+    return crow8, ccol128, k_max
+
+
 def _pick_blocks_onehot(d_p: int, c_p: int, f_bytes: int = 2,
                         budget_bytes: int = 14 * 1024 * 1024
                         ) -> tp.Tuple[int, int, int]:
@@ -332,11 +371,11 @@ def cache_attention_onehot(test_features: jax.Array, cache_features: jax.Array,
 
     labels_p = np.full((nc_p,), -1, np.int32)
     labels_p[:nc] = labels
-    table, k_max = onehot_block_classes(labels_p, block_n)
+    crow8, ccol128, k_max = onehot_table_operands(labels_p, block_n)
     if k_max > k_limit:
         raise ValueError(
             f"one-hot kernel: a cache block spans {k_max} classes (> {k_limit}); "
-            "group rows by class or use cache_attention with dense values")
+            "group rows by class or use cache_attention_labels/cache_attention")
 
     f = test_features.astype(compute_dtype) if jnp.issubdtype(
         test_features.dtype, jnp.floating) else test_features
@@ -344,7 +383,7 @@ def cache_attention_onehot(test_features: jax.Array, cache_features: jax.Array,
         cache_features.dtype, jnp.floating) else cache_features
     return _cache_attention_onehot_jit(
         f, cf, jnp.asarray(labels_p.reshape(-1, 1)),
-        jnp.asarray(table), jnp.asarray(table.T.copy()),
+        jnp.asarray(crow8), jnp.asarray(ccol128),
         betas.astype(jnp.float32),
         block_q=block_q, block_n=block_n, block_b=block_b,
         c_p=c_p, num_classes=num_classes, interpret=interpret,
@@ -352,15 +391,15 @@ def cache_attention_onehot(test_features: jax.Array, cache_features: jax.Array,
     )
 
 
-def onehot_pallas(f, cf, labels2d, crow, ccol, betas, *,
+def onehot_pallas(f, cf, labels2d, crow8, ccol128, betas, *,
                   block_q, block_n, block_b, c_p, num_classes,
                   interpret, compute_dtype):
     """Traceable one-hot kernel launch (also usable INSIDE shard_map for the
     N-sharded pod composition — ``parallel/sharded_cache.py``). ``labels2d``
-    (nc_p, 1) and the class tables ``crow`` (num_n, k_max) / ``ccol``
-    (k_max, num_n) must already be block_n-aligned; f/betas pad here."""
+    (nc_p, 1) and the tile-legal class tables ``crow8`` (num_n * 8, k_max) /
+    ``ccol128`` (k_max, num_n * 128) — see :func:`onehot_table_operands` —
+    must already be block_n-aligned; f/betas pad here."""
     nt, d = f.shape
-    nc = cf.shape[0]
     b = betas.shape[0]
     d_p = _ceil_to(d, 128)
     nt_p = _ceil_to(nt, block_q)
@@ -368,7 +407,9 @@ def onehot_pallas(f, cf, labels2d, crow, ccol, betas, *,
     b_p = _ceil_to(b, block_b)
     num_n = nc_p // block_n
     num_bb = b_p // block_b
-    k_max = crow.shape[1]
+    k_max = crow8.shape[1]
+    assert crow8.shape[0] == num_n * 8 and ccol128.shape == (k_max, num_n * 128), (
+        crow8.shape, ccol128.shape, num_n, k_max)
 
     f = _pad_axis(_pad_axis(f, 1, d_p), 0, nt_p)
     cf = _pad_axis(_pad_axis(cf, 1, d_p), 0, nc_p)
@@ -394,19 +435,40 @@ def onehot_pallas(f, cf, labels2d, crow, ccol, betas, *,
         # SAME addends as the dense kernel's `w @ V`; the expand scatter
         # stays f32 end-to-end — rounding `small` to bf16 would lose up to
         # ~2^-9 relative on ~1e3-sized class sums and break dense parity.
-        local = (lab == crow_ref[:]).astype(compute_dtype)      # (bn, k_max)
+        crow = crow_ref[0:1, :]                       # (1, k_max) int32
+        local = (lab == crow).astype(compute_dtype)   # (bn, k_max)
+        col = ccol_ref[:, 0:1]                        # (k_max, 1) int32
         iota = jax.lax.broadcasted_iota(jnp.int32, (k_max, c_p), 1)
-        expand = (ccol_ref[:] == iota).astype(jnp.float32)      # (k_max, c_p)
+        expand = (col == iota).astype(compute_dtype)  # (k_max, c_p), 0/1 exact
         aff = jax.lax.dot_general(
             fq, cn, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                             # (bq, bn) f32
         for bi in range(block_b):
             beta = beta_ref[bb_idx, bi]
-            w = jnp.exp(-beta * (1.0 - aff)).astype(compute_dtype)
+            # no explicit bf16 cast of w: the MXU truncates the f32 operand
+            # to the compute dtype itself (measured bit-identical on chip),
+            # saving a (bq, bn) VPU cast per beta
+            w = jnp.exp(-beta * (1.0 - aff))
             small = jnp.dot(w, local, preferred_element_type=jnp.float32)
-            o_ref[bi] += jnp.dot(small, expand,
-                                 preferred_element_type=jnp.float32)
+            # Exact expand scatter in three one-pass dots: the MXU's default
+            # dot truncates the f32 `small` to bf16 (2^-9 relative on
+            # ~1e3-sized class sums — breaks dense parity; measured 0.24 abs
+            # on chip, invisible in interpret mode), and Precision.HIGHEST
+            # fixes it but costs ~6 passes (measured 1.14x vs dense at
+            # ImageNet geometry, against 1.77x for this split). Splitting
+            # small = hi + mid + lo into bf16 terms is EXACT — each residual
+            # subtraction is exact in f32 and the last residual fits bf16's
+            # 8 mantissa bits — and each product is x1.0, so three default
+            # dots reconstruct the f32 scatter bit-for-bit.
+            hi = small.astype(compute_dtype)
+            r1 = small - hi.astype(jnp.float32)
+            mid = r1.astype(compute_dtype)
+            lo = (r1 - mid.astype(jnp.float32)).astype(compute_dtype)
+            o_ref[bi] += (
+                jnp.dot(hi, expand, preferred_element_type=jnp.float32)
+                + jnp.dot(mid, expand, preferred_element_type=jnp.float32)
+                + jnp.dot(lo, expand, preferred_element_type=jnp.float32))
 
     grid = (num_bb, nt_p // block_q, num_n)
     out = pl.pallas_call(
@@ -415,8 +477,8 @@ def onehot_pallas(f, cf, labels2d, crow, ccol, betas, *,
         in_specs=[
             pl.BlockSpec((num_bb, block_b), lambda bb, q, n: (0, 0)),
             pl.BlockSpec((block_n, 1), lambda bb, q, n: (n, 0)),
-            pl.BlockSpec((1, k_max), lambda bb, q, n: (n, 0)),
-            pl.BlockSpec((k_max, 1), lambda bb, q, n: (0, n)),
+            pl.BlockSpec((8, k_max), lambda bb, q, n: (n, 0)),
+            pl.BlockSpec((k_max, 128), lambda bb, q, n: (0, n)),
             pl.BlockSpec((block_q, d_p), lambda bb, q, n: (q, 0)),
             pl.BlockSpec((block_n, d_p), lambda bb, q, n: (n, 0)),
         ],
@@ -433,7 +495,7 @@ def onehot_pallas(f, cf, labels2d, crow, ccol, betas, *,
                             + b_p * nt_p * c_p * 4),
             transcendentals=b_p * nt_p * nc_p,
         ),
-    )(bet2d, labels2d, crow, ccol, f, cf)
+    )(bet2d, labels2d, crow8, ccol128, f, cf)
     return out[:b, :nt, :num_classes]
 
 
@@ -442,6 +504,185 @@ _cache_attention_onehot_jit = functools.partial(
     static_argnames=("block_q", "block_n", "block_b", "c_p", "num_classes",
                      "interpret", "compute_dtype"),
 )(onehot_pallas)
+
+
+def labels_dense_pallas(f, cf, labels2d, betas, *,
+                        block_q, block_n, block_b, c_p, num_classes,
+                        interpret, compute_dtype):
+    """Traceable label-built dense launch (shard_map-compatible): the
+    one-hot value BLOCK is rebuilt on the VPU from the (bn, 1) label slice
+    each grid step — full dense ``w @ V`` MXU cost, but the (Nc, C) value
+    matrix is never materialized in or streamed from HBM, and NO class
+    tables exist, so any row order works. ``labels2d`` (nc_p, 1) must be
+    block_n-aligned; f/betas pad here."""
+    nt, d = f.shape
+    b = betas.shape[0]
+    d_p = _ceil_to(d, 128)
+    nt_p = _ceil_to(nt, block_q)
+    nc_p = labels2d.shape[0]
+    b_p = _ceil_to(b, block_b)
+    num_n = nc_p // block_n
+    num_bb = b_p // block_b
+
+    f = _pad_axis(_pad_axis(f, 1, d_p), 0, nt_p)
+    cf = _pad_axis(_pad_axis(cf, 1, d_p), 0, nc_p)
+    bet = jnp.concatenate([
+        betas, jnp.full((b_p - b,), betas[-1], jnp.float32),
+    ]) if b_p != b else betas
+    bet2d = bet.reshape(num_bb, block_b)
+
+    def kernel(beta_ref, lab_ref, f_ref, c_ref, o_ref):
+        bb_idx = pl.program_id(0)
+        n_idx = pl.program_id(2)
+
+        @pl.when(n_idx == 0)
+        def _():
+            o_ref[:] = jnp.zeros_like(o_ref)
+
+        fq = f_ref[:]                                 # (bq, d_p)
+        cn = c_ref[:]                                 # (bn, d_p)
+        lab = lab_ref[:]                              # (bn, 1) int32
+        # vn[r, c] = [label_r == c]: exactly the dense kernel's value block
+        # (pad/disabled rows carry -1 -> all-zero rows). 0/1 are exact in
+        # bf16, so numerics match the dense kernel bit-for-bit.
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (block_n, c_p), 1)
+        vn = (lab == iota_c).astype(compute_dtype)    # (bn, c_p)
+        aff = jax.lax.dot_general(
+            fq, cn, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                             # (bq, bn) f32
+        for bi in range(block_b):
+            beta = beta_ref[bb_idx, bi]
+            w = jnp.exp(-beta * (1.0 - aff)).astype(compute_dtype)
+            o_ref[bi] += jnp.dot(w, vn, preferred_element_type=jnp.float32)
+
+    grid = (num_bb, nt_p // block_q, num_n)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((num_bb, block_b), lambda bb, q, n: (0, 0)),
+            pl.BlockSpec((block_n, 1), lambda bb, q, n: (n, 0)),
+            pl.BlockSpec((block_q, d_p), lambda bb, q, n: (q, 0)),
+            pl.BlockSpec((block_n, d_p), lambda bb, q, n: (n, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_b, block_q, c_p), lambda bb, q, n: (bb, q, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b_p, nt_p, c_p), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nt_p * nc_p * d_p * num_bb
+            + b_p * (2 * nt_p * nc_p * c_p + 2 * nt_p * nc_p),
+            bytes_accessed=(nt_p * d_p * 2 + nc_p * d_p * 2
+                            + b_p * nt_p * c_p * 4),
+            transcendentals=b_p * nt_p * nc_p,
+        ),
+    )(bet2d, labels2d, f, cf)
+    return out[:b, :nt, :num_classes]
+
+
+_cache_attention_labels_jit = functools.partial(
+    jax.jit,
+    static_argnames=("block_q", "block_n", "block_b", "c_p", "num_classes",
+                     "interpret", "compute_dtype"),
+)(labels_dense_pallas)
+
+
+def _pick_blocks_labels_dense(d_p: int, c_p: int, f_bytes: int = 2,
+                              budget_bytes: int = 14 * 1024 * 1024
+                              ) -> tp.Tuple[int, int, int]:
+    """Blocks for the label-built dense kernel: the dense chooser's budget
+    with the streamed value block replaced by the in-VMEM (bn, c_p) rebuild
+    (single-buffered temp, not a double-buffered input)."""
+    candidates = [
+        (128, 1024, 8), (128, 512, 8), (128, 256, 8), (256, 512, 4),
+        (128, 256, 4), (128, 256, 2), (128, 128, 2), (128, 128, 1),
+        (64, 128, 1), (32, 128, 1), (16, 128, 1),
+    ]
+    for bq, bn, bb in candidates:
+        need = (2 * bn * d_p * f_bytes + bq * d_p * f_bytes
+                + 2 * bb * bq * c_p * 4 + bq * bn * 4 + bn * c_p * f_bytes)
+        if need <= budget_bytes:
+            return bq, bn, bb
+    return 16, 128, 1
+
+
+def cache_attention_labels(test_features: jax.Array, cache_features: jax.Array,
+                           cache_labels: tp.Any, betas: jax.Array,
+                           num_classes: int, *,
+                           block_q: tp.Optional[int] = None,
+                           block_n: tp.Optional[int] = None,
+                           block_b: tp.Optional[int] = None,
+                           interpret: bool = False,
+                           compute_dtype: tp.Any = None) -> jax.Array:
+    """Fused sweep for one-hot values built IN-KERNEL from labels.
+
+    Mathematically identical to :func:`cache_attention` with
+    ``values = one_hot(cache_labels, num_classes)`` for ANY row order: each
+    cache block's value sub-matrix is rebuilt on the VPU from its (bn, 1)
+    label slice (a compare against a class iota — ~bn*C bool ops, noise next
+    to the block's MXU work), so the (Nc, C) value matrix is never
+    materialized in HBM or streamed per (beta-chunk, query-block) — at
+    ImageNet geometry that removes ~1GB of HBM residency and the dominant
+    value re-read traffic while keeping the dense kernel's exact numerics.
+    Unlike :func:`cache_attention_onehot` there is no class-grouping
+    requirement and no k_limit; MXU cost stays dense.
+    """
+    nt, d = test_features.shape
+    nc, _ = cache_features.shape
+    if compute_dtype is None:
+        compute_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+    labels = np.asarray(cache_labels, np.int32).reshape(-1)
+    assert labels.shape[0] == nc, (labels.shape, nc)
+    if labels.size and (labels.min() < -1 or labels.max() >= num_classes):
+        raise ValueError("cache_labels out of range")
+
+    d_p = _ceil_to(d, 128)
+    c_p = _ceil_to(max(num_classes, 128), 128)
+    f_bytes = jnp.dtype(compute_dtype).itemsize
+    auto_bq, auto_bn, auto_bb = _pick_blocks_labels_dense(d_p, c_p, f_bytes)
+    block_q = block_q or auto_bq
+    block_n = block_n or auto_bn
+    block_b = block_b or min(auto_bb, max(1, betas.shape[0]))
+    nc_p = _ceil_to(nc, block_n)
+
+    labels_p = np.full((nc_p,), -1, np.int32)
+    labels_p[:nc] = labels
+    f = test_features.astype(compute_dtype) if jnp.issubdtype(
+        test_features.dtype, jnp.floating) else test_features
+    cf = cache_features.astype(compute_dtype) if jnp.issubdtype(
+        cache_features.dtype, jnp.floating) else cache_features
+    return _cache_attention_labels_jit(
+        f, cf, jnp.asarray(labels_p.reshape(-1, 1)),
+        betas.astype(jnp.float32),
+        block_q=block_q, block_n=block_n, block_b=block_b,
+        c_p=c_p, num_classes=num_classes, interpret=interpret,
+        compute_dtype=compute_dtype,
+    )
+
+
+def cache_attention_from_labels(test_features: jax.Array,
+                                cache_features: jax.Array,
+                                cache_labels: tp.Any, betas: jax.Array,
+                                num_classes: int, *,
+                                interpret: bool = False,
+                                k_limit: int = 128) -> jax.Array:
+    """Best label-driven kernel for one-hot values; never streams a value
+    matrix. Class-grouped rows (sorted residence / top-k-per-class
+    selections) take the skinny two-dot :func:`cache_attention_onehot`
+    (~6x less MXU work per beta at ImageNet geometry); class-scattered rows
+    take :func:`cache_attention_labels` (dense MXU, zero value traffic).
+    Mosaic/compile errors propagate — callers fall back to dense values."""
+    try:
+        return cache_attention_onehot(
+            test_features, cache_features, cache_labels, betas, num_classes,
+            interpret=interpret, k_limit=k_limit)
+    except ValueError:
+        return cache_attention_labels(
+            test_features, cache_features, cache_labels, betas, num_classes,
+            interpret=interpret)
 
 
 def cache_attention_auto(test_features: jax.Array, cache_features: jax.Array,
@@ -454,10 +695,11 @@ def cache_attention_auto(test_features: jax.Array, cache_features: jax.Array,
 
     Accepts a scalar / python list of betas for convenience; always returns
     (B, Nt, C). When ``cache_labels`` is provided (values known to be
-    one-hot(labels)), the structure-exploiting one-hot kernel is tried
-    first; ANY failure there (class-scattered blocks, Mosaic/VMEM compile
-    errors for unusual geometries) falls back to the dense kernel, so the
-    fast path is never load-bearing for correctness.
+    one-hot(labels)), the label-driven kernels are tried first
+    (:func:`cache_attention_from_labels`: skinny two-dot for class-grouped
+    rows, label-built dense otherwise); ANY failure there (Mosaic/VMEM
+    compile errors for unusual geometries) falls back to the dense kernel,
+    so the fast path is never load-bearing for correctness.
     """
     if not isinstance(betas, jax.Array):
         betas = jnp.atleast_1d(jnp.asarray(betas, jnp.float32))
@@ -465,14 +707,14 @@ def cache_attention_auto(test_features: jax.Array, cache_features: jax.Array,
     if cache_labels is not None and (on_tpu or ONEHOT_FORCE):
         c = int(num_classes if num_classes is not None else cache_values.shape[1])
         try:
-            return cache_attention_onehot(
+            return cache_attention_from_labels(
                 test_features, cache_features, cache_labels, betas, c,
                 interpret=not on_tpu)
         except Exception as e:  # noqa: BLE001 — dense kernel is always valid
             import warnings
 
-            warnings.warn(f"one-hot cache kernel unavailable for this shape "
-                          f"({type(e).__name__}: {str(e)[:120]}); dense fallback")
+            warnings.warn(f"label-driven cache kernels unavailable for this "
+                          f"shape ({type(e).__name__}: {str(e)[:120]}); dense fallback")
     if on_tpu:
         return cache_attention(test_features, cache_features, cache_values, betas, **kwargs)
     return cache_attention_reference(test_features, cache_features, cache_values, betas)

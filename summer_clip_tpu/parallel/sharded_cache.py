@@ -24,8 +24,9 @@ import numpy as np
 from jax.sharding import NamedSharding
 
 from summer_clip_tpu.ops.cache_kernels import (
-    _ceil_to, _pick_blocks_onehot, cache_attention_auto,
-    cache_attention_reference, onehot_block_classes, onehot_pallas)
+    _ceil_to, _pick_blocks_labels_dense, _pick_blocks_onehot,
+    cache_attention_auto, cache_attention_reference, labels_dense_pallas,
+    onehot_block_classes, onehot_pallas, onehot_table_operands)
 
 __all__ = ["sharded_cache_logits", "pad_cache_for_mesh", "ShardedResidentCache"]
 
@@ -133,6 +134,13 @@ class ShardedResidentCache:
         # block, so pad rows to a multiple of n_shards * block_n
         self._onehot_bq, self._onehot_bn, self._onehot_bb = _pick_blocks_onehot(
             _ceil_to(cf.shape[1], 128), _ceil_to(max(co.shape[1], 128), 128))
+        # label-built dense variant (scattered residences) has its own VMEM
+        # budget (the (bn, c_p) value rebuild lives in VMEM too); its bn is
+        # clamped to the onehot bn so the shard row padding stays aligned
+        # (both are power-of-two multiples of 128, so min divides max)
+        ld_bq, ld_bn, ld_bb = _pick_blocks_labels_dense(
+            _ceil_to(cf.shape[1], 128), _ceil_to(max(co.shape[1], 128), 128))
+        self._ldense = (ld_bq, min(ld_bn, self._onehot_bn), ld_bb)
         pad = (-self.n_rows) % (n_shards * self._onehot_bn)
         if pad:
             cf = np.concatenate([cf, np.zeros((pad, cf.shape[1]), np.float32)])
@@ -179,10 +187,12 @@ class ShardedResidentCache:
 
         return compute
 
-    def _build_onehot(self, n_betas: int) -> tp.Callable:
-        """shard_map body running the one-hot kernel on each shard's rows:
-        the per-shard label slice + block class tables replace the value
-        matrix entirely; the only collective stays the final psum."""
+    def _build_onehot(self, n_betas: int, skinny: bool) -> tp.Callable:
+        """shard_map body running a label-driven kernel on each shard's rows:
+        the per-shard label slice (+ tile-legal block class tables when
+        ``skinny``) replaces the value matrix entirely; the only collective
+        stays the final psum. ``skinny=False`` = the label-built dense kernel
+        (class-scattered residences past the k limit)."""
         axis = self.axis
         other_axes = [a for a in self.mesh.axis_names if a != axis]
         on_tpu = jax.default_backend() == "tpu"
@@ -192,20 +202,37 @@ class ShardedResidentCache:
         bq, bn = self._onehot_bq, self._onehot_bn
         bb = min(self._onehot_bb, max(1, n_betas))
 
+        if skinny:
+            specs = (P(), P(axis, None), P(axis, None), P(axis, None),
+                     P(None, axis), P())
+        else:
+            specs = (P(), P(axis, None), P(axis, None), P())
+
         @functools.partial(
             shard_map, mesh=self.mesh,
-            in_specs=(P(), P(axis, None), P(axis, None), P(axis, None),
-                      P(None, axis), P()),
+            in_specs=specs,
             out_specs=P(),
             check_vma=False,
         )
-        def compute(f, c_shard, lab_shard, crow_shard, ccol_shard, b):
-            part = onehot_pallas(
-                f.astype(compute_dtype), c_shard.astype(compute_dtype),
-                lab_shard, crow_shard, ccol_shard, b,
-                block_q=bq, block_n=bn, block_b=bb, c_p=c_p,
-                num_classes=num_classes, interpret=not on_tpu,
-                compute_dtype=compute_dtype)
+        def compute(f, c_shard, lab_shard, *rest):
+            if skinny:
+                crow_shard, ccol_shard, b = rest
+                part = onehot_pallas(
+                    f.astype(compute_dtype), c_shard.astype(compute_dtype),
+                    lab_shard, crow_shard, ccol_shard, b,
+                    block_q=bq, block_n=bn, block_b=bb, c_p=c_p,
+                    num_classes=num_classes, interpret=not on_tpu,
+                    compute_dtype=compute_dtype)
+            else:
+                (b,) = rest
+                ld_bq, ld_bn, ld_bb = self._ldense
+                part = labels_dense_pallas(
+                    f.astype(compute_dtype), c_shard.astype(compute_dtype),
+                    lab_shard, b,
+                    block_q=ld_bq, block_n=ld_bn,
+                    block_b=min(ld_bb, max(1, n_betas)), c_p=c_p,
+                    num_classes=num_classes, interpret=not on_tpu,
+                    compute_dtype=compute_dtype)
             part = jax.lax.psum(part, axis)
             for a in other_axes:
                 part = jax.lax.pmean(part, a)
@@ -216,20 +243,26 @@ class ShardedResidentCache:
     def _onehot_logits(self, test_norm, pos: np.ndarray, betas) -> jnp.ndarray:
         labels_eff = np.full(self.padded_rows, -1, np.int32)
         labels_eff[pos] = self._preds[pos]
-        table, k = onehot_block_classes(labels_eff, self._onehot_bn)
-        if k < self._k_max:  # stable static shape across selections
-            table = np.concatenate([
-                table, np.full((table.shape[0], self._k_max - k), -2, np.int32)], 1)
         spec_rows = NamedSharding(self.mesh, P(self.axis, None))
-        spec_cols = NamedSharding(self.mesh, P(None, self.axis))
-        key = ("onehot", int(betas.shape[0]))
+        skinny = self._k_max <= 128
+        key = ("onehot", skinny, int(betas.shape[0]))
         if key not in self._compute:
-            self._compute[key] = self._build_onehot(int(betas.shape[0]))
+            self._compute[key] = self._build_onehot(int(betas.shape[0]), skinny)
+        if not skinny:
+            # class-scattered residence: label-built dense per shard (no
+            # tables; dense MXU, still zero value materialization/streaming)
+            return self._compute[key](
+                jnp.asarray(test_norm, jnp.float32), self.features,
+                jax.device_put(labels_eff.reshape(-1, 1), spec_rows), betas)
+        # stable static table width across selections (no recompiles)
+        crow8, ccol128, _ = onehot_table_operands(
+            labels_eff, self._onehot_bn, k_pad=self._k_max)
+        spec_cols = NamedSharding(self.mesh, P(None, self.axis))
         return self._compute[key](
             jnp.asarray(test_norm, jnp.float32), self.features,
             jax.device_put(labels_eff.reshape(-1, 1), spec_rows),
-            jax.device_put(table, spec_rows),
-            jax.device_put(table.T.copy(), spec_cols), betas)
+            jax.device_put(crow8, spec_rows),
+            jax.device_put(ccol128, spec_cols), betas)
 
     def logits(self, test_norm: jnp.ndarray, inds: np.ndarray, betas,
                kind: str = "hard", scale: float = 1.0) -> jnp.ndarray:

@@ -356,16 +356,81 @@ class TestCacheAttentionOnehot:
         got = ca.cache_attention_auto(f, cf, v, betas, cache_labels=labels)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-4, rtol=1e-4)
-        # scattered labels exceed k_limit -> warns + dense fallback, same result
+        # scattered labels exceed k_limit -> the label-built dense kernel
+        # takes over (no warning, no value matrix), same result
         scattered = np.arange(512) % 400
         cf2 = _rand(2, 512, 32)
         cf2 = cf2 / jnp.linalg.norm(cf2, axis=-1, keepdims=True)
         v2 = jax.nn.one_hot(jnp.asarray(scattered), 400)
-        with pytest.warns(UserWarning, match="dense fallback"):
-            got2 = ca.cache_attention_auto(f, cf2, v2, betas, cache_labels=scattered)
+        got2 = ca.cache_attention_auto(f, cf2, v2, betas, cache_labels=scattered)
         want2 = ca.cache_attention_reference(f, cf2, v2, betas)
         np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
                                    atol=1e-4, rtol=1e-4)
+
+
+class TestCacheAttentionLabels:
+    """cache_attention_labels: one-hot values rebuilt in-kernel from labels —
+    dense MXU math, zero value materialization, any row order."""
+
+    @pytest.mark.parametrize("nt,nc,d,c,b", [(64, 300, 32, 17, 3), (50, 513, 96, 111, 8)])
+    def test_matches_reference_scattered(self, nt, nc, d, c, b):
+        rng = np.random.RandomState(1)
+        f = _rand(0, nt, d)
+        f = f / jnp.linalg.norm(f, axis=-1, keepdims=True)
+        cf = _rand(1, nc, d)
+        cf = cf / jnp.linalg.norm(cf, axis=-1, keepdims=True)
+        labels = rng.randint(0, c, nc)  # deliberately unsorted
+        betas = jnp.linspace(0.5, 11.5, b)
+        ref = ca.cache_attention_reference(
+            f, cf, jax.nn.one_hot(jnp.asarray(labels), c), betas)
+        out = ca.cache_attention_labels(f, cf, labels, betas, c, interpret=True,
+                                        block_q=32, block_n=128, block_b=4)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+    def test_pad_labels_contribute_nothing(self):
+        f = _rand(0, 16, 32)
+        f = f / jnp.linalg.norm(f, axis=-1, keepdims=True)
+        cf = _rand(1, 96, 32)
+        cf = cf / jnp.linalg.norm(cf, axis=-1, keepdims=True)
+        labels = np.concatenate([np.arange(64) % 9, np.full(32, -1)]).astype(np.int32)
+        betas = jnp.asarray([1.0, 5.5])
+        ref = ca.cache_attention_reference(
+            f, cf[:64], jax.nn.one_hot(jnp.asarray(labels[:64]), 9), betas)
+        out = ca.cache_attention_labels(f, cf, labels, betas, 9, interpret=True,
+                                        block_q=16, block_n=32, block_b=2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+    def test_from_labels_dispatch(self):
+        """Grouped labels take the skinny kernel; scattered ones fall through
+        to the label-dense kernel (no ValueError escapes)."""
+        f = _rand(0, 8, 16)
+        f = f / jnp.linalg.norm(f, axis=-1, keepdims=True)
+        cf = _rand(1, 256, 16)
+        cf = cf / jnp.linalg.norm(cf, axis=-1, keepdims=True)
+        scattered = (np.arange(256) * 7) % 200  # every 128-block spans > 64 classes
+        betas = jnp.asarray([1.0, 5.5])
+        ref = ca.cache_attention_reference(
+            f, cf, jax.nn.one_hot(jnp.asarray(scattered), 200), betas)
+        out = ca.cache_attention_from_labels(f, cf, scattered, betas, 200,
+                                             interpret=True, k_limit=64)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+    def test_table_operands_tile_legal_layouts(self):
+        labels = np.asarray([3, 3, 5, -1, 7, 7, 7, 7], np.int32)
+        crow8, ccol128, k_max = ca.onehot_table_operands(labels, block_n=4)
+        assert k_max == 8
+        assert crow8.shape == (2 * 8, k_max)
+        assert ccol128.shape == (k_max, 2 * 128)
+        # rows [8n, 8n+8) all carry table row n; cols [128n, 128n+128) its column
+        assert (crow8[:8] == crow8[0]).all() and (crow8[8:] == crow8[8]).all()
+        assert list(crow8[0][:2]) == [3, 5] and crow8[0][2] == -2
+        assert (ccol128[:, :128] == ccol128[:, :1]).all()
+        assert list(ccol128[:2, 128]) == [7, -2]
+        # k_pad pins the static width
+        crow8p, ccol128p, kp = ca.onehot_table_operands(labels, 4, k_pad=16)
+        assert kp == 16 and crow8p.shape == (16, 16) and ccol128p.shape == (16, 256)
+        with pytest.raises(ValueError, match="k_pad"):
+            ca.onehot_table_operands(np.arange(64, dtype=np.int32), 64, k_pad=8)
 
 
 class TestFlashAttentionGrad:

@@ -47,7 +47,7 @@ def build_app(nt: int, nc: int, d: int, c: int):
         inv = jax.lax.rsqrt(jnp.sum(x.astype(jnp.float32) ** 2, -1, keepdims=True))
         return (x.astype(jnp.float32) * inv).astype(dtype)
 
-    kf, kc, ko, kl, kg = jax.random.split(jax.random.PRNGKey(0), 5)
+    kf, kc, ko, kl, kg, kt = jax.random.split(jax.random.PRNGKey(0), 6)
     pad = (-nc) % 1024
     app = ImageAttention.__new__(ImageAttention)
     app.mesh = None
@@ -57,7 +57,22 @@ def build_app(nt: int, nc: int, d: int, c: int):
     app._test_norm = make_rows(kf, n=nt, dim=d)
     cache_dev = make_rows(kc, n=nc + pad, dim=d)  # pad rows: unit-norm noise,
     #                                # masked by zero VALUE rows (kernel invariant)
-    outs_dev = jax.jit(lambda k: jax.random.normal(k, (nc + pad, c), dtype))(ko)
+    # outs = noise + a clear winner at a uniformly-drawn class per row. Pure
+    # noise is NOT representative: argmax over bf16 noise tie-breaks to the
+    # first index, which skews predictions so hard (measured min=1 /
+    # median=194 / max=10026 rows per class) that sorted 1024-row blocks span
+    # 144 distinct classes and the skinny one-hot kernel correctly refuses
+    # (k_limit) in favor of the label-dense variant. Real CLIP logits follow
+    # the image's class; uniform-ish predictions are the representative case.
+    target = jax.random.randint(kt, (nc + pad, 1), 0, c)
+
+    @jax.jit
+    def make_outs(k, target):
+        noise = jax.random.normal(k, (nc + pad, c), dtype)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (nc + pad, c), 1)
+        return noise + jnp.asarray(6.0, dtype) * (iota == target).astype(dtype)
+
+    outs_dev = make_outs(ko, target)
     # PREDICTION-SORTED residence, like the app's setup_model: one device
     # permute of the resident matrices; the tool then treats sorted order as
     # the original order (identity rank), exactly what the app's
