@@ -364,9 +364,10 @@ def main() -> None:
         "vs_baseline": round(ips / 10000.0, 4),
     }), flush=True)
     def bench_vit():
-        # ViT-B/16 secondary: the round-3 packed/fused Pallas attention win
-        # rides this number (docs/KERNELS.md); batch 64 is the sweet spot
-        bench_encode("ViT-B/16", batch=64, iters=128)
+        # ViT-B/16 secondary: the round-3 fused-block Pallas win rides this
+        # number (docs/KERNELS.md); with FUSED_BLOCK_MODE="block" throughput
+        # grows with batch up to the 128 sweet spot (4013 img/s measured)
+        bench_encode("ViT-B/16", batch=128, iters=128)
 
     for fn in (bench_cache_affinity, bench_vit, bench_imagenet_scale_cache,
                bench_imagenet_e2e_app, bench_image_attention_combo,

@@ -38,9 +38,12 @@ Dtype = tp.Any
 # hidden). "attn": only the attention core is fused (ops/attention packed
 # kernel, via multi_head_attention auto-select). "xla": no Pallas.
 # TPU-only either way; CPU always takes the plain module math.
-# Default "attn" until the block kernels get their on-chip validation run
-# (backend outage at commit time); flip to "block" with measurements.
-FUSED_BLOCK_MODE = "attn"
+# Default "block": measured on v5e (tools/profile_fused_block.py) ViT-B/16
+# image b=128 xla 2872 / attn 3721 / block 4013 img/s; b=64 3053/3563/3757;
+# text tower b=512 11839/17221/19906 rows/s. (The first on-chip run found a
+# Mosaic bf16-logistic lowering bug in the MLP half — fixed in
+# ops/block_kernels.py by running the sigmoid in f32.)
+FUSED_BLOCK_MODE = "block"
 # test hook: exercise the fused path off-TPU (kernels run in interpret mode)
 FUSED_BLOCK_FORCE = False
 
