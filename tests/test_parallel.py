@@ -145,6 +145,38 @@ class TestShardedCache:
             np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                        atol=1e-4, rtol=1e-4)
 
+    def test_resident_cache_labels_dense_shard_path(self, devices8, monkeypatch):
+        """Class-scattered residence (k_max > 128) must route to the
+        label-built dense kernel INSIDE shard_map (no class tables, no value
+        matrix) and still match the dense oracle."""
+        from summer_clip_tpu.ops import cache_kernels as ck
+
+        monkeypatch.setattr(ck, "ONEHOT_FORCE", True)
+        mesh = create_mesh(data=2, model=4, devices=devices8)
+        rng = np.random.RandomState(6)
+        nt, nc, d, c = 5, 900, 16, 300
+        f = rng.randn(nt, d).astype(np.float32)
+        f /= np.linalg.norm(f, axis=1, keepdims=True)
+        cache = rng.randn(nc, d).astype(np.float32)
+        # outs whose argmax is 'preds': scattered so sorted blocks still
+        # span ~300 distinct classes (every class has ~3 rows)
+        preds = rng.randint(0, c, nc)
+        outs = rng.randn(nc, c).astype(np.float32)
+        outs[np.arange(nc), preds] += 10.0
+        cn = cache / np.linalg.norm(cache, axis=1, keepdims=True)
+        betas = [0.5, 5.5]
+
+        resident = ShardedResidentCache(cache, outs, mesh, axis="model")
+        assert resident._k_max > 128  # the scattered regime this test pins
+        for inds in (np.arange(nc), np.asarray([0, 13, 88, 215, 514, 899])):
+            got = resident.logits(jnp.asarray(f), inds, betas, kind="hard")
+            hard = np.zeros((len(inds), c), np.float32)
+            hard[np.arange(len(inds)), outs[inds].argmax(1)] = 1.0
+            ref = cache_attention_reference(jnp.asarray(f), jnp.asarray(cn[inds]),
+                                            jnp.asarray(hard), jnp.asarray(betas))
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=1e-4, rtol=1e-4)
+
     def test_data_axis_sharding(self, devices8):
         mesh = create_mesh(data=8, model=1, devices=devices8)
         rng = np.random.RandomState(1)
