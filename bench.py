@@ -369,9 +369,12 @@ def main() -> None:
         # grows with batch up to the 128 sweet spot (4013 img/s measured)
         bench_encode("ViT-B/16", batch=128, iters=128)
 
+    # cheap (compile-cached) secondaries first; the ImageNet e2e app goes
+    # last because its all-logits program can cost 200-500s of remote
+    # compile on a cold cache, which must not starve the GPT numbers
     for fn in (bench_cache_affinity, bench_vit, bench_imagenet_scale_cache,
-               bench_imagenet_e2e_app, bench_image_attention_combo,
-               bench_gpt_train_step, bench_gpt_decode):
+               bench_gpt_train_step, bench_gpt_decode,
+               bench_image_attention_combo, bench_imagenet_e2e_app):
         if time.perf_counter() - _T0 > 520:
             # remote compiles/stalls have eaten the budget — the headline is
             # already out; don't let a late secondary push past a driver

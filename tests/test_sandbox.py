@@ -41,6 +41,54 @@ class TestGenerateCli:
         assert "input tokens" in out and "Output" in out
 
 
+class TestGreedyRollout:
+    def test_matches_naive_autoregressive_loop(self):
+        """The fixed-shape scan rollout == a python loop that regrows the
+        sequence each step (the reference model_emb, helpers.py:166-190)."""
+        model, cfg = G.build_gpt2("test-gpt")
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+        table = jnp.asarray(variables["params"]["wte"]["embedding"])
+
+        def gpt_apply(e):
+            return model.apply(variables, inputs_embeds=e)["logits"]
+
+        rng = jax.random.PRNGKey(1)
+        x = jax.random.normal(rng, (2, 3, cfg.n_embd))
+        out_len = 4
+        logits, out_ids, seq = AT.greedy_rollout(gpt_apply, x, table, out_len)
+        assert logits.shape == (2, 3 + out_len, cfg.vocab_size)
+        assert out_ids.shape == (2, out_len)
+        # naive loop: grow the sequence one greedy token at a time
+        e = x
+        naive_ids = []
+        for _ in range(out_len):
+            last = gpt_apply(e)[:, -1]
+            ix = jnp.argmax(last, axis=-1)
+            naive_ids.append(np.asarray(ix))
+            e = jnp.concatenate([e, table[ix][:, None, :]], axis=1)
+        np.testing.assert_array_equal(np.asarray(out_ids), np.stack(naive_ids, 1))
+        # the final full forward reproduces the per-step logits
+        np.testing.assert_allclose(np.asarray(logits), np.asarray(gpt_apply(seq)),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_confidence_perplexity_formula(self):
+        logits = jnp.asarray(np.random.RandomState(0).randn(2, 5, 7).astype(np.float32))
+        p = np.asarray(jax.nn.softmax(logits, axis=-1)).max(axis=-1)  # (2, 5)
+        expect = 1.0 / np.prod(p, axis=-1) ** (1.0 / p.shape[-1]) - 1.0
+        got = np.asarray(AT.confidence_perplexity(logits))
+        np.testing.assert_allclose(got, expect, rtol=1e-5)
+
+
+class TestKMeansEqual:
+    def test_equal_clusters_have_capacity_sizes(self):
+        rng = np.random.RandomState(0)
+        emb = rng.randn(24, 6).astype(np.float32)
+        assign, centroids = AT.kmeans(emb, 4, seed=0, equal_clusters=True)
+        counts = np.bincount(np.asarray(assign), minlength=4)
+        assert counts.tolist() == [6, 6, 6, 6]
+        assert centroids.shape == (4, 6)
+
+
 class TestOptimiseInput:
     def test_drives_target_logits_up(self):
         model, cfg = G.build_gpt2("test-gpt")
@@ -55,6 +103,82 @@ class TestOptimiseInput:
         assert out["inputs"].shape == (2, 3, cfg.n_embd)
         assert out["nearest_token_ids"].shape == (2, 3)
         assert np.isfinite(out["losses"]).all()
+
+    def test_sliding_window_and_rep_penalty_run(self):
+        """output_len > len(target) engages the per-token window max
+        (backwards.py:98-104); rep penalty engages the logit sum."""
+        model, cfg = G.build_gpt2("test-gpt")
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+        table = np.asarray(variables["params"]["wte"]["embedding"])
+
+        def gpt_apply(e):
+            return model.apply(variables, inputs_embeds=e)["logits"]
+
+        out = AT.optimise_input(gpt_apply, table, target_ids=[3, 5], input_len=2,
+                                batch_size=2, epochs=4, lr=0.05, init="random",
+                                output_len=4, penalise_repetition=True,
+                                check_freq=2)
+        assert np.isfinite(out["losses"]).all()
+        assert out["perplexities"].shape == (2,)
+
+    def test_ce_rejects_multi_token_targets(self):
+        import pytest
+
+        with pytest.raises(ValueError):
+            AT.optimise_input(lambda e: e, np.eye(4, dtype=np.float32),
+                              target_ids=[1, 2], loss_type="ce")
+
+    def test_success_detection_reinit_and_early_return(self):
+        """A linear 'LM' (logits = cosine to the table) emits the nearest
+        token; 'local' init starts at the target's embedding, so the very
+        first check finds it, records it, and return_early stops the run."""
+        rng = np.random.RandomState(0)
+        table = rng.randn(16, 8).astype(np.float32)
+        table /= np.linalg.norm(table, axis=1, keepdims=True)
+        tbl = jnp.asarray(table)
+
+        def gpt_apply(e):
+            return 10.0 * jnp.einsum("bld,vd->blv", e, tbl)
+
+        logs = []
+        out = AT.optimise_input(gpt_apply, table, target_ids=[7], input_len=2,
+                                batch_size=3, epochs=50, lr=0.01, init="local",
+                                check_freq=5, return_early=True,
+                                log_fn=logs.append)
+        assert out["found"], "local init at the target must be detected"
+        assert out["epochs_run"] < 50  # return_early fired
+        f = out["found"][0]
+        assert 7 in f["output_ids"] and {"loss", "perplexity", "distance"} <= set(f)
+        assert logs and logs[-1]["num_found"] >= 1
+
+    def test_lr_decay_halves_on_plateau(self):
+        """Constant logits => constant loss => plateau => lr halves."""
+        table = np.eye(8, dtype=np.float32)
+        const = jnp.zeros((1, 1, 8))
+
+        def gpt_apply(e):
+            b, t, _ = e.shape
+            return jnp.broadcast_to(const, (b, t, 8))
+
+        out = AT.optimise_input(gpt_apply, table, target_ids=[2], input_len=2,
+                                batch_size=2, epochs=60, lr=0.1, dist_reg=0.0,
+                                init="random", lr_decay=True, check_freq=10,
+                                no_reinit=True)
+        assert out["final_lr"] < 0.1
+
+    def test_backwards_cli_smoke(self, tmp_path, capsys):
+        log = tmp_path / "m.jsonl"
+        res = AT.backwards_main([
+            "--model_name", "test-gpt", "--epochs", "4", "--w_freq", "2",
+            "--batch_size", "2", "--input_len", "2", "--init", "random",
+            "--run_test_set", "3", "5", "--log", str(log)])
+        assert len(res["runs"]) == 2
+        assert log.exists()
+        recs = [json.loads(l) for l in log.read_text().splitlines()]
+        assert any(r.get("type") == "optimise_input" for r in recs)
+        assert any(r.get("type") == "table" for r in recs)
+        out = capsys.readouterr().out
+        assert "target=" in out
 
 
 class TestTriggerSearch:
