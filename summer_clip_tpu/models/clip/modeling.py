@@ -38,20 +38,29 @@ Dtype = tp.Any
 # hidden). "attn": only the attention core is fused (ops/attention packed
 # kernel, via multi_head_attention auto-select). "xla": no Pallas.
 # TPU-only either way; CPU always takes the plain module math.
+# "mlp": only the MLP half is fused (hidden-chunked kernel) beside the
+# packed attention core — an opt-in probe, measured slower than "attn" at
+# every current geometry (see _fuse_mlp_ok).
 # Default "block": measured on v5e (tools/profile_fused_block.py) ViT-B/16
 # image b=128 xla 2872 / attn 3721 / block 4013 img/s; b=64 3053/3563/3757;
 # text tower b=512 11839/17221/19906 rows/s. (The first on-chip run found a
 # Mosaic bf16-logistic lowering bug in the MLP half — fixed in
-# ops/block_kernels.py by running the sigmoid in f32.)
+# ops/block_kernels.py by running the sigmoid in f32.) Per-geometry gates
+# below demote wide towers where the fused halves measured slower: ViT-L/14
+# image runs packed attention + module MLP (855-873 img/s vs 733-770 fused,
+# vs 607-682 xla) while its TEXT tower (d=768) keeps both fused halves
+# (10.6k vs 7.3k rows/s).
 FUSED_BLOCK_MODE = "block"
 # test hook: exercise the fused path off-TPU (kernels run in interpret mode)
 FUSED_BLOCK_FORCE = False
 
 
-def _fuse_base_ok(d: int, t: int, num_heads: int) -> bool:
-    # FORCE (the test hook) implies block mode: tests exercise the fused
-    # path off-TPU regardless of the production default
-    return ((FUSED_BLOCK_MODE == "block" or FUSED_BLOCK_FORCE)
+def _fuse_base_ok(d: int, t: int, num_heads: int,
+                  modes: tp.Tuple[str, ...] = ("block",)) -> bool:
+    # FORCE (the test hook) bypasses only the backend check so tests can
+    # exercise the fused paths off-TPU (interpret mode); the mode policy
+    # still applies (the default mode is "block")
+    return (FUSED_BLOCK_MODE in modes
             and (jax.default_backend() == "tpu" or FUSED_BLOCK_FORCE)
             and d % num_heads == 0
             and t <= SHORT_MAX_T)
@@ -60,18 +69,35 @@ def _fuse_base_ok(d: int, t: int, num_heads: int) -> bool:
 def _fuse_attn_ok(d: int, t: int, num_heads: int, itemsize: int) -> bool:
     # weights (4*d^2) + one sequence's activations (x/o double-buffered,
     # y/q/k/v, ~9 tiles) + the (t, t) f32 score tile must fit VMEM in the
-    # COMPUTE dtype. bf16 ViT-B: 7.6MB ok; ViT-L@224 13.4MB marginal-ok;
-    # ViT-L@336 (t=577) 20MB -> module path (packed attention kernel).
+    # COMPUTE dtype. bf16 ViT-B: 7.6MB ok. The threshold is 12MB by
+    # measurement, not arithmetic: ViT-L@224's 13.4MB "fits" but loses on
+    # the chip (A/B tools/profile_fused_block.py round 3: fused-attn modes
+    # 735-770 img/s vs 855-873 for the packed-attention module path — the
+    # marginal fit leaves no VMEM for pipelining), and ViT-L@336 (20MB)
+    # cannot lower at all. Both take the module path.
     total = (4 * d * d + 9 * t * d) * itemsize + 4 * t * t
-    return _fuse_base_ok(d, t, num_heads) and total <= 14 * 1024 * 1024
+    return _fuse_base_ok(d, t, num_heads) and total <= 12 * 1024 * 1024
 
 
 def _fuse_mlp_ok(d: int, t: int, num_heads: int, itemsize: int) -> bool:
-    # weights (2*d*4d) + one sequence's activations incl. the (t, 4d)
-    # hidden: bf16 ViT-L weights alone (16.8MB) exceed the budget and keep
-    # the module path for the MLP half only
+    # resident-weight kernel when weights (2*d*4d) + one sequence's
+    # activations incl. the (t, 4d) hidden fit; wider towers (ViT-L: 16.8MB
+    # bf16 weights) route to the hidden-chunked kernel inside
+    # fused_ln_mlp_ad, whose budget is the streamed weight-chunk pair
+    # (~8MB) + x/o/y/acc activations (~4*t*d*itemsize + t*d*4)
     total = (8 * d * d + 8 * t * d) * itemsize
-    return _fuse_base_ok(d, t, num_heads) and total <= 14 * 1024 * 1024
+    if total <= 14 * 1024 * 1024:
+        return _fuse_base_ok(d, t, num_heads)
+    chunked = 8 * 1024 * 1024 + 5 * t * d * itemsize + 4 * t * d
+    # The hidden-chunked kernel is a measured NEGATIVE at ViT-L/14 image
+    # geometry (A/B round 3: packed-attn + chunked MLP 750-782 img/s vs
+    # 838-873 for packed-attn + module MLP): with one sequence group per
+    # grid step the full 16.8MB weight set re-streams per group, which
+    # costs more HBM than the (T, 4D) hidden round-trip it saves. It stays
+    # an explicit opt-in (FUSED_BLOCK_MODE = "mlp") as a tested probe for
+    # future shapes/hardware, never a default route.
+    return (_fuse_base_ok(d, t, num_heads, modes=("mlp",))
+            and chunked <= 14 * 1024 * 1024)
 
 
 class _DenseParams(nn.Module):

@@ -26,10 +26,11 @@ import typing as tp
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["ln_mlp_reference", "fused_ln_mlp", "fused_ln_mlp_ad",
-           "ln_attn_reference", "fused_ln_attn", "fused_ln_attn_ad",
-           "FUSED_MLP_MAX_WEIGHT_BYTES"]
+__all__ = ["ln_mlp_reference", "fused_ln_mlp", "fused_ln_mlp_chunked",
+           "fused_ln_mlp_ad", "ln_attn_reference", "fused_ln_attn",
+           "fused_ln_attn_ad", "FUSED_MLP_MAX_WEIGHT_BYTES"]
 
 # Weights must stay VMEM-resident beside the activation blocks; ViT-B/text
 # widths (D <= 768: 9.4MB) fit, ViT-L (D=1024: 16.8MB) does not.
@@ -122,6 +123,88 @@ def fused_ln_mlp(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
         ],
         out_specs=pl.BlockSpec((gb, t, d), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, t, d), dtype),
+        interpret=interpret or jax.default_backend() != "tpu",
+    )(x, ln_scale, ln_bias, w1.astype(dtype), b1.astype(dtype),
+      w2.astype(dtype), b2.astype(dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret", "hidden_chunk"))
+def fused_ln_mlp_chunked(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
+                         w1: jax.Array, b1: jax.Array, w2: jax.Array,
+                         b2: jax.Array, *, eps: float = 1e-5,
+                         interpret: bool = False,
+                         hidden_chunk: tp.Optional[int] = None) -> jax.Array:
+    """``fused_ln_mlp`` for widths whose MLP weights exceed VMEM (ViT-L/14:
+    D=1024, H=4096 -> 16.8MB bf16).
+
+    The hidden dimension is chunked: grid = (batch groups, hidden chunks),
+    hidden-chunk fastest, so for a fixed sequence the (D, hc)/(hc, D) weight
+    chunks stream through VMEM while the partial ``gelu(y@w1[:,c]) @ w2[c,:]``
+    products accumulate in an f32 VMEM scratch. QuickGELU is elementwise on
+    the hidden, so chunking is exact up to f32 summation order; the (T, H)
+    hidden still never touches HBM. LN is recomputed per chunk (VPU noise
+    next to the two GEMMs). Residual + output bias are applied on the last
+    chunk, in the module's dtype semantics.
+    """
+    b, t, d = x.shape
+    h_dim = w1.shape[1]
+    dtype = x.dtype
+    # largest power-of-two chunk whose double-buffered weight pair fits a
+    # ~8MB slice of the budget: (d*hc + hc*d) * itemsize * 2 (pipeline) <= 8MB
+    itemsize = jnp.dtype(dtype).itemsize
+    hc = hidden_chunk or h_dim
+    while hidden_chunk is None and hc > 128 and 4 * d * hc * itemsize > 8 * 1024 * 1024:
+        hc //= 2
+    while h_dim % hc:
+        hc //= 2
+    nj = h_dim // hc
+    # activation side: x/o double-buffered + y + h-chunk + f32 scratch
+    act_bytes = (4 * t * d + t * hc) * itemsize + t * d * 4
+    gb = _seq_group(b, t, d, 4 * d * hc * itemsize,
+                    max(act_bytes // (t * d * 2), 1))
+
+    def kernel(x_ref, s_ref, bia_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+               o_ref, acc_ref):
+        j = pl.program_id(1)
+        last = pl.num_programs(1) - 1
+        for i in range(gb):  # static unroll over the sequence group
+            xb = x_ref[i]
+            y = _ln_f32(xb, s_ref[:], bia_ref[:], eps)
+            h = jnp.dot(y, w1_ref[:], preferred_element_type=jnp.float32
+                        ).astype(dtype) + b1_ref[:]
+            # f32 sigmoid for the Mosaic bf16-logistic bug (see fused_ln_mlp)
+            s_in = jnp.asarray(1.702, dtype) * h
+            sig = jax.nn.sigmoid(s_in.astype(jnp.float32)).astype(dtype)
+            h = h * sig
+            part = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+
+            @pl.when(j == 0)
+            def _():
+                acc_ref[i] = part
+
+            @pl.when(j > 0)
+            def _():
+                acc_ref[i] += part
+
+            @pl.when(j == last)
+            def _():
+                o_ref[i] = xb + (acc_ref[i].astype(dtype) + b2_ref[:])
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b // gb, nj),
+        in_specs=[
+            pl.BlockSpec((gb, t, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((d,), lambda i, j: (0,)),
+            pl.BlockSpec((d,), lambda i, j: (0,)),
+            pl.BlockSpec((d, hc), lambda i, j: (0, j)),
+            pl.BlockSpec((hc,), lambda i, j: (j,)),
+            pl.BlockSpec((hc, d), lambda i, j: (j, 0)),
+            pl.BlockSpec((d,), lambda i, j: (0,)),
+        ],
+        out_specs=pl.BlockSpec((gb, t, d), lambda i, j: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, t, d), dtype),
+        scratch_shapes=[pltpu.VMEM((gb, t, d), jnp.float32)],
         interpret=interpret or jax.default_backend() != "tpu",
     )(x, ln_scale, ln_bias, w1.astype(dtype), b1.astype(dtype),
       w2.astype(dtype), b2.astype(dtype))
@@ -262,17 +345,26 @@ def _fused_attn_bwd(num_heads, causal, residuals, g):
 fused_ln_attn_ad.defvjp(_fused_attn_fwd, _fused_attn_bwd)
 
 
+def _mlp_dispatch(x, ln_scale, ln_bias, w1, b1, w2, b2):
+    # route oversized-weight widths (ViT-L: 16.8MB bf16) to the
+    # hidden-chunked kernel; everything else keeps the resident-weight one
+    weight_bytes = 2 * w1.shape[0] * w1.shape[1] * jnp.dtype(x.dtype).itemsize
+    kern = (fused_ln_mlp_chunked if weight_bytes > FUSED_MLP_MAX_WEIGHT_BYTES
+            else fused_ln_mlp)
+    return kern(x, ln_scale, ln_bias, w1, b1, w2, b2)
+
+
 @jax.custom_vjp
 def fused_ln_mlp_ad(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
                     w1: jax.Array, b1: jax.Array, w2: jax.Array,
                     b2: jax.Array) -> jax.Array:
     """Differentiable wrapper: Pallas fused forward, XLA recompute backward
     (prompt/CoOp training backprops through the frozen towers)."""
-    return fused_ln_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2)
+    return _mlp_dispatch(x, ln_scale, ln_bias, w1, b1, w2, b2)
 
 
 def _fused_mlp_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2):
-    out = fused_ln_mlp(x, ln_scale, ln_bias, w1, b1, w2, b2)
+    out = _mlp_dispatch(x, ln_scale, ln_bias, w1, b1, w2, b2)
     return out, (x, ln_scale, ln_bias, w1, b1, w2, b2)
 
 

@@ -154,6 +154,31 @@ class TestFusedBlockKernels:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=5e-5, rtol=5e-5)
 
+    @pytest.mark.parametrize("hc", [64, 128])
+    def test_fused_ln_mlp_chunked_matches_reference(self, hc):
+        """Hidden-chunked variant (the ViT-L/14 route): forced multi-chunk
+        grids accumulate exactly (f32 scratch) vs the dense oracle."""
+        from summer_clip_tpu.ops import block_kernels as bk
+        args = self._mlp_args(4, 2, 50, 64)  # h_dim = 256 -> 4 or 2 chunks
+        ref = bk.ln_mlp_reference(*args)
+        out = bk.fused_ln_mlp_chunked(*args, interpret=True, hidden_chunk=hc)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-5, rtol=5e-5)
+
+    def test_mlp_dispatch_routes_oversized_weights_to_chunked(self, monkeypatch):
+        from summer_clip_tpu.ops import block_kernels as bk
+        calls = []
+        monkeypatch.setattr(bk, "fused_ln_mlp",
+                            lambda *a, **k: calls.append("plain") or bk.ln_mlp_reference(*a))
+        monkeypatch.setattr(bk, "fused_ln_mlp_chunked",
+                            lambda *a, **k: calls.append("chunked") or bk.ln_mlp_reference(*a))
+        args = self._mlp_args(5, 1, 8, 64)
+        bk._mlp_dispatch(*args)
+        assert calls == ["plain"]  # 64x256 f32 weights: 256KB, resident
+        monkeypatch.setattr(bk, "FUSED_MLP_MAX_WEIGHT_BYTES", 1024)
+        bk._mlp_dispatch(*args)
+        assert calls == ["plain", "chunked"]
+
     def _attn_args(self, key, b, t, d):
         r = np.random.RandomState(key)
         j = lambda a: jnp.asarray(a, jnp.float32)
@@ -198,7 +223,10 @@ class TestFusedBlockKernels:
         try:
             cases = [
                 ("ViT-B/16 vision", 768, 197, 12, True, True),
-                ("ViT-L/14 vision", 1024, 257, 16, True, False),
+                # round-3 on-chip A/B: both fused halves LOSE at ViT-L/14
+                # image geometry (marginal VMEM fit / weight re-streaming);
+                # the packed-attention module path is the measured winner
+                ("ViT-L/14 vision", 1024, 257, 16, False, False),
                 ("ViT-L/14@336 vision", 1024, 577, 16, False, False),
                 ("text 512", 512, 77, 8, True, True),
                 ("text 768 (ViT-L)", 768, 77, 12, True, True),
@@ -206,8 +234,11 @@ class TestFusedBlockKernels:
             for name, d, t, h, want_attn, want_mlp in cases:
                 assert M._fuse_attn_ok(d, t, h, 2) == want_attn, name
                 assert M._fuse_mlp_ok(d, t, h, 2) == want_mlp, name
-            # f32 halves the viable width
-            assert not M._fuse_mlp_ok(768, 197, 12, 4)
+            # the hidden-chunked MLP kernel is explicit opt-in only
+            M.FUSED_BLOCK_MODE = "mlp"
+            assert M._fuse_mlp_ok(1024, 257, 16, 2)
+            assert not M._fuse_mlp_ok(1024, 577, 16, 2)  # long-seq: no room
+            assert not M._fuse_attn_ok(768, 197, 12, 2)  # mlp mode: no attn half
         finally:
             M.FUSED_BLOCK_FORCE, M.FUSED_BLOCK_MODE = old_force, old_mode
 

@@ -177,11 +177,25 @@ def main() -> None:
     enable_persistent_cache()
     print(f"backend={jax.default_backend()} devices={jax.devices()}", flush=True)
     args = sys.argv[1:]
+    sections = {"train", "dots", "decode"}
+    if args and args[0] in sections:
+        sections = {args[0]}
+        args = args[1:]
     batch = int(args[0]) if args else 8
     ctx = int(args[1]) if len(args) > 1 else 1024
-    bench_train(batch=batch, ctx=ctx)
-    bench_train(batch=batch, ctx=ctx, remat_policy="dots")
-    bench_decode()
+    # sections are independent: the "dots" remat policy OOMs at 774M B=8
+    # ctx=1024 (it saves every (B, H, T, T) f32 score dot = 640MB/layer x 36
+    # layers — measured on-chip) and must not take decode down with it
+    for label, fn in (
+            ("train", lambda: bench_train(batch=batch, ctx=ctx)),
+            ("dots", lambda: bench_train(batch=batch, ctx=ctx, remat_policy="dots")),
+            ("decode", bench_decode)):
+        if label not in sections:
+            continue
+        try:
+            fn()
+        except Exception as e:
+            print(f"[{label}] FAILED: {type(e).__name__}: {str(e)[:300]}", flush=True)
 
 
 if __name__ == "__main__":

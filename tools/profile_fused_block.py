@@ -15,7 +15,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-MODES = ("xla", "attn", "block")
+MODES = ("xla", "attn", "block", "mlp")  # mlp = packed attention + fused MLP
 
 
 def _steady(fn, *args, iters=16):
