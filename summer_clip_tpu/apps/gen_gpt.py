@@ -119,6 +119,28 @@ def _filter_logits(scaled: jax.Array, top_k: int, approx_top_k: bool,
     return vals, idx
 
 
+def _quant_head_table(model, variables):
+    """The int8 lm-head table in kernel layout: (n_embd, V) q, (1, V) scale.
+
+    ClipGPT's head is ``adapter_head(clip_emb)`` — a 49k-row MLP (~181
+    GFLOP + ~126MB at gpt2-large). Decode programs compute it ONCE here,
+    before the scan, then quantize per vocab column; leaving it to
+    ``model.apply`` inside the scan body re-runs it per token on the
+    quantized tree (measured 1.49 ms/step vs 0.60 for a hoisted int8 read,
+    0.08 ideal — tools/profile_decode_large.py, gpt2-large geometry)."""
+    from summer_clip_tpu.engine.quant import quantize_array
+
+    if isinstance(model, gpt2_mod.ClipGPT):
+        table = model.apply(variables, method=model.lm_head_table)
+        return quantize_array(table.T, per_row=False)
+    from summer_clip_tpu.ops.gemv import is_qleaf
+
+    wte = variables["params"]["wte"]["embedding"]
+    if is_qleaf(wte):  # already per-row int8: transpose in place
+        return {"q": wte["q"].T, "scale": wte["scale"].T}
+    return quantize_array(wte.T, per_row=False)
+
+
 @functools.lru_cache(maxsize=64)
 def _decode_program(model, n_prompt: int, max_new: int, temp: float,
                     top_k: int, approx_top_k: bool, eot: int,
@@ -128,20 +150,20 @@ def _decode_program(model, n_prompt: int, max_new: int, temp: float,
     recompile on every call.
 
     ``quant_int8``: ``variables["params"]`` is a weight-only int8 tree
-    (``engine.quant.quantize_tree``); the scan body re-dequantizes behind an
-    optimization barrier each step, so the per-token HBM read is int8 —
-    decode is parameter-read-bound, so this is the 4x-traffic lever."""
-
-    def _vars(variables, in_loop: bool):
-        from summer_clip_tpu.engine.quant import swap_dequantized
-
-        return swap_dequantized(variables, in_loop=in_loop, enabled=quant_int8)
+    (``engine.quant.quantize_tree``) consumed AS STORED — QDense streams
+    int8 weight slabs through the Pallas GEMV (ops/gemv.py), embeds gather
+    int8 rows, and the lm head reads a pre-computed int8 table
+    (:func:`_quant_head_table`). Per-token HBM traffic is the int8 bytes;
+    nothing is dequantized into HBM inside the loop."""
 
     @jax.jit
     def run(variables, prompt, rng, cache):
-        out = model.apply(_vars(variables, False), prompt, position_offset=0,
-                          cache=cache)
+        out = model.apply(variables, prompt, position_offset=0, cache=cache)
         last, cache = out["logits"][:, -1, :], out["cache"]
+        if quant_int8:
+            from summer_clip_tpu.ops.gemv import qdot
+
+            table = _quant_head_table(model, variables)
 
         def body(carry, _):
             last, cache, rng, offset, done = carry
@@ -149,9 +171,13 @@ def _decode_program(model, n_prompt: int, max_new: int, temp: float,
             nxt = _sample_next(last[0] / temp, sub, top_k, approx_top_k, top_p)
             nxt = jnp.where(done, jnp.asarray(eot, nxt.dtype), nxt).astype(jnp.int32)
             done = done | (nxt == eot)
-            out = model.apply(_vars(variables, True), nxt[None, None],
+            out = model.apply(variables, nxt[None, None],
                               position_offset=offset, cache=cache)
-            return (out["logits"][:, -1, :], out["cache"], rng, offset + 1, done), nxt
+            if quant_int8:  # in-model logits are dead code (DCE'd)
+                logits = qdot(out["hidden"][:, -1, :], table, jnp.float32)
+            else:
+                logits = out["logits"][:, -1, :]
+            return (logits, out["cache"], rng, offset + 1, done), nxt
 
         init = (last, cache, rng, jnp.asarray(n_prompt, jnp.int32),
                 jnp.asarray(False))
@@ -217,16 +243,15 @@ def _decode_program_batched(model, batch: int, l_max: int, max_new: int,
                             top_p: float = 1.0):
     """Jitted batched prefill + decode scan (memoized; see _decode_program)."""
 
-    def _vars(variables, in_loop: bool):
-        from summer_clip_tpu.engine.quant import swap_dequantized
-
-        return swap_dequantized(variables, in_loop=in_loop, enabled=quant_int8)
-
     @jax.jit
     def run(variables, ids, pad, rng, cache):
-        out = model.apply(_vars(variables, False), ids, position_offset=(-pad)[:, None],
+        out = model.apply(variables, ids, position_offset=(-pad)[:, None],
                           cache=cache, key_pad=pad)
         last, cache0 = out["logits"][:, -1, :], out["cache"]
+        if quant_int8:
+            from summer_clip_tpu.ops.gemv import qdot
+
+            table = _quant_head_table(model, variables)
 
         def body(carry, step):
             last, cache, rng, done = carry
@@ -235,9 +260,13 @@ def _decode_program_batched(model, batch: int, l_max: int, max_new: int,
             nxt = jnp.where(done, jnp.asarray(eot, nxt.dtype), nxt).astype(jnp.int32)
             done = done | (nxt == eot)
             offs = (l_max + step - pad)[:, None]
-            out = model.apply(_vars(variables, True), nxt[:, None], position_offset=offs,
+            out = model.apply(variables, nxt[:, None], position_offset=offs,
                               cache=cache, key_pad=pad)
-            return (out["logits"][:, -1, :], out["cache"], rng, done), nxt
+            if quant_int8:  # in-model logits are dead code (DCE'd)
+                logits = qdot(out["hidden"][:, -1, :], table, jnp.float32)
+            else:
+                logits = out["logits"][:, -1, :]
+            return (logits, out["cache"], rng, done), nxt
 
         init = (last, cache0, rng, jnp.zeros(batch, bool))
         _, toks = jax.lax.scan(body, init, jnp.arange(max_new))

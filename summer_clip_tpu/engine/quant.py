@@ -26,7 +26,8 @@ import typing as tp
 import jax
 import jax.numpy as jnp
 
-__all__ = ["cast_params", "quantize_tree", "dequantize_tree", "dequantize_in_loop"]
+__all__ = ["cast_params", "quantize_tree", "quantize_array",
+           "dequantize_tree", "dequantize_in_loop"]
 
 _SENSITIVE = ("bias", "scale")  # LayerNorm/bias leaves: keep f32
 # gather-axis tables: scale per ROW (a handful of anomalous tokens with
@@ -59,6 +60,13 @@ def _quant_leaf(x: jax.Array, per_row: bool) -> tp.Dict[str, jax.Array]:
     return {"q": q, "scale": scale.astype(jnp.float32)}
 
 
+def quantize_array(x: jax.Array, *, per_row: bool = False):
+    """int8-quantize ONE array into a ``{"q", "scale"}`` leaf. Used by the
+    decode programs to quantize a lm-head table computed at trace time
+    (``apps/gen_gpt._head_table``), not just stored params."""
+    return _quant_leaf(x, per_row=per_row)
+
+
 def quantize_tree(params):
     """int8-quantize float matrix leaves; everything else passes through.
 
@@ -76,7 +84,11 @@ def quantize_tree(params):
 
 
 def _is_qleaf(x) -> bool:
-    return isinstance(x, dict) and set(x) == {"q", "scale"}
+    import collections.abc
+
+    # Mapping, not dict: trees that round-tripped through flax scopes carry
+    # FrozenDict-wrapped leaves
+    return isinstance(x, collections.abc.Mapping) and set(x) == {"q", "scale"}
 
 
 def dequantize_tree(qparams, dtype=jnp.bfloat16):

@@ -24,6 +24,7 @@ import numpy as np
 from flax import linen as nn
 
 from summer_clip_tpu.ops.attention import multi_head_attention
+from summer_clip_tpu.ops.gemv import gather_rows, is_qleaf, qdot
 from summer_clip_tpu.models.clip.modeling import LayerNormF32
 
 Dtype = tp.Any
@@ -31,8 +32,40 @@ Dtype = tp.Any
 __all__ = [
     "GPT2Config", "GPT2", "GPT2_CONFIGS", "build_gpt2", "convert_hf_gpt2",
     "ClipGPT", "clip_gpt_trainable_mask", "clip_gpt_full_trainable_mask",
-    "Adapter",
+    "Adapter", "QDense",
 ]
+
+
+class QDense(nn.Dense):
+    """``nn.Dense`` that also accepts an int8 ``{"q", "scale"}`` kernel leaf
+    (``engine/quant.quantize_tree`` rewrites matrix leaves in place — the
+    param tree keeps its paths, so checkpoints/TP specs are unchanged).
+
+    Plain-array kernels reproduce ``nn.Dense``'s math bit-for-bit (the HF
+    parity, TP-equality, and remat-equality tests all ride this class).
+    int8 kernels route through :func:`ops.gemv.qdot`: decode-shaped calls
+    stream the stored int8 through the Pallas GEMV (per-token HBM read =
+    stored bytes), wide calls (prefill/offline) dequantize-then-dot.
+    """
+
+    @nn.compact
+    def __call__(self, inputs: jax.Array) -> jax.Array:
+        kernel = self.param("kernel", self.kernel_init,
+                            (jnp.shape(inputs)[-1], self.features),
+                            self.param_dtype)
+        bias = (self.param("bias", self.bias_init, (self.features,),
+                           self.param_dtype) if self.use_bias else None)
+        if is_qleaf(kernel):
+            y = qdot(inputs, kernel, self.dtype or jnp.float32)
+            return y if bias is None else y + bias.astype(y.dtype)
+        inputs, kernel, bias = nn.dtypes.promote_dtype(
+            inputs, kernel, bias, dtype=self.dtype)
+        y = jax.lax.dot_general(
+            inputs, kernel, (((inputs.ndim - 1,), (0,)), ((), ())),
+            precision=self.precision)
+        if bias is not None:
+            y += jnp.reshape(bias, (1,) * (y.ndim - 1) + (-1,))
+        return y
 
 
 @dataclasses.dataclass(frozen=True)
@@ -67,7 +100,7 @@ class GPT2Attention(nn.Module):
                  key_pad: tp.Optional[jax.Array] = None
                  ) -> tp.Tuple[jax.Array, tp.Optional[dict]]:
         d = x.shape[-1]
-        qkv = nn.Dense(3 * d, dtype=self.dtype, name="c_attn")(x)
+        qkv = QDense(3 * d, dtype=self.dtype, name="c_attn")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         if cache is None:
@@ -113,7 +146,7 @@ class GPT2Attention(nn.Module):
             o = multi_head_attention(q, k_all, v_all, num_heads=self.num_heads,
                                      mask=mask, use_flash=False)
             new_cache = {"k": k_all, "v": v_all, "index": idx + s_new}
-        return nn.Dense(d, dtype=self.dtype, name="c_proj")(o), new_cache
+        return QDense(d, dtype=self.dtype, name="c_proj")(o), new_cache
 
 
 class GPT2Block(nn.Module):
@@ -125,9 +158,9 @@ class GPT2Block(nn.Module):
         h, new_cache = GPT2Attention(self.num_heads, dtype=self.dtype, name="attn")(
             LayerNormF32(name="ln_1")(x), cache, key_pad)
         x = x + h
-        m = nn.Dense(4 * x.shape[-1], dtype=self.dtype, name="mlp_c_fc")(
+        m = QDense(4 * x.shape[-1], dtype=self.dtype, name="mlp_c_fc")(
             LayerNormF32(name="ln_2")(x))
-        m = nn.Dense(x.shape[-1], dtype=self.dtype, name="mlp_c_proj")(_gelu_tanh(m))
+        m = QDense(x.shape[-1], dtype=self.dtype, name="mlp_c_proj")(_gelu_tanh(m))
         return x + m, new_cache
 
 
@@ -166,7 +199,9 @@ class GPT2Core(nn.Module):
         # position 0 (their K/V are key_pad-masked anyway) and over-length
         # decodes saturate at the last position instead of going NaN.
         positions = jnp.clip(position_offset + jnp.arange(t), 0, cfg.n_positions - 1)
-        x = inputs_embeds.astype(self.dtype) + jnp.take(wpe, positions, axis=0).astype(self.dtype)
+        # gather_rows: wpe may be an int8 {"q","scale"} leaf on the quantized
+        # decode path — read the gathered rows, never the widened table
+        x = inputs_embeds.astype(self.dtype) + gather_rows(wpe, positions).astype(self.dtype)
         new_caches = [] if cache is not None else None
         policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
                   if self.remat_policy == "dots" else None)
@@ -208,10 +243,15 @@ class GPT2(nn.Module):
                  cache: tp.Optional[tp.List[dict]] = None,
                  key_pad: tp.Optional[jax.Array] = None):
         if inputs_embeds is None:
-            inputs_embeds = self.wte(input_ids)
+            inputs_embeds = gather_rows(self.wte.embedding, input_ids)
         h, new_cache = self.core(inputs_embeds, position_offset, cache, key_pad)
-        logits = jnp.dot(h, self.wte.embedding.T.astype(h.dtype),
-                         preferred_element_type=jnp.float32)
+        table = self.wte.embedding
+        if is_qleaf(table):  # tied head off a quantized wte: scale per vocab row
+            logits = qdot(h, {"q": table["q"].T, "scale": table["scale"].T},
+                          jnp.float32)
+        else:
+            logits = jnp.dot(h, table.T.astype(h.dtype),
+                             preferred_element_type=jnp.float32)
         return {"logits": logits, "hidden": h, "cache": new_cache}
 
 
@@ -233,8 +273,8 @@ class Adapter(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = nn.relu(nn.Dense(self.hid_dim, use_bias=False, dtype=self.dtype, name="fc1")(x))
-        x = nn.relu(nn.Dense(self.out_dim, use_bias=False, dtype=self.dtype, name="fc2")(x))
+        x = nn.relu(QDense(self.hid_dim, use_bias=False, dtype=self.dtype, name="fc1")(x))
+        x = nn.relu(QDense(self.out_dim, use_bias=False, dtype=self.dtype, name="fc2")(x))
         return x
 
 
@@ -270,15 +310,20 @@ class ClipGPT(nn.Module):
                              remat_policy=self.remat_policy, name="core")
 
     def embed(self, input_ids: jax.Array) -> jax.Array:
-        """CLIP-space token embeddings (pre-adapter)."""
-        return jnp.take(self.clip_emb, input_ids, axis=0)
+        """CLIP-space token embeddings (pre-adapter). ``clip_emb`` may be an
+        int8 {"q","scale"} leaf (per-row scales) on the quantized decode
+        path — gather rows as stored."""
+        return gather_rows(self.clip_emb, input_ids)
 
     def adapt_embeds(self, clip_space_embeds: jax.Array) -> jax.Array:
         """CLIP-space -> GPT-space (the GPTEmbed path, prompt_learner.py:10-17)."""
         return self.adapter_emb(clip_space_embeds.astype(self.dtype))
 
     def lm_head_table(self) -> jax.Array:
-        return self.adapter_head(self.clip_emb.astype(self.dtype))
+        emb = self.clip_emb
+        if is_qleaf(emb):
+            emb = emb["q"].astype(jnp.float32) * emb["scale"]
+        return self.adapter_head(emb.astype(self.dtype))
 
     def __call__(self, input_ids: tp.Optional[jax.Array] = None,
                  inputs_embeds: tp.Optional[jax.Array] = None,

@@ -1,0 +1,156 @@
+"""Weight-streaming GEMV for KV-cached decode (Pallas, TPU).
+
+Single-stream decode multiplies a handful of activation rows (B·1 tokens)
+against every weight matrix per token — the program is a pure HBM
+weight-read, so the weights' stored bytes are the speed of light. XLA's
+``dequantize -> dot`` on an int8 tree cannot reach that floor: the widened
+bf16 copy round-trips HBM (measured 1.76x over the int8 read floor at
+gpt2-large geometry, tools/profile_decode_large.py; the 49k-row lm-head
+read runs 7.7x over). This kernel reads the int8 (or bf16) weights
+directly into VMEM, widens in-register, and runs the MXU dot per
+N-block — per-token traffic IS the stored bytes.
+
+Math (bit-pinned by :func:`matmul_reference` + tests):
+``out = dot(x.bf16, w.bf16, f32 accum) * scale`` — scale applied AFTER the
+dot in f32, per output column. int8 values widen to bf16 exactly
+(|q| <= 127), so the only rounding is bf16 x-rounding and f32 accumulation.
+
+Consumers: ``models/gpt2.QDense`` (the four block GEMVs), the decode
+programs' lm-head read (``apps/gen_gpt._head_logits``), and the int8
+embedding-row gather (:func:`gather_rows`).
+
+Reference hot loop this serves: the decode phase of
+``summer_clip/clip_prompt/gen_gpt.py`` (HF ``generate`` on gpt2-large).
+"""
+
+from __future__ import annotations
+
+import collections.abc
+import functools
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+__all__ = ["matmul_reference", "streamed_qmatmul", "qdot", "gather_rows",
+           "is_qleaf"]
+
+_ROWS = 8  # padded activation rows per kernel: one f32 sublane tile
+
+
+def is_qleaf(x) -> bool:
+    """An ``engine/quant``-style int8 leaf: ``{"q": int8, "scale": f32}``.
+    Mapping, not dict — flax hands modules FrozenDict-wrapped params."""
+    return isinstance(x, collections.abc.Mapping) and set(x) == {"q", "scale"}
+
+
+def matmul_reference(x: jax.Array, w: jax.Array,
+                     scale: tp.Optional[jax.Array] = None) -> jax.Array:
+    """XLA oracle with the kernel's exact semantics (bf16 dot, f32 accum,
+    f32 scale-after). ``w`` (K, N) int8/bf16/f32; ``scale`` (1, N) or (N,)."""
+    y = jnp.dot(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+    if scale is not None:
+        y = y * scale.reshape(1, -1)
+    return y
+
+
+_BUDGET = 8 * 1024 * 1024  # weight-slab VMEM budget (x/out blocks are tiny)
+
+
+def _pick_bn(n: int, k: int, itemsize: int) -> int:
+    # The whole matrix in ONE block when it fits: the GEMV's time IS the
+    # weight DMA, so one big transfer beats a pipeline of chunks + per-
+    # grid-step overhead (measured: divisibility-forced 256-col chunks put
+    # qkv at 15 steps and the 49k-vocab head at 193 — the overhead erased
+    # the int8 win). Oversized matrices stream power-of-two column blocks;
+    # bn need NOT divide n — Pallas masks the uneven tail block (padded
+    # weight/scale columns only ever reach padded, discarded outputs).
+    if k * n * itemsize <= _BUDGET:
+        return n
+    bn = 4096
+    while bn > 128 and 2 * k * bn * itemsize > _BUDGET:
+        bn //= 2
+    return bn if 2 * k * bn * itemsize <= _BUDGET else 0
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def streamed_qmatmul(x: jax.Array, w: jax.Array,
+                     scale: tp.Optional[jax.Array] = None, *,
+                     interpret: bool = False) -> jax.Array:
+    """``x (R<=8, K) @ w (K, N) -> (R, N) f32``, streaming ``w`` as stored.
+
+    ``w`` may be int8 (with ``scale`` (1, N)/(N,) f32 applied after the
+    dot) or bf16/f32 (scale optional). The N axis is blocked; each grid
+    step widens one (K, bn) weight slab in VMEM and runs one MXU dot —
+    the slab never exists in HBM in wide form.
+    """
+    r, k = x.shape
+    n = w.shape[1]
+    bn = _pick_bn(n, k, w.dtype.itemsize)
+    assert bn, f"({k}, {n}) weight block does not fit the VMEM budget"
+    xp = jnp.zeros((_ROWS, k), jnp.float32).at[:r].set(x.astype(jnp.float32))
+    s = (jnp.ones((1, n), jnp.float32) if scale is None
+         else scale.reshape(1, n).astype(jnp.float32))
+
+    def kernel(x_ref, w_ref, s_ref, o_ref):
+        wb = w_ref[...].astype(jnp.bfloat16)
+        y = jnp.dot(x_ref[...].astype(jnp.bfloat16), wb,
+                    preferred_element_type=jnp.float32)
+        o_ref[...] = y * s_ref[...]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(n, bn),),
+        in_specs=[
+            pl.BlockSpec((_ROWS, k), lambda j: (0, 0)),
+            pl.BlockSpec((k, bn), lambda j: (0, j)),
+            pl.BlockSpec((1, bn), lambda j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((_ROWS, bn), lambda j: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((_ROWS, n), jnp.float32),
+        interpret=interpret or jax.default_backend() != "tpu",
+    )(xp, w, s)
+    return out[:r]
+
+
+def _tile_legal(k: int, n: int, itemsize: int) -> bool:
+    # K (contraction) must land on exact sublane tiles — it is never
+    # masked; N tails are masked by the grid, any n >= 128 works
+    sub = {1: 32, 2: 16, 4: 8}[itemsize]  # int8 / bf16 / f32 sublane tiles
+    return k % sub == 0 and n >= 128 and _pick_bn(n, k, itemsize) > 0
+
+
+def qdot(x: jax.Array, leaf, dtype) -> jax.Array:
+    """Dense contraction against a possibly-quantized kernel leaf.
+
+    ``x (..., K)``; ``leaf`` either a plain (K, N) array or an int8
+    ``{"q", "scale"}`` dict (per-output-column scales,
+    ``engine/quant.quantize_tree``). Decode-shaped calls (<= 8 total rows,
+    tile-legal) stream through the Pallas kernel; everything else takes
+    the dequantize-then-dot XLA path in ``dtype``.
+    """
+    q, scale = (leaf["q"], leaf["scale"]) if is_qleaf(leaf) else (leaf, None)
+    k, n = q.shape
+    lead = x.shape[:-1]
+    rows = 1
+    for d in lead:
+        rows *= d
+    if rows <= _ROWS and _tile_legal(k, n, q.dtype.itemsize):
+        y = streamed_qmatmul(x.reshape(rows, k), q, scale)
+        return y.reshape(*lead, n).astype(dtype)
+    if scale is not None:
+        w = (q.astype(jnp.float32) * scale).astype(dtype)
+    else:
+        w = q.astype(dtype)
+    return jnp.dot(x.astype(dtype), w)
+
+
+def gather_rows(leaf, ids: jax.Array) -> jax.Array:
+    """Embedding-row gather straight off the stored leaf: int8 leaves read
+    one int8 row + its scale per id instead of dequantizing the table."""
+    if is_qleaf(leaf):
+        rows = jnp.take(leaf["q"], ids, axis=0).astype(jnp.float32)
+        return rows * jnp.take(leaf["scale"], ids, axis=0)
+    return jnp.take(leaf, ids, axis=0)
