@@ -120,25 +120,9 @@ def _filter_logits(scaled: jax.Array, top_k: int, approx_top_k: bool,
 
 
 def _quant_head_table(model, variables):
-    """The int8 lm-head table in kernel layout: (n_embd, V) q, (1, V) scale.
+    from summer_clip_tpu.engine.quant import quant_head_table
 
-    ClipGPT's head is ``adapter_head(clip_emb)`` — a 49k-row MLP (~181
-    GFLOP + ~126MB at gpt2-large). Decode programs compute it ONCE here,
-    before the scan, then quantize per vocab column; leaving it to
-    ``model.apply`` inside the scan body re-runs it per token on the
-    quantized tree (measured 1.49 ms/step vs 0.60 for a hoisted int8 read,
-    0.08 ideal — tools/profile_decode_large.py, gpt2-large geometry)."""
-    from summer_clip_tpu.engine.quant import quantize_array
-
-    if isinstance(model, gpt2_mod.ClipGPT):
-        table = model.apply(variables, method=model.lm_head_table)
-        return quantize_array(table.T, per_row=False)
-    from summer_clip_tpu.ops.gemv import is_qleaf
-
-    wte = variables["params"]["wte"]["embedding"]
-    if is_qleaf(wte):  # already per-row int8: transpose in place
-        return {"q": wte["q"].T, "scale": wte["scale"].T}
-    return quantize_array(wte.T, per_row=False)
+    return quant_head_table(model, variables)
 
 
 @functools.lru_cache(maxsize=64)

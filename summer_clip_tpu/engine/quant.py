@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["cast_params", "quantize_tree", "quantize_array",
-           "dequantize_tree", "dequantize_in_loop"]
+           "dequantize_tree", "dequantize_in_loop", "quant_head_table"]
 
 _SENSITIVE = ("bias", "scale")  # LayerNorm/bias leaves: keep f32
 # gather-axis tables: scale per ROW (a handful of anomalous tokens with
@@ -65,6 +65,27 @@ def quantize_array(x: jax.Array, *, per_row: bool = False):
     decode programs to quantize a lm-head table computed at trace time
     (``apps/gen_gpt._head_table``), not just stored params."""
     return _quant_leaf(x, per_row=per_row)
+
+
+def quant_head_table(model, variables):
+    """The int8 lm-head table in kernel layout: (n_embd, V) q, (1, V) scale.
+
+    ClipGPT's head is ``adapter_head(clip_emb)`` — a 49k-row MLP (~181
+    GFLOP + ~126MB at gpt2-large). Decode programs compute it ONCE
+    (before the scan / at engine construction), then quantize per vocab
+    column; leaving it to ``model.apply`` inside the hot path re-runs it
+    per token on the quantized tree (measured 1.49 ms/step vs 0.60 for a
+    hoisted int8 read — tools/profile_decode_large.py, gpt2-large)."""
+    from summer_clip_tpu.models import gpt2 as gpt2_mod
+    from summer_clip_tpu.ops.gemv import is_qleaf
+
+    if isinstance(model, gpt2_mod.ClipGPT):
+        table = model.apply(variables, method=model.lm_head_table)
+        return quantize_array(table.T, per_row=False)
+    wte = variables["params"]["wte"]["embedding"]
+    if is_qleaf(wte):  # already per-row int8: transpose in place
+        return {"q": wte["q"].T, "scale": wte["scale"].T}
+    return quantize_array(wte.T, per_row=False)
 
 
 def quantize_tree(params):

@@ -70,46 +70,54 @@ def _pick(last, temp, top_k, greedy, rng, top_p=1.0):
     return _sample_next(last / temp, rng, top_k, False, top_p).astype(jnp.int32)
 
 
-def _maybe_dequant(variables, quant_int8: bool):
-    from summer_clip_tpu.engine.quant import swap_dequantized
+def _last_logits(out, head_table):
+    """Last-position logits: in-model when ``head_table`` is None; off the
+    hoisted int8 table otherwise (the in-model logits are then dead code —
+    DCE'd — so a quantized tree never recomputes/dequantizes the 49k-row
+    ClipGPT head per dispatch; decode-shaped reads stream int8 through
+    ops/gemv)."""
+    if head_table is None:
+        return out["logits"][:, -1, :]
+    from summer_clip_tpu.ops.gemv import qdot
 
-    # per-dispatch programs re-read params every call, so a plain in-jit
-    # dequant already means int8 HBM reads (no barrier needed — there is
-    # no loop to hoist out of)
-    return swap_dequantized(variables, in_loop=False, enabled=quant_int8)
+    return qdot(out["hidden"][:, -1, :], head_table, jnp.float32)
 
 
 @functools.lru_cache(maxsize=16)
-def _engine_step(model, temp: float, top_k: int, greedy: bool, quant_int8: bool,
+def _engine_step(model, temp: float, top_k: int, greedy: bool,
                  top_p: float = 1.0):
-    """One engine iteration (every slot advances one token), jitted once."""
+    """One engine iteration (every slot advances one token), jitted once.
+
+    int8 trees are consumed AS STORED: ``models/gpt2.QDense`` streams the
+    int8 weights per dispatch (B slots <= 8 rows rides the Pallas GEMV),
+    and the lm head reads the engine's pre-quantized ``head_table``."""
 
     @jax.jit
-    def step(variables, cache, tokens, pos, key_pad, rng):
+    def step(variables, cache, tokens, pos, key_pad, rng, head_table=None):
         # tokens: (B,) this iteration's input token per slot
         # pos:    (B,) per-slot position of that token (for wpe)
-        out = model.apply(_maybe_dequant(variables, quant_int8), tokens[:, None],
+        out = model.apply(variables, tokens[:, None],
                           position_offset=pos[:, None], cache=cache, key_pad=key_pad)
-        return out["cache"], _pick(out["logits"][:, -1, :], temp, top_k, greedy,
-                                   rng, top_p)
+        return out["cache"], _pick(_last_logits(out, head_table), temp, top_k,
+                                   greedy, rng, top_p)
 
     return step
 
 
 @functools.lru_cache(maxsize=32)
 def _prefill_step(model, temp: float, top_k: int, greedy: bool, length: int,
-                  quant_int8: bool, top_p: float = 1.0):
+                  top_p: float = 1.0):
     """Bucketed chunk prefill: (B, length) tokens in one forward. Only the
     admitted slot's row is meaningful; batch-mates carry junk that is
     rolled back (ring index) / never attendable (causal mask)."""
 
     @jax.jit
-    def prefill(variables, cache, tokens, offs, key_pad, rng):
+    def prefill(variables, cache, tokens, offs, key_pad, rng, head_table=None):
         assert tokens.shape[1] == length, (tokens.shape, length)
-        out = model.apply(_maybe_dequant(variables, quant_int8), tokens,
+        out = model.apply(variables, tokens,
                           position_offset=offs[:, None], cache=cache, key_pad=key_pad)
-        return out["cache"], _pick(out["logits"][:, -1, :], temp, top_k, greedy,
-                                   rng, top_p)
+        return out["cache"], _pick(_last_logits(out, head_table), temp, top_k,
+                                   greedy, rng, top_p)
 
     return prefill
 
@@ -137,10 +145,15 @@ class ContinuousBatcher:
                  quant_int8: bool = False,
                  mesh=None):
         self.model = model
+        self._head_table = None
         if quant_int8:
-            from summer_clip_tpu.engine.quant import quantize_tree
+            from summer_clip_tpu.engine.quant import quant_head_table, quantize_tree
 
             variables = dict(variables, params=quantize_tree(variables["params"]))
+            # hoisted once per engine: the per-dispatch programs read logits
+            # off this int8 table instead of recomputing/dequantizing the
+            # model head every iteration (see _last_logits)
+            self._head_table = quant_head_table(model, variables)
         self.quant_int8 = bool(quant_int8)
         self.variables = variables
         self.B = int(batch_slots)
@@ -171,7 +184,7 @@ class ContinuousBatcher:
             self.variables, cache = shard_decode_tp(self.variables, cache, mesh)
         self._cache = cache
         self._step = _engine_step(model, self.temperature, self.top_k, self.greedy,
-                                  self.quant_int8, self.top_p)
+                                  self.top_p)
         # host mirrors of per-slot device state (the ring index is
         # authoritative HERE and re-stamped into the cache before every
         # dispatch — that is what makes prefill rollback a host-side no-op)
@@ -249,13 +262,13 @@ class ContinuousBatcher:
         self._key_pad[b] = pad
         self._positions[b] = 0
         prefill = _prefill_step(self.model, self.temperature, self.top_k,
-                                self.greedy, lb, self.quant_int8, self.top_p)
+                                self.greedy, lb, self.top_p)
         self._rng, sub = jax.random.split(self._rng)
         ring_before = self._ring.copy()
         self._cache, nxt = prefill(
             self.variables, self._stamped_cache(), jnp.asarray(tokens),
             jnp.asarray(offs, jnp.int32), jnp.asarray(self._key_pad, jnp.int32),
-            sub)
+            sub, self._head_table)
         # roll every OTHER row's ring back (their lb junk writes are beyond
         # the restored index -> causally invisible); slot b keeps its lb
         self._ring = ring_before
@@ -305,7 +318,7 @@ class ContinuousBatcher:
         self._cache, nxt = self._step(
             self.variables, self._stamped_cache(), jnp.asarray(tokens),
             jnp.asarray(self._positions, jnp.int32),
-            jnp.asarray(self._key_pad, jnp.int32), sub)
+            jnp.asarray(self._key_pad, jnp.int32), sub, self._head_table)
         nxt = np.asarray(nxt)
         self._ring += 1
 

@@ -129,15 +129,19 @@ def qdot(x: jax.Array, leaf, dtype) -> jax.Array:
     ``{"q", "scale"}`` dict (per-output-column scales,
     ``engine/quant.quantize_tree``). Decode-shaped calls (<= 8 total rows,
     tile-legal) stream through the Pallas kernel; everything else takes
-    the dequantize-then-dot XLA path in ``dtype``.
+    the dequantize-then-dot XLA path in ``dtype``. ``SUMMER_CLIP_GEMV=0``
+    forces the XLA path everywhere (A/B + escape hatch).
     """
+    import os
+
     q, scale = (leaf["q"], leaf["scale"]) if is_qleaf(leaf) else (leaf, None)
     k, n = q.shape
     lead = x.shape[:-1]
     rows = 1
     for d in lead:
         rows *= d
-    if rows <= _ROWS and _tile_legal(k, n, q.dtype.itemsize):
+    if (rows <= _ROWS and _tile_legal(k, n, q.dtype.itemsize)
+            and os.environ.get("SUMMER_CLIP_GEMV", "1") != "0"):
         y = streamed_qmatmul(x.reshape(rows, k), q, scale)
         return y.reshape(*lead, n).astype(dtype)
     if scale is not None:
