@@ -8,12 +8,15 @@ untouched, no calibration data needed):
 
 - :func:`cast_params` — store params in bf16 (2x less traffic, ~1e-3
   relative rounding; the matmuls already run bf16 on TPU),
-- :func:`quantize_tree` / :func:`dequantize_in_loop` — symmetric int8 with
-  a per-output-column f32 scale for matrix leaves (4x less traffic,
-  ~0.4% relative error). Dequant happens INSIDE the jitted decode loop
-  behind ``lax.optimization_barrier`` so XLA cannot hoist the bf16
-  reconstruction out of the scan (which would re-materialize full-width
-  weights in HBM and erase the win).
+- :func:`quantize_tree` — symmetric int8 with a per-output-column f32
+  scale for matrix leaves (4x less traffic, ~0.4% relative error). The
+  quantized tree is consumed AS STORED: ``models/gpt2.QDense`` streams
+  int8 weight slabs through the Pallas GEMV (``ops/gemv.py``), embedding
+  gathers read int8 rows (:func:`~summer_clip_tpu.ops.gemv.gather_rows`),
+  and decode programs read logits off a hoisted int8 head table
+  (:func:`quant_head_table`) — nothing dequantizes wide weights into HBM
+  on the hot path (the earlier in-loop-dequant-behind-a-barrier design
+  measured 1.26-1.45x slower; docs/KERNELS.md round-3 GEMV section).
 
 Embedding-sized tables (wte/wpe) are quantized per-ROW (axis of gather),
 biases/LayerNorm scales stay f32 (negligible bytes, high sensitivity).
@@ -27,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["cast_params", "quantize_tree", "quantize_array",
-           "dequantize_tree", "dequantize_in_loop", "quant_head_table"]
+           "dequantize_tree", "quant_head_table"]
 
 _SENSITIVE = ("bias", "scale")  # LayerNorm/bias leaves: keep f32
 # gather-axis tables: scale per ROW (a handful of anomalous tokens with
@@ -121,24 +124,3 @@ def dequantize_tree(qparams, dtype=jnp.bfloat16):
     return jax.tree_util.tree_map(deq, qparams, is_leaf=_is_qleaf)
 
 
-def dequantize_in_loop(qparams, dtype=jnp.bfloat16):
-    """Dequantize INSIDE a scan body without letting XLA hoist it.
-
-    ``lax.optimization_barrier`` pins the int8->dtype reconstruction to the
-    loop iteration: per decode step the program reads int8 (+f32 scales)
-    from HBM and widens in VMEM, instead of reading cached wide weights.
-    """
-    qparams = jax.lax.optimization_barrier(qparams)
-    return dequantize_tree(qparams, dtype)
-
-
-def swap_dequantized(variables, *, in_loop: bool, enabled: bool = True,
-                     dtype=jnp.bfloat16):
-    """``variables`` with its quantized ``params`` reconstructed — the one
-    helper every decode program uses (single-stream scan, batched scan,
-    serving engine). ``in_loop=True`` adds the anti-hoisting barrier for
-    use inside scan bodies; per-dispatch programs pass ``in_loop=False``."""
-    if not enabled:
-        return variables
-    deq = dequantize_in_loop if in_loop else dequantize_tree
-    return dict(variables, params=deq(variables["params"], dtype))

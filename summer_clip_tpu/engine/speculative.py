@@ -43,27 +43,37 @@ __all__ = ["generate_device_speculative"]
 def _speculative_program(model, draft_model, n_prompt: int, max_new: int,
                          k: int, eot: int, quant_int8: bool,
                          draft_quant_int8: bool):
-    """Jitted prefill + speculative while_loop, memoized on shapes."""
-    from summer_clip_tpu.engine.quant import swap_dequantized
+    """Jitted prefill + speculative while_loop, memoized on shapes.
 
-    def tvars(variables, in_loop):
-        return swap_dequantized(variables, in_loop=in_loop, enabled=quant_int8)
+    int8 trees (``quant_int8`` / ``draft_quant_int8``) are consumed AS
+    STORED — QDense streams the weights through the GEMV kernel (both the
+    1-row draft steps and the (k+1)-row verify forward are decode-shaped),
+    and each model's logits come off a head table hoisted + int8-quantized
+    once before the while_loop (``engine/quant.quant_head_table``), never
+    a per-iteration head recompute/dequant."""
+    from summer_clip_tpu.engine.quant import quant_head_table
+    from summer_clip_tpu.ops.gemv import qdot
 
-    def dvars(variables, in_loop):
-        return swap_dequantized(variables, in_loop=in_loop,
-                                enabled=draft_quant_int8)
+    def _logits(out, table):
+        # (positions, vocab) logits for batch row 0
+        if table is None:
+            return out["logits"][0]
+        return qdot(out["hidden"][0], table, jnp.float32)
 
     def rollback(cache, new_index):
         return [dict(c, index=new_index) for c in cache]
 
     @jax.jit
     def run(variables, draft_variables, prompt, cache, draft_cache):
+        t_table = quant_head_table(model, variables) if quant_int8 else None
+        d_table = (quant_head_table(draft_model, draft_variables)
+                   if draft_quant_int8 else None)
         # prefill both models on the prompt; the target's last-position
         # argmax is the first *certain* token ("pending": decided, but not
         # yet consumed by either cache)
-        out = model.apply(tvars(variables, False), prompt, position_offset=0,
+        out = model.apply(variables, prompt, position_offset=0,
                           cache=cache)
-        dout = draft_model.apply(dvars(draft_variables, False), prompt,
+        dout = draft_model.apply(draft_variables, prompt,
                                  position_offset=0, cache=draft_cache)
         # keep the draft's PREFILLED cache (its prompt logits are unused) —
         # proposing from the empty init cache would condition every draft on
@@ -93,11 +103,10 @@ def _speculative_program(model, draft_model, n_prompt: int, max_new: int,
             # catch-up next iteration; d_{k+1} is discarded
             def dstep(carry, _):
                 tok, dc = carry
-                o = draft_model.apply(dvars(draft_variables, True),
-                                      tok[None, None],
+                o = draft_model.apply(draft_variables, tok[None, None],
                                       position_offset=dc[0]["index"],
                                       cache=dc)
-                nxt = jnp.argmax(o["logits"][0, -1, :]).astype(jnp.int32)
+                nxt = jnp.argmax(_logits(o, d_table)[-1]).astype(jnp.int32)
                 return (nxt, o["cache"]), tok
 
             (_, dcache), window = jax.lax.scan(
@@ -107,9 +116,9 @@ def _speculative_program(model, draft_model, n_prompt: int, max_new: int,
             drafts = window[1:]
 
             # ---- target: verify all k+1 positions in one forward -------
-            o = model.apply(tvars(variables, True), window[None],
+            o = model.apply(variables, window[None],
                             position_offset=L, cache=cache)
-            preds = jnp.argmax(o["logits"][0], axis=-1).astype(jnp.int32)
+            preds = jnp.argmax(_logits(o, t_table), axis=-1).astype(jnp.int32)
             # preds[i] = target's token for position L+i+1
             match = preds[:k] == drafts
             a = jnp.sum(jnp.cumprod(match.astype(jnp.int32)))  # accepted

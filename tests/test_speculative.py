@@ -78,6 +78,23 @@ class TestSpeculative:
             max_new_tokens=16, k=4, eot_id=eot)
         assert spec == solo_eot
 
+    def test_quant_int8_matches_solo_quant_decode(self):
+        """int8 target + int8 draft (stored trees through QDense/qdot) emit
+        exactly what the solo int8 decode emits — the draft still never
+        changes tokens, only speed."""
+        from summer_clip_tpu.engine.quant import quantize_tree
+
+        qt = {"params": quantize_tree(self.tvars["params"])}
+        solo = self.generate_device(self.target, qt, self.prompt,
+                                    max_new_tokens=12, top_k=1,
+                                    rng=jax.random.PRNGKey(0), quant_int8=True)
+        draft, dvars = _build(7, n_embd=16, n_layer=1)
+        qd = {"params": quantize_tree(dvars["params"])}
+        out = generate_device_speculative(
+            self.target, qt, draft, qd, self.prompt,
+            max_new_tokens=12, k=3, quant_int8=True, draft_quant_int8=True)
+        assert out == solo
+
     def test_position_budget_asserted(self):
         draft, dvars = _build(7, n_embd=16, n_layer=1)
         with pytest.raises(AssertionError, match="positions"):

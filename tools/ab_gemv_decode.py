@@ -53,18 +53,30 @@ def main() -> None:
     qvars = {"params": Q.quantize_tree(variables["params"])}
     prompt = list(np.random.RandomState(0).randint(1, vocab, 16))
 
+    if "--batched" in sys.argv:
+        from summer_clip_tpu.apps.gen_gpt import generate_device_batched
+
+        def run():
+            generate_device_batched(model, qvars, [prompt] * 8,
+                                    max_new_tokens=MAX_NEW,
+                                    rng=jax.random.PRNGKey(1), quant_int8=True)
+        n_tok, label = 8 * MAX_NEW, "int8 batched B=8"
+    else:
+        def run():
+            generate_device(model, qvars, prompt, max_new_tokens=MAX_NEW,
+                            rng=jax.random.PRNGKey(1), quant_int8=True)
+        n_tok, label = MAX_NEW, "int8"
+
     t0 = time.perf_counter()
-    generate_device(model, qvars, prompt, max_new_tokens=MAX_NEW,
-                    rng=jax.random.PRNGKey(1), quant_int8=True)
+    run()
     print(f"compile+first: {time.perf_counter() - t0:.1f}s", flush=True)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        generate_device(model, qvars, prompt, max_new_tokens=MAX_NEW,
-                        rng=jax.random.PRNGKey(1), quant_int8=True)
+        run()
         best = min(best, time.perf_counter() - t0)
-    print(f"[ab] {name} int8 GEMV={knob}: {MAX_NEW / best:,.1f} tok/s "
-          f"({best / MAX_NEW * 1e3:.2f} ms/tok, best of 3)", flush=True)
+    print(f"[ab] {name} {label} GEMV={knob}: {n_tok / best:,.1f} tok/s "
+          f"({best / n_tok * 1e3:.2f} ms/tok, best of 3)", flush=True)
 
 
 if __name__ == "__main__":
