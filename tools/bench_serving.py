@@ -77,6 +77,23 @@ def main(name: str = "gpt2", slots: int = 8, n_requests: int = 24,
           f"{total_tokens / dt_eng:,.0f} tok/s aggregate "
           f"(per-iteration host round-trip included)", flush=True)
 
+    # -- continuous batcher, int8-as-stored (ops/gemv streaming path) ---------
+    def run_engine_int8():
+        eng = ContinuousBatcher(model, variables, batch_slots=slots,
+                                max_len=32 + max_new, greedy=True,
+                                quant_int8=True)
+        for p in prompts:
+            eng.submit(p, max_new_tokens=max_new)
+        return eng.run()
+
+    run_engine_int8()  # compile
+    t0 = time.perf_counter()
+    done = run_engine_int8()
+    dt_q = time.perf_counter() - t0
+    assert len(done) == n_requests
+    print(f"continuous engine int8 (B={slots}): {dt_q:.2f}s = "
+          f"{total_tokens / dt_q:,.0f} tok/s aggregate", flush=True)
+
 
 if __name__ == "__main__":
     args = sys.argv[1:]

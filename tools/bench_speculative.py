@@ -110,6 +110,23 @@ def main(max_new: int = 64) -> None:
             line += f", speedup@{acc:.0%}-agree={speed:.2f}x"
         print(line)
 
+    # int8-as-stored arm (Pallas GEMV inside the while_loop body): proves
+    # the quant path lowers + runs on the chip and prices its iteration
+    from summer_clip_tpu.engine.quant import quantize_tree
+
+    qt = {"params": quantize_tree(tvars["params"])}
+    qd = {"params": quantize_tree(dvars["params"])}
+    t_solo_q = timed(lambda: generate_device(
+        target, qt, prompt, max_new_tokens=max_new, top_k=1,
+        rng=jax.random.PRNGKey(0), quant_int8=True)) / max_new
+    print(f"solo target decode int8: {t_solo_q * 1e3:.2f} ms/token "
+          f"({1.0 / t_solo_q:.1f} tok/s)")
+    t_q = timed(lambda: generate_device_speculative(
+        target, qt, draft, qd, prompt, max_new_tokens=max_new, k=4,
+        quant_int8=True, draft_quant_int8=True)) / max_new
+    print(f"k=4 int8 target+draft: iter {t_q * 1e3:.2f} ms, break-even "
+          f"E[accept] {t_q / t_solo_q - 1.0:.2f}")
+
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 64)
