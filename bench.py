@@ -260,6 +260,20 @@ def bench_gpt_decode(max_new: int = 128) -> None:
     log(f"[bench] gpt2 KV-cached decode (top-k 50, {max_new} new tokens): "
         f"{single:,.0f} tokens/s single-stream, {agg:,.0f} tokens/s aggregate at B=8")
 
+    # int8 weight-streaming decode (ops/gemv.py): stored int8 tree through
+    # the Pallas GEMV + hoisted int8 head table
+    from summer_clip_tpu.engine.quant import quantize_tree
+
+    qvars = {"params": quantize_tree(variables["params"])}
+    generate_device(model, qvars, prompt, max_new_tokens=max_new,
+                    rng=jax.random.PRNGKey(1), quant_int8=True)
+    t0 = time.perf_counter()
+    generate_device(model, qvars, prompt, max_new_tokens=max_new,
+                    rng=jax.random.PRNGKey(1), quant_int8=True)
+    q_single = max_new / (time.perf_counter() - t0)
+    log(f"[bench] gpt2 decode int8 weight-streaming: {q_single:,.0f} tokens/s "
+        f"single-stream ({1e3 / q_single:.2f} ms/token)")
+
 
 def bench_image_attention_combo(nt: int = 19850, nc: int = 19850, d: int = 1024,
                                 c: int = 397) -> None:

@@ -45,7 +45,8 @@ class QDense(nn.Dense):
     parity, TP-equality, and remat-equality tests all ride this class).
     int8 kernels route through :func:`ops.gemv.qdot`: decode-shaped calls
     stream the stored int8 through the Pallas GEMV (per-token HBM read =
-    stored bytes), wide calls (prefill/offline) dequantize-then-dot.
+    stored bytes), wide calls (prefill/offline) run the same math on the
+    XLA path (``gemv.matmul_reference``: bf16 dot, f32 scale-after).
     """
 
     @nn.compact

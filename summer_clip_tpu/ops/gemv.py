@@ -129,8 +129,9 @@ def qdot(x: jax.Array, leaf, dtype) -> jax.Array:
     ``{"q", "scale"}`` dict (per-output-column scales,
     ``engine/quant.quantize_tree``). Decode-shaped calls (<= 8 total rows,
     tile-legal) stream through the Pallas kernel; everything else takes
-    the dequantize-then-dot XLA path in ``dtype``. ``SUMMER_CLIP_GEMV=0``
-    forces the XLA path everywhere (A/B + escape hatch).
+    the XLA path with the SAME math (:func:`matmul_reference`).
+    ``SUMMER_CLIP_GEMV=0`` forces the XLA path everywhere (A/B + escape
+    hatch).
     """
     import os
 
@@ -145,10 +146,13 @@ def qdot(x: jax.Array, leaf, dtype) -> jax.Array:
         y = streamed_qmatmul(x.reshape(rows, k), q, scale)
         return y.reshape(*lead, n).astype(dtype)
     if scale is not None:
-        w = (q.astype(jnp.float32) * scale).astype(dtype)
-    else:
-        w = q.astype(dtype)
-    return jnp.dot(x.astype(dtype), w)
+        # same math as the kernel (matmul_reference): bf16 dot, f32 accum,
+        # f32 scale-after — wide and decode-shaped calls agree bit-for-bit
+        # per row, and XLA fuses the int8->bf16 convert into the dot read
+        # instead of materializing a dequantized copy
+        return matmul_reference(x.reshape(rows, k), q,
+                                scale).reshape(*lead, n).astype(dtype)
+    return jnp.dot(x.astype(dtype), q.astype(dtype))
 
 
 def gather_rows(leaf, ids: jax.Array) -> jax.Array:

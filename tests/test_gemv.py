@@ -64,7 +64,7 @@ class TestQdot:
         x, q, scale = _xw(4, 16, 128, 256)
         leaf = {"q": q, "scale": scale}
         out = G.qdot(x, leaf, jnp.float32)  # 16 rows > 8
-        ref = jnp.dot(x, q.astype(jnp.float32) * scale)
+        ref = G.matmul_reference(x, q, scale)  # fallback shares kernel math
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
         xb, qb, sb = _xw(5, 2, 120, 256)  # K % 32 != 0: sublane tile illegal
         G.qdot(xb, {"q": qb, "scale": sb}, jnp.float32)
