@@ -176,6 +176,45 @@ def section_core() -> None:
                "core int8 scale-after-dot (tests operand-convert fusion)")
 
 
+def section_gemv() -> None:
+    """36 layers of the 4 block GEMVs through ops/gemv.qdot (the shipped
+    int8 route): prices the streamed kernel chain alone — the gap between
+    this and the int8 weight-read floor is per-call kernel overhead."""
+    import jax
+    import jax.numpy as jnp
+
+    from summer_clip_tpu.engine import quant as Q
+    from summer_clip_tpu.ops.gemv import qdot
+
+    r = np.random.RandomState(1)
+
+    def mk(shape):
+        return Q._quant_leaf(
+            jnp.asarray(r.randn(*shape).astype(np.float32) * 0.02),
+            per_row=False)
+
+    layers = [
+        {"qkv": mk((D, 3 * D)), "proj": mk((D, D)),
+         "fc": mk((D, 4 * D)), "proj2": mk((4 * D, D))}
+        for _ in range(L)
+    ]
+    int8_bytes = sum(lw[k]["q"].size for lw in layers for k in lw)
+    print(f"[gemv] int8 weight bytes/step: {int8_bytes / 1e6:.0f} MB "
+          f"-> {int8_bytes / 819e9 * 1e3:.2f} ms read floor", flush=True)
+
+    def gemvs(carry, args):
+        ls = jax.lax.optimization_barrier(args)
+        x = carry[:1]
+        for lw in ls:
+            qkv = qdot(x, lw["qkv"], jnp.float32)
+            o = qdot(qkv[:, :D], lw["proj"], jnp.float32)
+            h = jax.nn.gelu(qdot(o, lw["fc"], jnp.float32), approximate=True)
+            x = qdot(h, lw["proj2"], jnp.float32)
+        return _carry_mix(carry, x)
+
+    _time_scan(gemvs, tuple(layers), "core 36x4 GEMVs int8 STREAMED (qdot)")
+
+
 def section_attn() -> None:
     """36 one-token attention reads against the full (1, T_KV, D) cache."""
     import jax
