@@ -24,7 +24,7 @@ import numpy as np
 from flax import linen as nn
 
 from summer_clip_tpu.ops.attention import multi_head_attention
-from summer_clip_tpu.ops.gemv import gather_rows, is_qleaf, qdot
+from summer_clip_tpu.ops.gemv import gather_rows, is_qleaf, qdot, qmlp
 from summer_clip_tpu.models.clip.modeling import LayerNormF32
 
 Dtype = tp.Any
@@ -56,17 +56,39 @@ class QDense(nn.Dense):
                             self.param_dtype)
         bias = (self.param("bias", self.bias_init, (self.features,),
                            self.param_dtype) if self.use_bias else None)
-        if is_qleaf(kernel):
-            y = qdot(inputs, kernel, self.dtype or jnp.float32)
-            return y if bias is None else y + bias.astype(y.dtype)
-        inputs, kernel, bias = nn.dtypes.promote_dtype(
-            inputs, kernel, bias, dtype=self.dtype)
-        y = jax.lax.dot_general(
-            inputs, kernel, (((inputs.ndim - 1,), (0,)), ((), ())),
-            precision=self.precision)
-        if bias is not None:
-            y += jnp.reshape(bias, (1,) * (y.ndim - 1) + (-1,))
-        return y
+        return _dense_apply(inputs, kernel, bias, self.dtype)
+
+
+def _dense_apply(inputs: jax.Array, kernel, bias, dtype) -> jax.Array:
+    """The QDense math on raw leaves (shared with GPT2Block's MLP pair)."""
+    if is_qleaf(kernel):
+        y = qdot(inputs, kernel, dtype or jnp.float32)
+        return y if bias is None else y + bias.astype(y.dtype)
+    inputs, kernel, bias = nn.dtypes.promote_dtype(
+        inputs, kernel, bias, dtype=dtype)
+    y = jax.lax.dot_general(
+        inputs, kernel, (((inputs.ndim - 1,), (0,)), ((), ())))
+    if bias is not None:
+        y += jnp.reshape(bias, (1,) * (y.ndim - 1) + (-1,))
+    return y
+
+
+class _QParams(nn.Module):
+    """Kernel+bias holder with ``nn.Dense``'s exact param names, shapes,
+    inits, and dtypes — GPT2Block's MLP declares its params through these
+    (scope names ``mlp_c_fc``/``mlp_c_proj`` keep every checkpoint/TP-spec
+    path identical to the QDense modules they replace) but computes on the
+    raw leaves so the decode-shaped int8 pair can take ONE fused kernel."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (in_features, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        return kernel, bias
 
 
 @dataclasses.dataclass(frozen=True)
@@ -159,9 +181,16 @@ class GPT2Block(nn.Module):
         h, new_cache = GPT2Attention(self.num_heads, dtype=self.dtype, name="attn")(
             LayerNormF32(name="ln_1")(x), cache, key_pad)
         x = x + h
-        m = QDense(4 * x.shape[-1], dtype=self.dtype, name="mlp_c_fc")(
-            LayerNormF32(name="ln_2")(x))
-        m = QDense(x.shape[-1], dtype=self.dtype, name="mlp_c_proj")(_gelu_tanh(m))
+        d = x.shape[-1]
+        k1, b1 = _QParams(4 * d, name="mlp_c_fc")(d)
+        k2, b2 = _QParams(d, name="mlp_c_proj")(4 * d)
+        u = LayerNormF32(name="ln_2")(x)
+        # decode-shaped int8 pair: fc+gelu+proj in ONE kernel launch, the
+        # hidden never leaves VMEM (ops/gemv.qmlp; None -> unfused pair)
+        m = qmlp(u, k1, b1, k2, b2, self.dtype)
+        if m is None:
+            m = _dense_apply(_gelu_tanh(_dense_apply(u, k1, b1, self.dtype)),
+                             k2, b2, self.dtype)
         return x + m, new_cache
 
 

@@ -34,7 +34,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 __all__ = ["matmul_reference", "streamed_qmatmul", "qdot", "gather_rows",
-           "is_qleaf"]
+           "is_qleaf", "fused_qmlp", "fused_qmlp_reference", "qmlp",
+           "fused_mlp_legal"]
 
 _ROWS = 8  # padded activation rows per kernel: one f32 sublane tile
 
@@ -153,6 +154,127 @@ def qdot(x: jax.Array, leaf, dtype) -> jax.Array:
         return matmul_reference(x.reshape(rows, k), q,
                                 scale).reshape(*lead, n).astype(dtype)
     return jnp.dot(x.astype(dtype), q.astype(dtype))
+
+
+def _pick_bh(d: int, h: int, itemsize: int) -> int:
+    # largest hidden chunk that (a) DIVIDES h — masked tail chunks would
+    # CONTRIBUTE garbage to the accumulated second dot, unlike the pure
+    # N-blocking above where padded columns only reach discarded outputs —
+    # (b) is lane-tile legal, (c) fits two double-buffered weight slabs
+    best = 0
+    for bh in range(128, h + 1, 128):
+        if h % bh == 0 and 4 * d * bh * itemsize <= _BUDGET:
+            best = bh
+    return best
+
+
+def fused_mlp_legal(d: int, h: int, itemsize: int) -> bool:
+    """Both dots tile-legal for :func:`fused_qmlp` (D on lane tiles for the
+    x/out blocks and the W2 columns; a dividing hidden chunk exists)."""
+    return d % 128 == 0 and _pick_bh(d, h, itemsize) > 0
+
+
+def fused_qmlp_reference(x, w1, s1, b1, w2, s2, b2) -> jax.Array:
+    """XLA oracle with the fused kernel's exact semantics: bf16 dots, f32
+    accumulation, f32 scale-after per dot, gelu(tanh) on the f32 hidden."""
+    t = matmul_reference(x, w1, s1) + b1.reshape(1, -1).astype(jnp.float32)
+    hact = jax.nn.gelu(t, approximate=True)
+    return matmul_reference(hact, w2, s2) + b2.reshape(1, -1).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_qmlp(x: jax.Array, w1: jax.Array, s1: jax.Array, b1: jax.Array,
+               w2: jax.Array, s2: jax.Array, b2: jax.Array, *,
+               interpret: bool = False) -> jax.Array:
+    """``gelu(x @ w1 * s1 + b1) @ w2 * s2 + b2`` in ONE kernel launch.
+
+    The transformer-MLP pair for decode-shaped activations (R <= 8 rows):
+    the grid walks hidden chunks, each step streams one (D, bh) w1 slab +
+    one (bh, D) w2 slab into VMEM, widens in-register, and accumulates the
+    second dot's partial product into a VMEM-resident (8, D) f32 output —
+    the hidden activation never exists outside VMEM and the pair costs one
+    launch instead of two (~6 us/launch at gpt2-large geometry,
+    tools/profile_decode_large.py `gemv` section). w2's per-output-column
+    scale distributes over the chunk sum, so it applies once at the end.
+
+    Math per chunk matches :func:`qdot` on the unfused pair except that
+    the hidden stays f32 until the second dot's bf16 cast (the unfused
+    pair rounds it to the model dtype between the launches).
+    """
+    r, d = x.shape
+    h = w1.shape[1]
+    bh = _pick_bh(d, h, w1.dtype.itemsize)
+    assert bh and d % 128 == 0, (d, h)
+    xp = jnp.zeros((_ROWS, d), jnp.float32).at[:r].set(x.astype(jnp.float32))
+    s1r = s1.reshape(1, h).astype(jnp.float32)
+    b1r = b1.reshape(1, h).astype(jnp.float32)
+
+    def kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, o_ref):
+        t = jnp.dot(x_ref[...].astype(jnp.bfloat16),
+                    w1_ref[...].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+        hact = jax.nn.gelu(t * s1_ref[...] + b1_ref[...], approximate=True)
+        part = jnp.dot(hact.astype(jnp.bfloat16),
+                       w2_ref[...].astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            o_ref[...] = part
+
+        @pl.when(pl.program_id(0) > 0)
+        def _acc():
+            o_ref[...] += part
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(h // bh,),
+        in_specs=[
+            pl.BlockSpec((_ROWS, d), lambda j: (0, 0)),
+            pl.BlockSpec((d, bh), lambda j: (0, j)),
+            pl.BlockSpec((1, bh), lambda j: (0, j)),
+            pl.BlockSpec((1, bh), lambda j: (0, j)),
+            pl.BlockSpec((bh, d), lambda j: (j, 0)),
+        ],
+        out_specs=pl.BlockSpec((_ROWS, d), lambda j: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((_ROWS, d), jnp.float32),
+        interpret=interpret or jax.default_backend() != "tpu",
+    )(xp, w1, s1r, b1r, w2)
+    return out[:r] * s2.reshape(1, d) + b2.reshape(1, d).astype(jnp.float32)
+
+
+def qmlp(x: jax.Array, leaf1, bias1, leaf2, bias2, dtype) -> tp.Optional[jax.Array]:
+    """Fused-MLP dispatch: the kernel when both leaves are int8 qleaves,
+    the shapes are decode-shaped + tile-legal, and ``SUMMER_CLIP_FUSED_MLP=1``
+    opts in; ``None`` otherwise (caller runs the unfused pair).
+
+    OPT-IN, measured NET NEGATIVE on-chip at both production geometries
+    (gpt2-large 230 vs 416 tok/s, 124M 606 vs 1,278): the (D, bh) w1
+    column blocks are strided reads of the row-major weight (~1KB
+    contiguous segments), and the lost DMA efficiency dwarfs the one
+    saved kernel launch (~6 us). The unfused pair reads each matrix as
+    one contiguous whole-matrix block. Kept as the oracle-tested
+    reference for revisiting with a transposed-w1 storage layout."""
+    import os
+
+    if not (is_qleaf(leaf1) and is_qleaf(leaf2)):
+        return None
+    if os.environ.get("SUMMER_CLIP_FUSED_MLP", "0") != "1":
+        return None
+    if os.environ.get("SUMMER_CLIP_GEMV", "1") == "0":
+        return None
+    d, h = leaf1["q"].shape
+    if leaf2["q"].shape != (h, d) or not fused_mlp_legal(d, h, leaf1["q"].dtype.itemsize):
+        return None
+    lead = x.shape[:-1]
+    rows = 1
+    for n in lead:
+        rows *= n
+    if rows > _ROWS:
+        return None
+    y = fused_qmlp(x.reshape(rows, d), leaf1["q"], leaf1["scale"], bias1,
+                   leaf2["q"], leaf2["scale"], bias2)
+    return y.reshape(*lead, d).astype(dtype)
 
 
 def gather_rows(leaf, ids: jax.Array) -> jax.Array:

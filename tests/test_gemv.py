@@ -87,6 +87,83 @@ class TestQdot:
                                    rtol=1e-6)
 
 
+class TestFusedQmlp:
+    def _mlp(self, key, r, d, h):
+        rng = np.random.RandomState(key)
+        x = jnp.asarray(rng.randn(r, d).astype(np.float32))
+        w1 = jnp.asarray(rng.randint(-127, 128, (d, h)), jnp.int8)
+        s1 = jnp.asarray(np.abs(rng.randn(1, h)).astype(np.float32) * 0.01)
+        b1 = jnp.asarray(rng.randn(h).astype(np.float32) * 0.1)
+        w2 = jnp.asarray(rng.randint(-127, 128, (h, d)), jnp.int8)
+        s2 = jnp.asarray(np.abs(rng.randn(1, d)).astype(np.float32) * 0.01)
+        b2 = jnp.asarray(rng.randn(d).astype(np.float32) * 0.1)
+        return x, w1, s1, b1, w2, s2, b2
+
+    @pytest.mark.parametrize("r,d,h", [(1, 128, 512), (8, 128, 384),
+                                       (2, 256, 1024)])
+    def test_matches_reference(self, r, d, h):
+        args = self._mlp(0, r, d, h)
+        out = G.fused_qmlp(*args, interpret=True)
+        ref = G.fused_qmlp_reference(*args)
+        # chunked f32 accumulation vs one dot: tiny ordering drift only
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_multi_chunk_accumulation(self):
+        """h forces > 1 grid step (accumulator init/accumulate split)."""
+        x, w1, s1, b1, w2, s2, b2 = self._mlp(1, 3, 512, 8192)
+        assert G._pick_bh(512, 8192, 1) < 8192  # really multi-step
+        out = G.fused_qmlp(x, w1, s1, b1, w2, s2, b2, interpret=True)
+        ref = G.fused_qmlp_reference(x, w1, s1, b1, w2, s2, b2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_qmlp_dispatch_gates(self, monkeypatch):
+        x, w1, s1, b1, w2, s2, b2 = self._mlp(2, 2, 128, 512)
+        l1, l2 = {"q": w1, "scale": s1}, {"q": w2, "scale": s2}
+        # opt-in: off by default (measured net-negative on-chip)
+        assert G.qmlp(x, l1, b1, l2, b2, jnp.float32) is None
+        monkeypatch.setenv("SUMMER_CLIP_FUSED_MLP", "1")
+        assert G.qmlp(x, l1, b1, l2, b2, jnp.float32) is not None
+        # plain arrays, wide rows, and illegal D all decline
+        assert G.qmlp(x, w1.astype(jnp.float32), b1, l2, b2, jnp.float32) is None
+        wide = jnp.tile(x, (8, 1))[:16]
+        assert G.qmlp(wide, l1, b1, l2, b2, jnp.float32) is None
+        xs, w1s, s1s, b1s, w2s, s2s, b2s = self._mlp(3, 2, 96, 384)
+        assert G.qmlp(xs, {"q": w1s, "scale": s1s}, b1s,
+                      {"q": w2s, "scale": s2s}, b2s, jnp.float32) is None
+
+    def test_block_fused_matches_unfused(self, monkeypatch):
+        """A quantized GPT2 block (D=128) takes the fused path and tracks
+        the unfused int8 pair; greedy decode first pick is preserved."""
+        from summer_clip_tpu.engine.quant import quantize_tree
+        from summer_clip_tpu.models import gpt2 as gpt2_mod
+
+        cfg = gpt2_mod.GPT2Config("fused-gpt", vocab_size=512, n_positions=64,
+                                  n_embd=128, n_layer=2, n_head=2)
+        model = gpt2_mod.GPT2(cfg)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 4), jnp.int32))["params"]
+        qtree = {"params": quantize_tree(params)}
+        ids = jnp.asarray([[3, 7, 11, 2]])
+
+        monkeypatch.setenv("SUMMER_CLIP_FUSED_MLP", "1")
+        fused_calls = []
+        real = G.fused_qmlp
+        monkeypatch.setattr(G, "fused_qmlp",
+                            lambda *a, **kw: fused_calls.append(1) or real(*a, **kw))
+        cache = model.apply(qtree, method=model.init_cache, batch=1, max_len=8)
+        out_f = model.apply(qtree, ids[:, :1], position_offset=0,
+                            cache=cache)["logits"]
+        assert fused_calls, "decode-shaped quant block did not fuse"
+        monkeypatch.setenv("SUMMER_CLIP_GEMV", "0")
+        out_u = model.apply(qtree, ids[:, :1], position_offset=0,
+                            cache=cache)["logits"]
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_u),
+                                   rtol=5e-2, atol=5e-2)
+        assert int(jnp.argmax(out_f[0, -1])) == int(jnp.argmax(out_u[0, -1]))
+
+
 class TestGatherRows:
     def test_int8_rows_match_dequant_gather(self):
         rng = np.random.RandomState(7)
