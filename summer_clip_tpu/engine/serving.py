@@ -105,6 +105,44 @@ def _engine_step(model, temp: float, top_k: int, greedy: bool,
 
 
 @functools.lru_cache(maxsize=32)
+def _engine_burst(model, temp: float, top_k: int, greedy: bool, n: int,
+                  top_p: float = 1.0):
+    """``n`` decode iterations in ONE dispatch (admission-free window).
+
+    Exactly ``n`` back-to-back :func:`_engine_step` bodies as a
+    ``lax.scan``: the host pre-splits the same ``n`` rng subkeys it would
+    have split per step, ``active`` rows feed their previous sample while
+    rows free at burst start keep feeding token 0 at a frozen position
+    (what per-step dispatch does to free rows), and the KV index
+    advances inside the cache. Emitted tokens for every row are bitwise
+    what ``n`` sequential steps emit; a row that hits EOT mid-burst keeps
+    decoding junk that the host discards and the ring rollback on its
+    slot's next admission makes causally invisible (the same argument as
+    chunk-prefill junk)."""
+
+    @jax.jit
+    def burst(variables, cache, feed0, pos0, active, key_pad, subs,
+              head_table=None):
+        def body(carry, sub_i):
+            feed, cache = carry
+            sub, i = sub_i
+            pos = jnp.where(active, pos0 + i, pos0)
+            out = model.apply(variables, feed[:, None],
+                              position_offset=pos[:, None], cache=cache,
+                              key_pad=key_pad)
+            nxt = _pick(_last_logits(out, head_table), temp, top_k, greedy,
+                        sub, top_p)
+            feed_next = jnp.where(active, nxt, 0).astype(jnp.int32)
+            return (feed_next, out["cache"]), nxt
+
+        (_, cache), toks = jax.lax.scan(
+            body, (feed0, cache), (subs, jnp.arange(n, dtype=jnp.int32)))
+        return cache, toks  # toks: (n, B)
+
+    return burst
+
+
+@functools.lru_cache(maxsize=32)
 def _prefill_step(model, temp: float, top_k: int, greedy: bool, length: int,
                   top_p: float = 1.0):
     """Bucketed chunk prefill: (B, length) tokens in one forward. Only the
@@ -143,6 +181,7 @@ class ContinuousBatcher:
                  rng: tp.Optional[jax.Array] = None,
                  prefill_chunk: bool = True,
                  quant_int8: bool = False,
+                 burst: int = 8,
                  mesh=None):
         self.model = model
         self._head_table = None
@@ -165,6 +204,10 @@ class ContinuousBatcher:
         self.greedy = bool(greedy)
         self.eot_id = eot_id
         self.prefill_chunk = bool(prefill_chunk)
+        # admission-free windows dispatch up to `burst` iterations as one
+        # scan (the per-iteration host round-trip is the engine's measured
+        # cost vs the static sampler — docs/SERVING.md); 1 = per-step
+        self.burst = max(int(burst), 1)
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
         self._slots = [_Slot() for _ in range(self.B)]
         self._queue: tp.List[Request] = []
@@ -295,10 +338,62 @@ class ContinuousBatcher:
                     finished.append(out)
         return finished
 
+    def _burst_len(self, active: tp.List[int]) -> int:
+        """Iterations safely dispatchable with no host visit: bounded by the
+        burst knob, every active row's remaining budget, and capacity;
+        requires every active row past its prompt (prefill feeds are host
+        data). A non-empty queue does NOT block a burst — ``_admit`` just
+        ran, so a backlog implies every slot is busy and no admission could
+        happen for at least one iteration anyway; a request retiring
+        mid-burst delays the next admission by at most ``burst - 1``
+        iterations (the scheduling-granularity knob). Greedy outputs are
+        per-request identical regardless; SAMPLED streams under a backlog
+        depend on admission timing (they do in any batched engine — the rng
+        stream is consumed per iteration)."""
+        if self.burst <= 1:
+            return 1
+        n = self.burst
+        for b in active:
+            slot = self._slots[b]
+            if slot.fed < len(slot.req.prompt_ids):
+                return 1
+            n = min(n, slot.req.max_new_tokens - slot.generated)
+            n = min(n, self.max_len - int(self._ring[b]))
+        return max(n, 1)
+
+    def _dispatch_burst(self, active: tp.List[int], n: int,
+                        tokens: np.ndarray) -> tp.List[Request]:
+        subs = []
+        for _ in range(n):  # the exact rng stream n single steps consume
+            self._rng, s = jax.random.split(self._rng)
+            subs.append(s)
+        run = _engine_burst(self.model, self.temperature, self.top_k,
+                            self.greedy, n, self.top_p)
+        mask = np.zeros(self.B, bool)
+        mask[active] = True
+        self._cache, toks = run(
+            self.variables, self._stamped_cache(), jnp.asarray(tokens),
+            jnp.asarray(self._positions, jnp.int32), jnp.asarray(mask),
+            jnp.asarray(self._key_pad, jnp.int32), jnp.stack(subs),
+            self._head_table)
+        toks = np.asarray(toks)
+        self._ring += n
+        finished: tp.List[Request] = []
+        for b in active:
+            self._positions[b] += n
+            for i in range(n):
+                done = self._finish_token(b, int(toks[i, b]))
+                if done is not None:  # post-EOT burst tokens are junk
+                    finished.append(done)
+                    break
+        return finished
+
     def step(self) -> tp.List[Request]:
-        """One iteration: every active slot advances one token. Returns the
-        requests that finished this iteration (admission prefills may finish
-        a 1-new-token request immediately)."""
+        """One iteration: every active slot advances one token (an
+        admission-free all-decode window advances up to ``burst`` tokens in
+        one dispatch — same emitted ids, see :func:`_engine_burst`). Returns
+        the requests that finished (admission prefills may finish a
+        1-new-token request immediately)."""
         finished = self._admit()
         active = [b for b, s in enumerate(self._slots) if not s.free]
         if not active:
@@ -313,6 +408,10 @@ class ContinuousBatcher:
                 tokens[b] = req.prompt_ids[slot.fed]          # prefill feed
             else:
                 tokens[b] = self._last_sample[b]               # decode feed
+
+        n = self._burst_len(active)
+        if n > 1:
+            return finished + self._dispatch_burst(active, n, tokens)
 
         self._rng, sub = jax.random.split(self._rng)
         self._cache, nxt = self._step(

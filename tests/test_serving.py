@@ -110,6 +110,28 @@ class TestContinuousBatcher:
         for p, got in zip(prompts, outs[True]):
             assert got == _oracle(model, variables, p, 6)
 
+    def test_burst_matches_per_step_engine(self):
+        """burst=N emits exactly what per-step dispatch emits. Greedy: with
+        a backlog (3 requests / 2 slots — rows retire mid-burst, admission
+        timing shifts, outputs must not). Sampled: without a backlog (the
+        host pre-splits the identical rng stream; under a backlog admission
+        timing legitimately realigns the stream)."""
+        model, cfg, variables = _model()
+        rng = np.random.RandomState(9)
+        prompts = [list(rng.randint(1, cfg.vocab_size, n)) for n in (3, 11, 6)]
+        budgets = [7, 3, 5]
+        for greedy, nreq in ((True, 3), (False, 2)):
+            outs = {}
+            for burst in (1, 4):
+                eng = ContinuousBatcher(model, variables, batch_slots=2,
+                                        max_len=48, greedy=greedy, burst=burst,
+                                        rng=jax.random.PRNGKey(3))
+                reqs = [eng.submit(p, m)
+                        for p, m in zip(prompts[:nreq], budgets[:nreq])]
+                eng.run()
+                outs[burst] = [r.out_ids for r in reqs]
+            assert outs[1] == outs[4], f"greedy={greedy}"
+
     def test_quant_int8_engine_runs(self):
         """quant_int8 engine: int8 weight tree, requests complete, first
         greedy token agrees with full precision (margin-dominated)."""

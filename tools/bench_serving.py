@@ -61,21 +61,22 @@ def main(name: str = "gpt2", slots: int = 8, n_requests: int = 24,
           f"{total_tokens / dt_static:,.0f} tok/s aggregate", flush=True)
 
     # -- continuous batcher ---------------------------------------------------
-    def run_engine():
+    def run_engine(burst: int = 8):
         eng = ContinuousBatcher(model, variables, batch_slots=slots,
-                                max_len=32 + max_new, greedy=True)
+                                max_len=32 + max_new, greedy=True, burst=burst)
         for p in prompts:
             eng.submit(p, max_new_tokens=max_new)
         return eng.run()
 
-    run_engine()  # compile
-    t0 = time.perf_counter()
-    done = run_engine()
-    dt_eng = time.perf_counter() - t0
-    assert len(done) == n_requests
-    print(f"continuous engine (B={slots}): {dt_eng:.2f}s = "
-          f"{total_tokens / dt_eng:,.0f} tok/s aggregate "
-          f"(per-iteration host round-trip included)", flush=True)
+    for burst in (1, 8, 32):
+        run_engine(burst)  # compile
+        t0 = time.perf_counter()
+        done = run_engine(burst)
+        dt_eng = time.perf_counter() - t0
+        assert len(done) == n_requests
+        print(f"continuous engine (B={slots}, burst={burst}): {dt_eng:.2f}s = "
+              f"{total_tokens / dt_eng:,.0f} tok/s aggregate "
+              f"(host round-trip per burst)", flush=True)
 
     # -- continuous batcher, int8-as-stored (ops/gemv streaming path) ---------
     def run_engine_int8():
