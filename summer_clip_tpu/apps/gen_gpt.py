@@ -402,6 +402,7 @@ class GptGenerator(BaseTrainer):
                 temperature=float(gcfg.temperature), top_k=int(gcfg.top_k),
                 top_p=float(gcfg.get("top_p", 1.0)),
                 burst=int(gcfg.get("burst", 8)),
+                pipeline=int(gcfg.get("pipeline", 4)),
                 eot_id=self.tokenizer.eot_token, rng=sub)
             reqs = [eng.submit(ids, max_new_tokens=max_new) for ids in ids_all]
             eng.run()

@@ -135,9 +135,11 @@ def _engine_burst(model, temp: float, top_k: int, greedy: bool, n: int,
             feed_next = jnp.where(active, nxt, 0).astype(jnp.int32)
             return (feed_next, out["cache"]), nxt
 
-        (_, cache), toks = jax.lax.scan(
+        (feed, cache), toks = jax.lax.scan(
             body, (feed0, cache), (subs, jnp.arange(n, dtype=jnp.int32)))
-        return cache, toks  # toks: (n, B)
+        # feed is returned ON DEVICE so a chained burst can start from it
+        # without the host ever fetching a token (see _dispatch_burst)
+        return cache, toks, feed  # toks: (n, B)
 
     return burst
 
@@ -182,6 +184,7 @@ class ContinuousBatcher:
                  prefill_chunk: bool = True,
                  quant_int8: bool = False,
                  burst: int = 8,
+                 pipeline: int = 4,
                  mesh=None):
         self.model = model
         self._head_table = None
@@ -208,6 +211,12 @@ class ContinuousBatcher:
         # scan (the per-iteration host round-trip is the engine's measured
         # cost vs the static sampler — docs/SERVING.md); 1 = per-step
         self.burst = max(int(burst), 1)
+        # up to `pipeline` bursts chain back-to-back per host visit: the
+        # feed token stays ON DEVICE between bursts (async dispatch — the
+        # host enqueues all of them, then fetches the whole token block
+        # once), so the effective scheduling granularity is burst*pipeline
+        # iterations at one RTT + one compiled program of length `burst`
+        self.pipeline = max(int(pipeline), 1)
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
         self._slots = [_Slot() for _ in range(self.B)]
         self._queue: tp.List[Request] = []
@@ -352,7 +361,18 @@ class ContinuousBatcher:
         stream is consumed per iteration)."""
         if self.burst <= 1:
             return 1
-        n = self.burst
+        return min(self.burst, self._safe_iters(active))
+
+    def _safe_iters(self, active: tp.List[int]) -> int:
+        """Iterations dispatchable with zero host visits, uncapped by the
+        burst knob: min over active rows of remaining budget and KV
+        capacity (1 while any row is still prefilling — prefill feeds are
+        host data). Because it is bounded by the minimum remaining
+        ``max_new_tokens`` budget, a chain never outlives the first
+        retirement unless ``eot_id`` cuts a stream short (those post-EOT
+        tokens are junk the host discards — the same contract as a single
+        burst)."""
+        n = 1 << 30
         for b in active:
             slot = self._slots[b]
             if slot.fed < len(slot.req.prompt_ids):
@@ -363,25 +383,45 @@ class ContinuousBatcher:
 
     def _dispatch_burst(self, active: tp.List[int], n: int,
                         tokens: np.ndarray) -> tp.List[Request]:
-        subs = []
-        for _ in range(n):  # the exact rng stream n single steps consume
-            self._rng, s = jax.random.split(self._rng)
-            subs.append(s)
+        """Dispatch ``chains`` back-to-back bursts of ``n`` iterations and
+        fetch their tokens in ONE host sync. Between bursts the feed token
+        and the KV ring index live on device (``apply`` advances the index
+        itself; ``feed`` is the scan carry), so chaining is pure async
+        dispatch — the emitted ids are bitwise what n*chains sequential
+        steps emit (the host pre-splits the identical rng stream and the
+        per-burst position bases are host arithmetic)."""
+        chains = 1
+        if self.pipeline > 1 and n == self.burst:
+            chains = max(1, min(self.pipeline, self._safe_iters(active) // n))
         run = _engine_burst(self.model, self.temperature, self.top_k,
                             self.greedy, n, self.top_p)
         mask = np.zeros(self.B, bool)
         mask[active] = True
-        self._cache, toks = run(
-            self.variables, self._stamped_cache(), jnp.asarray(tokens),
-            jnp.asarray(self._positions, jnp.int32), jnp.asarray(mask),
-            jnp.asarray(self._key_pad, jnp.int32), jnp.stack(subs),
-            self._head_table)
-        toks = np.asarray(toks)
-        self._ring += n
+        mask_dev = jnp.asarray(mask)
+        key_pad = jnp.asarray(self._key_pad, jnp.int32)
+        base_pos = self._positions.copy()
+        feed = jnp.asarray(tokens)
+        cache = self._stamped_cache()
+        parts = []
+        for k in range(chains):
+            subs = []
+            for _ in range(n):  # the exact rng stream n single steps consume
+                self._rng, s = jax.random.split(self._rng)
+                subs.append(s)
+            pos_k = np.where(mask, base_pos + k * n, base_pos)
+            cache, toks, feed = run(
+                self.variables, cache, feed, jnp.asarray(pos_k, jnp.int32),
+                mask_dev, key_pad, jnp.stack(subs), self._head_table)
+            parts.append(toks)
+        self._cache = cache
+        toks = np.asarray(parts[0] if chains == 1
+                          else jnp.concatenate(parts, axis=0))
+        total = n * chains
+        self._ring += total
         finished: tp.List[Request] = []
         for b in active:
-            self._positions[b] += n
-            for i in range(n):
+            self._positions[b] += total
+            for i in range(total):
                 done = self._finish_token(b, int(toks[i, b]))
                 if done is not None:  # post-EOT burst tokens are junk
                     finished.append(done)

@@ -122,15 +122,19 @@ class TestContinuousBatcher:
         budgets = [7, 3, 5]
         for greedy, nreq in ((True, 3), (False, 2)):
             outs = {}
-            for burst in (1, 4):
+            # (burst, pipeline): pipeline>1 chains bursts with the feed
+            # token on device — emitted ids must stay bitwise per-step
+            for burst, pipe in ((1, 1), (4, 1), (2, 3)):
                 eng = ContinuousBatcher(model, variables, batch_slots=2,
                                         max_len=48, greedy=greedy, burst=burst,
+                                        pipeline=pipe,
                                         rng=jax.random.PRNGKey(3))
                 reqs = [eng.submit(p, m)
                         for p, m in zip(prompts[:nreq], budgets[:nreq])]
                 eng.run()
-                outs[burst] = [r.out_ids for r in reqs]
-            assert outs[1] == outs[4], f"greedy={greedy}"
+                outs[(burst, pipe)] = [r.out_ids for r in reqs]
+            assert outs[(1, 1)] == outs[(4, 1)], f"greedy={greedy}"
+            assert outs[(1, 1)] == outs[(2, 3)], f"greedy={greedy}"
 
     def test_quant_int8_engine_runs(self):
         """quant_int8 engine: int8 weight tree, requests complete, first

@@ -61,22 +61,25 @@ def main(name: str = "gpt2", slots: int = 8, n_requests: int = 24,
           f"{total_tokens / dt_static:,.0f} tok/s aggregate", flush=True)
 
     # -- continuous batcher ---------------------------------------------------
-    def run_engine(burst: int = 8):
+    def run_engine(burst: int = 8, pipeline: int = 1):
         eng = ContinuousBatcher(model, variables, batch_slots=slots,
-                                max_len=32 + max_new, greedy=True, burst=burst)
+                                max_len=32 + max_new, greedy=True, burst=burst,
+                                pipeline=pipeline)
         for p in prompts:
             eng.submit(p, max_new_tokens=max_new)
         return eng.run()
 
-    for burst in (1, 8, 32):
-        run_engine(burst)  # compile
+    # pipeline>1 chains bursts with the feed token on device: one host sync
+    # per chain instead of per burst (engine/serving.py:_dispatch_burst)
+    for burst, pipe in ((1, 1), (8, 1), (32, 1), (8, 4), (32, 2)):
+        run_engine(burst, pipe)  # compile
         t0 = time.perf_counter()
-        done = run_engine(burst)
+        done = run_engine(burst, pipe)
         dt_eng = time.perf_counter() - t0
         assert len(done) == n_requests
-        print(f"continuous engine (B={slots}, burst={burst}): {dt_eng:.2f}s = "
-              f"{total_tokens / dt_eng:,.0f} tok/s aggregate "
-              f"(host round-trip per burst)", flush=True)
+        print(f"continuous engine (B={slots}, burst={burst}, pipe={pipe}): "
+              f"{dt_eng:.2f}s = {total_tokens / dt_eng:,.0f} tok/s aggregate "
+              f"(host sync per chain)", flush=True)
 
     # -- continuous batcher, int8-as-stored (ops/gemv streaming path) ---------
     def run_engine_int8():
