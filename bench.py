@@ -338,6 +338,89 @@ def bench_image_attention_combo(nt: int = 19850, nc: int = 19850, d: int = 1024,
         f"path — selection gathers and Hard values run on device, zero per-combo upload)")
 
 
+class _HeadlineEmitter:
+    """Prints the ONE graded JSON line exactly once, as the LAST stdout line.
+
+    Round 3 printed the headline BEFORE the secondaries (to survive driver
+    timeouts) and the driver — which parses the last line of the merged
+    output — recorded ``parsed: null`` (VERDICT round 3, weakness #1; the
+    known-good shape is BENCH_r01.json where the JSON line ends the tail).
+    The success path here emits at the END instead, and the timeout
+    protection moves into the emitter itself: a SIGTERM/SIGINT handler and
+    a hard wall-clock deadline thread (``BENCH_EMIT_DEADLINE``, default
+    900s) each emit-and-exit-0 if a secondary stalls past what the driver
+    will wait for, so the line is last in EVERY exit path short of SIGKILL.
+
+    ``skipped`` names secondaries that did not run to completion (budget
+    skips and failures) — one extra key on the same single line, so a
+    cold-compile-cache capture is machine-distinguishable from a complete
+    run (VERDICT round 3, weakness #6).
+    """
+
+    def __init__(self, headline: dict, deadline: float):
+        import os
+        import signal
+        import threading
+
+        self.headline = dict(headline)
+        self.skipped: list = []
+        self._lock = threading.Lock()
+        self._emitted = False
+
+        def _on_signal(signum, frame):
+            self.skipped.append(f"interrupted:signal{signum}")
+            self.emit()
+            os._exit(0)
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                signal.signal(sig, _on_signal)
+            except ValueError:  # non-main thread (tests)
+                pass
+
+        def _deadline_watch():
+            import time as _t
+
+            _t.sleep(max(deadline - (time.perf_counter() - _T0), 0.0))
+            self.skipped.append("interrupted:deadline")
+            log(f"[bench] emit deadline ({deadline:.0f}s) hit mid-secondary; "
+                "emitting headline and exiting")
+            self.emit()
+            os._exit(0)
+
+        if deadline > 0:
+            threading.Thread(target=_deadline_watch, daemon=True).start()
+
+    def emit(self) -> None:
+        with self._lock:
+            if self._emitted:
+                return
+            self._emitted = True
+            line = dict(self.headline)
+            if self.skipped:
+                line["skipped"] = list(self.skipped)
+            sys.stderr.flush()
+            print(json.dumps(line), flush=True)
+
+    def run_secondaries(self, fns, budget: float = 520.0) -> None:
+        """Run each secondary unless the wall-clock budget is spent; record
+        budget skips and failures in ``skipped``. Always call :meth:`emit`
+        last so the JSON line closes stdout."""
+        for fn in fns:
+            if time.perf_counter() - _T0 > budget:
+                # remote compiles/stalls have eaten the budget — don't let a
+                # late secondary push past a driver timeout
+                log(f"[bench] skipping {fn.__name__}: past the time budget")
+                self.skipped.append(f"budget:{fn.__name__}")
+                continue
+            try:
+                fn()
+            except Exception as e:  # secondaries must not sink the primary
+                log(f"[bench] {fn.__name__} failed: {e}")
+                self.skipped.append(f"failed:{fn.__name__}")
+        self.emit()
+
+
 def main() -> None:
     # Watchdog: during the round-2 outage the axon backend HUNG at init
     # (no error, no return) — a wedged bench is worse than a failed one
@@ -368,15 +451,13 @@ def main() -> None:
     log(f"[bench] backend={jax.default_backend()} devices={jax.devices()}")
     init_done.set()
     ips = bench_encode("RN50", batch=128, iters=256)
-    # primary metric FIRST: remote-compile-cache misses on the tunneled chip
-    # can put the secondaries past a driver timeout, and the JSON line must
-    # never be lost to them
-    print(json.dumps({
+    emitter = _HeadlineEmitter({
         "metric": "CLIP RN50 feature extraction throughput (224px, bf16, steady-state)",
         "value": round(ips, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / 10000.0, 4),
-    }), flush=True)
+    }, deadline=float(os.environ.get("BENCH_EMIT_DEADLINE", "900")))
+
     def bench_vit():
         # ViT-B/16 secondary: the round-3 fused-block Pallas win rides this
         # number (docs/KERNELS.md); with FUSED_BLOCK_MODE="block" throughput
@@ -386,19 +467,11 @@ def main() -> None:
     # cheap (compile-cached) secondaries first; the ImageNet e2e app goes
     # last because its all-logits program can cost 200-500s of remote
     # compile on a cold cache, which must not starve the GPT numbers
-    for fn in (bench_cache_affinity, bench_vit, bench_imagenet_scale_cache,
-               bench_gpt_train_step, bench_gpt_decode,
-               bench_image_attention_combo, bench_imagenet_e2e_app):
-        if time.perf_counter() - _T0 > 520:
-            # remote compiles/stalls have eaten the budget — the headline is
-            # already out; don't let a late secondary push past a driver
-            # timeout
-            log(f"[bench] skipping {fn.__name__}: past the time budget")
-            continue
-        try:
-            fn()
-        except Exception as e:  # secondary metrics must not sink the primary
-            log(f"[bench] {fn.__name__} failed: {e}")
+    emitter.run_secondaries(
+        (bench_cache_affinity, bench_vit, bench_imagenet_scale_cache,
+         bench_gpt_train_step, bench_gpt_decode,
+         bench_image_attention_combo, bench_imagenet_e2e_app),
+        budget=float(os.environ.get("BENCH_SECONDARY_BUDGET", "520")))
 
 
 if __name__ == "__main__":

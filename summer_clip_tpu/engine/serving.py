@@ -347,21 +347,25 @@ class ContinuousBatcher:
                     finished.append(out)
         return finished
 
-    def _burst_len(self, active: tp.List[int]) -> int:
+    def _burst_len(self, active: tp.List[int], safe: int) -> int:
         """Iterations safely dispatchable with no host visit: bounded by the
-        burst knob, every active row's remaining budget, and capacity;
+        burst knob, every active row's remaining budget, and capacity
+        (``safe`` — the :meth:`_safe_iters` value step() computed once);
         requires every active row past its prompt (prefill feeds are host
         data). A non-empty queue does NOT block a burst — ``_admit`` just
         ran, so a backlog implies every slot is busy and no admission could
-        happen for at least one iteration anyway; a request retiring
-        mid-burst delays the next admission by at most ``burst - 1``
-        iterations (the scheduling-granularity knob). Greedy outputs are
-        per-request identical regardless; SAMPLED streams under a backlog
-        depend on admission timing (they do in any batched engine — the rng
-        stream is consumed per iteration)."""
+        happen for at least one iteration anyway. The scheduling
+        granularity is ``burst * pipeline`` when bursts chain
+        (:meth:`_dispatch_burst`): a request retiring mid-chain via
+        ``eot_id`` delays the next admission — and decodes discarded junk
+        tokens — for up to ``burst * pipeline - 1`` iterations (budget
+        retirements can't, ``safe`` never outlives the earliest budget).
+        Greedy outputs are per-request identical regardless; SAMPLED
+        streams under a backlog depend on admission timing, which chaining
+        coarsens the same way (the rng stream is consumed per iteration)."""
         if self.burst <= 1:
             return 1
-        return min(self.burst, self._safe_iters(active))
+        return min(self.burst, safe)
 
     def _safe_iters(self, active: tp.List[int]) -> int:
         """Iterations dispatchable with zero host visits, uncapped by the
@@ -382,7 +386,7 @@ class ContinuousBatcher:
         return max(n, 1)
 
     def _dispatch_burst(self, active: tp.List[int], n: int,
-                        tokens: np.ndarray) -> tp.List[Request]:
+                        tokens: np.ndarray, safe: int) -> tp.List[Request]:
         """Dispatch ``chains`` back-to-back bursts of ``n`` iterations and
         fetch their tokens in ONE host sync. Between bursts the feed token
         and the KV ring index live on device (``apply`` advances the index
@@ -392,7 +396,7 @@ class ContinuousBatcher:
         per-burst position bases are host arithmetic)."""
         chains = 1
         if self.pipeline > 1 and n == self.burst:
-            chains = max(1, min(self.pipeline, self._safe_iters(active) // n))
+            chains = max(1, min(self.pipeline, safe // n))
         run = _engine_burst(self.model, self.temperature, self.top_k,
                             self.greedy, n, self.top_p)
         mask = np.zeros(self.B, bool)
@@ -449,9 +453,10 @@ class ContinuousBatcher:
             else:
                 tokens[b] = self._last_sample[b]               # decode feed
 
-        n = self._burst_len(active)
+        safe = self._safe_iters(active)
+        n = self._burst_len(active, safe)
         if n > 1:
-            return finished + self._dispatch_burst(active, n, tokens)
+            return finished + self._dispatch_burst(active, n, tokens, safe)
 
         self._rng, sub = jax.random.split(self._rng)
         self._cache, nxt = self._step(

@@ -70,7 +70,11 @@ def main(name: str = "gpt2", slots: int = 8, n_requests: int = 24,
         return eng.run()
 
     # pipeline>1 chains bursts with the feed token on device: one host sync
-    # per chain instead of per burst (engine/serving.py:_dispatch_burst)
+    # per chain instead of per burst (engine/serving.py:_dispatch_burst).
+    # NOTE these arms run greedy with NO eot_id, so every request exhausts
+    # its budget and no chain ever decodes post-EOT junk — the pipe>1
+    # numbers are the chaining BEST case; the eot arm below bounds the
+    # junk-compute cost when streams do terminate mid-chain.
     for burst, pipe in ((1, 1), (8, 1), (32, 1), (8, 4), (32, 2)):
         run_engine(burst, pipe)  # compile
         t0 = time.perf_counter()
@@ -80,6 +84,39 @@ def main(name: str = "gpt2", slots: int = 8, n_requests: int = 24,
         print(f"continuous engine (B={slots}, burst={burst}, pipe={pipe}): "
               f"{dt_eng:.2f}s = {total_tokens / dt_eng:,.0f} tok/s aggregate "
               f"(host sync per chain)", flush=True)
+
+    # -- EOT-mid-chain junk bound ---------------------------------------------
+    # Re-run the widest chaining config with eot_id set to the token greedy
+    # decode emits most often (random weights make any fixed choice
+    # arbitrary; the modal token guarantees real mid-chain retirements).
+    # Useful throughput counts KEPT tokens only; the junk fraction is the
+    # chaining overhead an EOT-heavy workload pays for burst*pipeline
+    # scheduling granularity (engine/serving.py:_burst_len).
+    base = run_engine(32, 2)
+    hist: dict = {}
+    for r in base:
+        for t in r.out_ids:
+            hist[t] = hist.get(t, 0) + 1
+    eot = max(hist, key=hist.get)
+
+    def run_engine_eot():
+        eng = ContinuousBatcher(model, variables, batch_slots=slots,
+                                max_len=32 + max_new, greedy=True, burst=32,
+                                pipeline=2, eot_id=int(eot))
+        for p in prompts:
+            eng.submit(p, max_new_tokens=max_new)
+        return eng.run()
+
+    run_engine_eot()  # compile (same program; warms slot-count variants)
+    t0 = time.perf_counter()
+    done = run_engine_eot()
+    dt_eot = time.perf_counter() - t0
+    kept = sum(len(r.out_ids) for r in done)
+    print(f"continuous engine eot arm (B={slots}, burst=32, pipe=2, "
+          f"eot={int(eot)}): {dt_eot:.2f}s = {kept / dt_eot:,.0f} kept-tok/s "
+          f"({kept}/{total_tokens} kept — budget minus early-EOT savings; "
+          f"mid-chain junk decode is bounded by burst*pipeline-1 per "
+          f"retirement)", flush=True)
 
     # -- continuous batcher, int8-as-stored (ops/gemv streaming path) ---------
     def run_engine_int8():
