@@ -1,0 +1,193 @@
+"""Decode megakernel (ops/decode_block.py): kernel vs oracle (interpret),
+oracle vs the standard model forward, and the cache round-trip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from summer_clip_tpu.models import gpt2 as gpt2_mod
+from summer_clip_tpu.ops import decode_block as DB
+
+CFG = gpt2_mod.GPT2Config("mega-test", vocab_size=512, n_positions=256,
+                          n_embd=128, n_layer=2, n_head=2)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = gpt2_mod.GPT2(CFG)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 4), jnp.int32))["params"]
+    return model, params
+
+
+def _packed(params, store):
+    return DB.pack_core_params(params["core"], CFG.n_layer, store=store)
+
+
+def _prefill(model, params, ids, max_len):
+    cache = model.init_cache(1, max_len)
+    out = model.apply({"params": params}, ids, cache=cache)
+    return out
+
+
+class TestPlan:
+    def test_legality(self):
+        assert DB.mega_legal(1280, 5120, 20)   # gpt2-large
+        assert DB.mega_legal(768, 3072, 12)    # gpt2
+        assert not DB.mega_legal(1600, 6400, 25)  # gpt2-xl: D % 128 != 0
+
+    def test_chunks_divide_and_fit(self):
+        plan = DB.plan_for(36, 1280, 5120, 20, 1024, 1)
+        for ck, k in ((plan.ckq, 1280), (plan.ckp, 1280),
+                      (plan.ck1, 1280), (plan.ck2, 5120)):
+            assert k % ck == 0 and ck % 128 == 0
+        # stored slabs stay under the VMEM chunk cap
+        assert plan.ckq * 3840 <= DB._CHUNK_CAP
+        assert plan.ck2 * 1280 <= DB._CHUNK_CAP
+        assert plan.stages == plan.nq + plan.nat + plan.npj + plan.n1 + plan.n2
+
+
+class TestKernelVsOracle:
+    @pytest.mark.parametrize("store,kv_dtype", [
+        ("bf16", jnp.bfloat16), ("int8", jnp.int8)])
+    def test_matches_reference(self, model_and_params, store, kv_dtype):
+        model, params = model_and_params
+        packed = _packed(params, store)
+        rng = np.random.RandomState(0)
+        kv = DB.init_mega_kv(CFG.n_layer, CFG.n_embd, 256, kv_dtype)
+        # fill a prefix of the cache with plausible rows
+        pre = jnp.asarray(rng.randn(CFG.n_layer, 7, CFG.n_embd), jnp.float32)
+        kq, ks = DB._quant_rows(pre, kv_dtype)
+        vq, vs = DB._quant_rows(pre[:, ::-1] * 0.5, kv_dtype)
+        kv = {"k": kv["k"].at[:, :7].set(kq), "v": kv["v"].at[:, :7].set(vq),
+              "ks": kv["ks"].at[:, :7].set(ks), "vs": kv["vs"].at[:, :7].set(vs)}
+        x = jnp.asarray(rng.randn(1, CFG.n_embd), jnp.float32)
+        idx = jnp.asarray(7, jnp.int32)
+
+        ref = DB.decode_block_reference(x, packed, kv, idx, nh=CFG.n_head)
+        out = DB.decode_block(x, packed, kv, idx, nh=CFG.n_head,
+                              interpret=True)
+        y_r, y_k = np.asarray(ref[0]), np.asarray(out[0])
+        # oracle mirrors the kernel's exact rounding points; interpret-mode
+        # differences are accumulation order only
+        np.testing.assert_allclose(y_k, y_r, rtol=1e-4,
+                                   atol=1e-4 * np.abs(y_r).max())
+        for r, k in zip(ref[1:3], out[1:3]):  # fresh KV rows
+            np.testing.assert_allclose(np.asarray(k).astype(np.float32),
+                                       np.asarray(r).astype(np.float32),
+                                       atol=1.0)
+        for r, k in zip(ref[3:], out[3:]):    # fresh scales
+            np.testing.assert_allclose(np.asarray(k), np.asarray(r),
+                                       rtol=1e-5)
+
+    def test_empty_cache_first_token(self, model_and_params):
+        """index=0: only the fresh token attends to itself."""
+        model, params = model_and_params
+        packed = _packed(params, "bf16")
+        kv = DB.init_mega_kv(CFG.n_layer, CFG.n_embd, 256, jnp.bfloat16)
+        x = jnp.asarray(np.random.RandomState(1).randn(1, CFG.n_embd),
+                        jnp.float32)
+        ref = DB.decode_block_reference(x, packed, kv, jnp.asarray(0),
+                                        nh=CFG.n_head)
+        out = DB.decode_block(x, packed, kv, jnp.asarray(0), nh=CFG.n_head,
+                              interpret=True)
+        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
+                                   rtol=2e-3,
+                                   atol=2e-3 * np.abs(ref[0]).max())
+
+
+class TestOracleVsModel:
+    def test_bf16_pack_tracks_model_forward(self, model_and_params):
+        """Reference decode step vs model.apply single-token decode: same
+        function up to bf16 dot rounding (weights identical via bf16
+        packing of the f32 params; bf16 KV, scales 1)."""
+        model, params = model_and_params
+        ids = jnp.asarray(np.random.RandomState(2).randint(
+            1, 512, (1, 9)), jnp.int32)
+        out = _prefill(model, params, ids[:, :8], 16)
+        cache = out["cache"]
+
+        # standard path: one decode step
+        std = model.apply({"params": params}, ids[:, 8:9],
+                          position_offset=8, cache=cache)
+        h_std = np.asarray(std["hidden"][0, -1])  # post ln_f
+
+        # mega path: embed -> block stack -> ln_f
+        packed = _packed(params, "bf16")
+        kv = DB.cache_to_mega(cache, 16, jnp.bfloat16)
+        x = (params["wte"]["embedding"][ids[0, 8]]
+             + params["core"]["wpe"][8])[None]
+        y, *_ = DB.decode_block_reference(x, packed, kv, jnp.asarray(8),
+                                          nh=CFG.n_head)
+        lnf = params["core"]["ln_f"]
+        h_mega = np.asarray(DB._ln_rows(y, lnf["scale"][None],
+                                        lnf["bias"][None])[0])
+
+        cos = float(np.dot(h_std, h_mega)
+                    / (np.linalg.norm(h_std) * np.linalg.norm(h_mega)))
+        assert cos > 0.999, cos
+        np.testing.assert_allclose(h_mega, h_std, rtol=0.05,
+                                   atol=0.05 * np.abs(h_std).max())
+
+    def test_int8_kv_stays_close(self, model_and_params):
+        """int8 weights + int8 KV: quantization noise stays small."""
+        model, params = model_and_params
+        ids = jnp.asarray(np.random.RandomState(3).randint(
+            1, 512, (1, 9)), jnp.int32)
+        out = _prefill(model, params, ids[:, :8], 16)
+        std = model.apply({"params": params}, ids[:, 8:9],
+                          position_offset=8, cache=out["cache"])
+        h_std = np.asarray(std["hidden"][0, -1])
+
+        packed = _packed(params, "int8")
+        kv = DB.cache_to_mega(out["cache"], 16, jnp.int8)
+        x = (params["wte"]["embedding"][ids[0, 8]]
+             + params["core"]["wpe"][8])[None]
+        y, *_ = DB.decode_block_reference(x, packed, kv, jnp.asarray(8),
+                                          nh=CFG.n_head)
+        lnf = params["core"]["ln_f"]
+        h_mega = np.asarray(DB._ln_rows(y, lnf["scale"][None],
+                                        lnf["bias"][None])[0])
+        cos = float(np.dot(h_std, h_mega)
+                    / (np.linalg.norm(h_std) * np.linalg.norm(h_mega)))
+        assert cos > 0.99, cos
+
+
+class TestSequentialDecode:
+    def test_cache_roundtrip_matches_model(self, model_and_params):
+        """3 sequential kernel steps updating the mega cache track 3
+        standard-path decode steps (greedy hidden-state agreement)."""
+        model, params = model_and_params
+        rng = np.random.RandomState(4)
+        ids = jnp.asarray(rng.randint(1, 512, (1, 4)), jnp.int32)
+        nxt = [int(t) for t in rng.randint(1, 512, 3)]
+
+        out = _prefill(model, params, ids, 16)
+        cache = out["cache"]
+        packed = _packed(params, "bf16")
+        kv = DB.cache_to_mega(cache, 16, jnp.bfloat16)
+
+        pos = 4
+        for tok in nxt:
+            std = model.apply({"params": params},
+                              jnp.asarray([[tok]], jnp.int32),
+                              position_offset=pos, cache=cache)
+            cache = std["cache"]
+            h_std = np.asarray(std["hidden"][0, -1])
+
+            x = (params["wte"]["embedding"][tok]
+                 + params["core"]["wpe"][pos])[None]
+            y, kq, vq, ksn, vsn = DB.decode_block_reference(
+                x, packed, kv, jnp.asarray(pos), nh=CFG.n_head)
+            kv = {"k": jax.lax.dynamic_update_slice(kv["k"], kq, (0, pos, 0)),
+                  "v": jax.lax.dynamic_update_slice(kv["v"], vq, (0, pos, 0)),
+                  "ks": jax.lax.dynamic_update_slice(kv["ks"], ksn, (0, pos, 0)),
+                  "vs": jax.lax.dynamic_update_slice(kv["vs"], vsn, (0, pos, 0))}
+            lnf = params["core"]["ln_f"]
+            h_mega = np.asarray(DB._ln_rows(y, lnf["scale"][None],
+                                            lnf["bias"][None])[0])
+            cos = float(np.dot(h_std, h_mega)
+                        / (np.linalg.norm(h_std) * np.linalg.norm(h_mega)))
+            assert cos > 0.999, (pos, cos)
+            pos += 1
