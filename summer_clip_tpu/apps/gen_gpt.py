@@ -171,6 +171,88 @@ def _decode_program(model, n_prompt: int, max_new: int, temp: float,
     return run
 
 
+@functools.lru_cache(maxsize=64)
+def _decode_program_mega(model, n_prompt: int, max_new: int, temp: float,
+                         top_k: int, approx_top_k: bool, eot: int,
+                         kv_int8: bool = True, top_p: float = 1.0):
+    """Jitted prefill + megakernel decode scan.
+
+    The decode body runs the ENTIRE block stack in ONE pallas launch per
+    token (``ops/decode_block``): embed/adapters -> megakernel -> ln_f ->
+    hoisted head table -> sample; the int8 KV cache (per-token scales)
+    rides the scan carry and fresh rows land via in-place
+    ``dynamic_update_slice``. Weight packing (stack per-layer leaves into
+    the kernel layout) happens once at trace top, outside the scan.
+    Sampling semantics (rng split order, eot freeze, warper chain) match
+    :func:`_decode_program` exactly.
+    """
+    from summer_clip_tpu.ops import decode_block as DB
+    from summer_clip_tpu.ops.gemv import gather_rows, is_qleaf, qdot
+
+    cfg = model.config
+
+    @jax.jit
+    def run(variables, prompt, rng, cache):
+        out = model.apply(variables, prompt, position_offset=0, cache=cache)
+        last, std_cache = out["logits"][:, -1, :], out["cache"]
+        params = variables["params"]
+        core = params["core"]
+        probe = core["h_0"]["attn"]["c_attn"]["kernel"]
+        store = "int8" if is_qleaf(probe) else "bf16"
+        packed = DB.pack_core_params(core, cfg.n_layer, store=store)
+        kv = DB.cache_to_mega(std_cache, n_prompt + max_new,
+                              jnp.int8 if kv_int8 else jnp.bfloat16)
+        lnf = core["ln_f"]
+        if store == "int8":
+            table = _quant_head_table(model, variables)
+        elif isinstance(model, gpt2_mod.ClipGPT):
+            table = model.apply(variables, method=model.lm_head_table).T
+        else:
+            table = params["wte"]["embedding"].T
+
+        def embed_x(tok, pos):
+            ids = tok[None, None]
+            if isinstance(model, gpt2_mod.ClipGPT):
+                e = model.apply(variables, ids, method=model.embed)
+                x = model.apply(variables, e, method=model.adapt_embeds)[0]
+            else:
+                x = gather_rows(params["wte"]["embedding"], ids)[0]
+            pos_row = jnp.clip(pos, 0, cfg.n_positions - 1)[None]
+            return (x.astype(jnp.float32)
+                    + gather_rows(core["wpe"], pos_row).astype(jnp.float32))
+
+        def body(carry, _):
+            last, kv, rng, offset, done = carry
+            rng, sub = jax.random.split(rng)
+            nxt = _sample_next(last[0] / temp, sub, top_k, approx_top_k, top_p)
+            nxt = jnp.where(done, jnp.asarray(eot, nxt.dtype), nxt).astype(jnp.int32)
+            done = done | (nxt == eot)
+            x = embed_x(nxt, offset)
+            y, kq, vq, ksn, vsn = DB.decode_block(x, packed, kv, offset,
+                                                  nh=cfg.n_head)
+            kv = {
+                "k": jax.lax.dynamic_update_slice(kv["k"], kq, (0, offset, 0)),
+                "v": jax.lax.dynamic_update_slice(kv["v"], vq, (0, offset, 0)),
+                "ks": jax.lax.dynamic_update_slice(kv["ks"], ksn, (0, offset, 0)),
+                "vs": jax.lax.dynamic_update_slice(kv["vs"], vsn, (0, offset, 0)),
+            }
+            h = DB._ln_rows(y, lnf["scale"][None], lnf["bias"][None])
+            if is_qleaf(table):
+                logits = qdot(h, table, jnp.float32)
+            else:
+                logits = jnp.dot(h.astype(jnp.bfloat16),
+                                 table.astype(jnp.bfloat16),
+                                 preferred_element_type=jnp.float32)
+            return (logits, kv, rng, offset + 1, done), nxt
+
+        init = (last, kv, rng, jnp.asarray(n_prompt, jnp.int32),
+                jnp.asarray(False))
+        _, toks = jax.lax.scan(body, init, None, length=max_new)
+        return toks
+
+    return run
+
+
 def generate_device(model, variables, prompt_ids: tp.Sequence[int], *,
                     max_new_tokens: int = 20, temperature: float = 1.0,
                     top_k: int = 50, rng: tp.Optional[jax.Array] = None,
@@ -178,6 +260,7 @@ def generate_device(model, variables, prompt_ids: tp.Sequence[int], *,
                     approx_top_k: bool = False,
                     quant_int8: bool = False,
                     top_p: float = 1.0,
+                    megakernel: bool = False,
                     mesh=None) -> tp.List[int]:
     """Whole-sequence sampling as ONE device program (``lax.scan`` decode).
 
@@ -204,12 +287,25 @@ def generate_device(model, variables, prompt_ids: tp.Sequence[int], *,
         from summer_clip_tpu.parallel import shard_decode_tp
 
         assert not quant_int8, "TP decode composes with bf16, not int8 trees"
+        assert not megakernel, "TP decode and the megakernel do not compose"
         variables, cache = shard_decode_tp(variables, cache, mesh)
-    run = _decode_program(model, n_prompt, int(max_new_tokens),
-                          max(float(temperature), 1e-6), int(top_k),
-                          bool(approx_top_k),
-                          -1 if eot_id is None else int(eot_id),
-                          bool(quant_int8), float(top_p))
+    if megakernel:
+        from summer_clip_tpu.ops.decode_block import mega_legal
+
+        cfg = model.config
+        assert mega_legal(cfg.n_embd, 4 * cfg.n_embd, cfg.n_head), (
+            f"megakernel does not support {cfg.name} geometry")
+        run = _decode_program_mega(model, n_prompt, int(max_new_tokens),
+                                   max(float(temperature), 1e-6), int(top_k),
+                                   bool(approx_top_k),
+                                   -1 if eot_id is None else int(eot_id),
+                                   bool(quant_int8), float(top_p))
+    else:
+        run = _decode_program(model, n_prompt, int(max_new_tokens),
+                              max(float(temperature), 1e-6), int(top_k),
+                              bool(approx_top_k),
+                              -1 if eot_id is None else int(eot_id),
+                              bool(quant_int8), float(top_p))
     toks = np.asarray(run(variables, jnp.asarray(np.asarray(prompt_ids, np.int32))[None],
                           rng, cache))
     out_ids = list(int(i) for i in prompt_ids)

@@ -483,6 +483,16 @@ def _kernel(plan: MegaPlan, kv_int8: bool):
     return kernel
 
 
+def _vmem_limit() -> int:
+    """Scoped-VMEM ceiling for the megakernel. The Mosaic default (16MB)
+    is far below the chip's physical VMEM; bigger chunks (fewer grid
+    steps, less per-step overhead) need more headroom. Swept on-chip via
+    MEGA_VMEM_MB (tools/bench_megadecode.py)."""
+    import os
+
+    return int(os.environ.get("MEGA_VMEM_MB", "16")) * 1024 * 1024
+
+
 def _wmap(s0: int, n: int):
     """Index map for a chunked per-layer input: hold the previous layer's
     last chunk until this matrix's active range so first-chunk DMAs
@@ -581,7 +591,8 @@ def decode_block(x: jax.Array, packed: tp.Mapping, kv: tp.Mapping,
             jax.ShapeDtypeStruct((L, 1, 1), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_vmem_limit()),
         interpret=interpret or jax.default_backend() != "tpu",
     )(jnp.asarray(index, jnp.int32).reshape(1),
       xp, packed["wqkv"], packed["sqkv"], packed["bqkv"], packed["ln"],

@@ -191,3 +191,37 @@ class TestSequentialDecode:
                         / (np.linalg.norm(h_std) * np.linalg.norm(h_mega)))
             assert cos > 0.999, (pos, cos)
             pos += 1
+
+
+class TestMegaGenerate:
+    def test_mega_program_matches_standard_sampler(self, model_and_params):
+        """generate_device(megakernel=True) greedy ids vs the standard scan
+        sampler on the same f32 tree (bf16-packing noise must not flip the
+        greedy argmax at this scale; seeds fixed, CPU interpret path)."""
+        from summer_clip_tpu.apps.gen_gpt import generate_device
+
+        model, params = model_and_params
+        variables = {"params": params}
+        prompt = [5, 9, 2, 17]
+        kw = dict(max_new_tokens=6, temperature=1.0, top_k=1,
+                  rng=jax.random.PRNGKey(3))
+        std = generate_device(model, variables, prompt, **kw)
+        mega = generate_device(model, variables, prompt, megakernel=True, **kw)
+        assert mega == std
+
+    def test_mega_program_int8_runs_and_freezes_on_eot(self, model_and_params):
+        from summer_clip_tpu.apps.gen_gpt import generate_device
+        from summer_clip_tpu.engine.quant import quantize_tree
+
+        model, params = model_and_params
+        variables = {"params": quantize_tree(params)}
+        prompt = [5, 9, 2, 17]
+        out = generate_device(model, variables, prompt, max_new_tokens=5,
+                              top_k=1, quant_int8=True, megakernel=True,
+                              rng=jax.random.PRNGKey(0))
+        assert len(out) <= len(prompt) + 5
+        # determinism: the same call reproduces bit-identically
+        out2 = generate_device(model, variables, prompt, max_new_tokens=5,
+                               top_k=1, quant_int8=True, megakernel=True,
+                               rng=jax.random.PRNGKey(0))
+        assert out == out2

@@ -67,11 +67,12 @@ def small() -> None:
     assert err < 2e-2, err
 
 
-def large(iters: int = 50) -> None:
+def large(iters: int = 50, store: str = "int8") -> None:
     import jax
     import jax.numpy as jnp
 
-    DB, packed, kv, x, idx = _setup(36, 1280, 5120, 20, 1024, "int8", jnp.int8)
+    DB, packed, kv, x, idx = _setup(36, 1280, 5120, 20, 1024, store,
+                                    jnp.int8 if store == "int8" else jnp.bfloat16)
     wbytes = sum(int(np.prod(packed[k].shape)) for k in
                  ("wqkv", "wproj", "w1", "w2"))
     kvbytes = 2 * 36 * 1024 * 1280
@@ -112,6 +113,8 @@ def main() -> None:
         small()
     if which in ("large", "all"):
         large()
+    if which == "large_bf16":
+        large(store="bf16")
 
 
 if __name__ == "__main__":
