@@ -219,6 +219,52 @@ class TestGoldenRegression:
         ref_t = np.load(golden_dir / "test_vit_text.npy")
         np.testing.assert_allclose(txt, ref_t, atol=2e-4, rtol=2e-4)
 
+    def test_tiny_rn_matches_golden(self):
+        """Per-stage anchors for the drift-risk tower (VERDICT r3 #5): the
+        ModifiedResNet (blur-pool bottlenecks, BN running stats, attention
+        pool — reference default, eval_clip.py:33-61) pinned stage-by-stage
+        against activations generated from the INDEPENDENT torch oracle
+        (tools/make_rn_golden.py). Catches drift in the flax tower, the
+        state-dict converter, or the oracle — at the stage it starts."""
+        from pathlib import Path
+
+        torch = pytest.importorskip("torch")
+
+        from summer_clip_tpu.models.clip.convert import convert_state_dict
+        from tools.make_rn_golden import SEED
+        from tools.torch_clip_oracle import build_torch_clip, randomize_
+
+        golden = np.load(Path(__file__).parent / "golden" / "test_rn_stages.npz")
+        tm = build_torch_clip("test-rn").eval()
+        randomize_(tm, seed=SEED)
+        sd = {k: t.float().numpy() for k, t in tm.state_dict().items()}
+        variables = convert_state_dict(sd)
+        model, cfg = build_clip("test-rn", dtype=jnp.float32)
+
+        def keep(mdl, _method):
+            return mdl.name in {"bn3", "layer1_0", "layer2_0", "layer3_0",
+                                "layer4_0"}
+
+        img = jnp.asarray(golden["img"])
+        j_img, inter = model.apply(variables, img, method=model.encode_image,
+                                   capture_intermediates=keep,
+                                   mutable=["intermediates"])
+        vis = inter["intermediates"]["visual"]
+        got = {
+            "stem_bn3": np.asarray(vis["bn3"]["__call__"][0]),
+            **{f"layer{k}": np.asarray(vis[f"layer{k}_0"]["__call__"][0])
+               for k in (1, 2, 3, 4)},
+            "image": np.asarray(j_img),
+            "text": np.asarray(model.apply(
+                variables, jnp.asarray(golden["toks"]),
+                method=model.encode_text)),
+        }
+        for name, arr in got.items():
+            ref = golden[name]
+            assert arr.shape == ref.shape, name
+            rel = np.abs(arr - ref).max() / max(np.abs(ref).max(), 1e-9)
+            assert rel < 1e-5, f"{name}: rel drift {rel:.2e}"
+
 
 class TestRemat:
     def test_vit_remat_matches(self):
