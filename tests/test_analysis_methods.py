@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from summer_clip_tpu.methods.em import FixedMeansGMM
 from summer_clip_tpu.methods.linalg import PCA, maha_logits
@@ -18,6 +19,7 @@ def _mixture(seed=0, n_per=200, d=4):
     return x, y, means
 
 
+@pytest.mark.full
 class TestFixedMeansGMM:
     def test_classifies_separated_mixture(self):
         x, y, means = _mixture()

@@ -5,6 +5,10 @@ framework's answer: each app runs end-to-end on synthetic data, exercising
 config composition, feature extraction, the store, and the method grids.
 """
 
+import pytest as _pytest_tier
+
+pytestmark = _pytest_tier.mark.full  # heavy tier: excluded from smoke (pytest -m "not full")
+
 import json
 from pathlib import Path
 

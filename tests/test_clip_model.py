@@ -54,6 +54,7 @@ class TestShapes:
         np.testing.assert_allclose(np.asarray(li), np.asarray(lt).T, rtol=1e-5)
 
 
+@pytest.mark.full
 class TestEOTPooling:
     def test_embeds_path_matches_token_path(self, tiny_vit):
         """encode_text(ids) == encode_text_embeds(embed(ids), argmax+1)."""
@@ -266,6 +267,7 @@ class TestGoldenRegression:
             assert rel < 1e-5, f"{name}: rel drift {rel:.2e}"
 
 
+@pytest.mark.full
 class TestRemat:
     def test_vit_remat_matches(self):
         from summer_clip_tpu.models.clip import build_clip

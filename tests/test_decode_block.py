@@ -1,6 +1,10 @@
 """Decode megakernel (ops/decode_block.py): kernel vs oracle (interpret),
 oracle vs the standard model forward, and the cache round-trip."""
 
+import pytest as _pytest_tier
+
+pytestmark = _pytest_tier.mark.full  # heavy tier: excluded from smoke (pytest -m "not full")
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,6 +1,10 @@
 """Weight-streaming GEMV (ops/gemv.py): kernel vs oracle, dispatch, and the
 quantized-tree decode path through QDense."""
 
+import pytest as _pytest_tier
+
+pytestmark = _pytest_tier.mark.full  # heavy tier: excluded from smoke (pytest -m "not full")
+
 import jax
 import jax.numpy as jnp
 import numpy as np

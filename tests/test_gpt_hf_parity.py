@@ -8,6 +8,10 @@ reference repo uses (`summer_clip/clip_prompt/gpt.py` wraps
 `GPT2LMHeadModel`), on random weights. Measured agreement: ~2e-7 relative.
 """
 
+import pytest as _pytest_tier
+
+pytestmark = _pytest_tier.mark.full  # heavy tier: excluded from smoke (pytest -m "not full")
+
 import numpy as np
 import pytest
 

@@ -1,5 +1,9 @@
 """GPT-2 / ClipGPT / prompt-model / collator tests (tiny configs, CPU)."""
 
+import pytest as _pytest_tier
+
+pytestmark = _pytest_tier.mark.full  # heavy tier: excluded from smoke (pytest -m "not full")
+
 import jax
 import jax.numpy as jnp
 import numpy as np

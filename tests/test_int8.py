@@ -6,6 +6,10 @@ within dynamic-quantization error of the f32 math and produce features
 whose zero-shot behavior matches the full-precision tower.
 """
 
+import pytest as _pytest_tier
+
+pytestmark = _pytest_tier.mark.full  # heavy tier: excluded from smoke (pytest -m "not full")
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -7,6 +7,10 @@ each owning one CPU device, running a cross-process psum through a global mesh
 (the same code path a v5e pod takes over real DCN/ICI).
 """
 
+import pytest as _pytest_tier
+
+pytestmark = _pytest_tier.mark.full  # heavy tier: excluded from smoke (pytest -m "not full")
+
 import os
 import socket
 import subprocess

@@ -13,6 +13,7 @@ def _rand(key, *shape):
     return jax.random.normal(jax.random.PRNGKey(key), shape, jnp.float32)
 
 
+@pytest.mark.full
 class TestFlashAttention:
     @pytest.mark.parametrize("tq,tk,d", [(77, 77, 64), (128, 256, 64), (100, 60, 96)])
     def test_matches_reference(self, tq, tk, d):
@@ -84,6 +85,7 @@ class TestFlashAttention:
         np.testing.assert_allclose(np.asarray(out[:, :, :hd]), np.asarray(o0), atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.full
 class TestShortAttention:
     """VMEM-resident fused kernel for tower sequences (T <= 640)."""
 
@@ -131,6 +133,7 @@ class TestShortAttention:
                                        atol=5e-4, rtol=5e-4)
 
 
+@pytest.mark.full
 class TestFusedBlockKernels:
     """Whole-block-half kernels (ops/block_kernels) vs their dense oracles.
 
@@ -464,6 +467,7 @@ class TestCacheAttentionLabels:
             ca.onehot_table_operands(np.arange(64, dtype=np.int32), 64, k_pad=8)
 
 
+@pytest.mark.full
 class TestFlashAttentionGrad:
     def test_custom_vjp_matches_reference_grads(self):
         """Pallas forward + XLA backward must agree with pure-XLA grads."""

@@ -1,5 +1,9 @@
 """Multi-device tests on the 8-device virtual CPU mesh."""
 
+import pytest as _pytest_tier
+
+pytestmark = _pytest_tier.mark.full  # heavy tier: excluded from smoke (pytest -m "not full")
+
 import jax
 import jax.numpy as jnp
 import numpy as np

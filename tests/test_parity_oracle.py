@@ -10,6 +10,10 @@ the same function the real checkpoints parameterize. Full-size sweep:
 configs keep the check in CI.
 """
 
+import pytest as _pytest_tier
+
+pytestmark = _pytest_tier.mark.full  # heavy tier: excluded from smoke (pytest -m "not full")
+
 import numpy as np
 import pytest
 

@@ -1,6 +1,10 @@
 """Graceful preemption (engine/preemption.py): SIGTERM mid-train must end
 in a resumable optimizer checkpoint and a clean stop, not a dead process."""
 
+import pytest as _pytest_tier
+
+pytestmark = _pytest_tier.mark.full  # heavy tier: excluded from smoke (pytest -m "not full")
+
 import json
 import os
 import signal

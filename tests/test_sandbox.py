@@ -1,5 +1,9 @@
 """Sandbox tests: kmeans, input optimization, trigger search, GPT heads."""
 
+import pytest as _pytest_tier
+
+pytestmark = _pytest_tier.mark.full  # heavy tier: excluded from smoke (pytest -m "not full")
+
 import json
 
 import jax

@@ -6,6 +6,10 @@ and slot reuse must not change any request's output — greedy engine output
 per prompt, regardless of what shares the batch.
 """
 
+import pytest as _pytest_tier
+
+pytestmark = _pytest_tier.mark.full  # heavy tier: excluded from smoke (pytest -m "not full")
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -125,9 +129,12 @@ class TestContinuousBatcher:
             # (burst, pipeline): pipeline>1 chains bursts with the feed
             # token on device — emitted ids must stay bitwise per-step
             for burst, pipe in ((1, 1), (4, 1), (2, 3)):
+                # wave=False: this pins the LEGACY burst discipline (wave
+                # admission legitimately realigns the sampled rng stream —
+                # its own guarantees are pinned in the wave tests below)
                 eng = ContinuousBatcher(model, variables, batch_slots=2,
                                         max_len=48, greedy=greedy, burst=burst,
-                                        pipeline=pipe,
+                                        pipeline=pipe, wave=False,
                                         rng=jax.random.PRNGKey(3))
                 reqs = [eng.submit(p, m)
                         for p, m in zip(prompts[:nreq], budgets[:nreq])]
@@ -135,6 +142,55 @@ class TestContinuousBatcher:
                 outs[(burst, pipe)] = [r.out_ids for r in reqs]
             assert outs[(1, 1)] == outs[(4, 1)], f"greedy={greedy}"
             assert outs[(1, 1)] == outs[(2, 3)], f"greedy={greedy}"
+
+    def test_wave_staggered_budgets_match_oracle(self):
+        """Wave dispatch (batched admission prefill + per-row budget masks
+        inside the chain + one sync per window, VERDICT r3 #3): greedy
+        per-request ids stay pinned to the solo sampler under STAGGERED
+        budgets — rows retire mid-chain ON DEVICE (the chain runs to the
+        max remaining budget) and freed slots backfill through the batched
+        prefill."""
+        model, cfg, variables = _model()
+        rng = np.random.RandomState(3)
+        prompts = [list(rng.randint(1, cfg.vocab_size, 2 + i % 6))
+                   for i in range(9)]
+        budgets = [1, 5, 17, 3, 9, 2, 12, 7, 4]
+        eng = ContinuousBatcher(model, variables, batch_slots=3, max_len=64,
+                                greedy=True, burst=4, pipeline=3, wave=True)
+        reqs = [eng.submit(p, mb) for p, mb in zip(prompts, budgets)]
+        done = eng.run()
+        assert len(done) == 9 and all(r.done for r in reqs)
+        for r, p, mb in zip(reqs, prompts, budgets):
+            assert r.out_ids == _oracle(model, variables, p, mb), (p, mb)
+
+    def test_wave_matches_legacy_greedy_with_eot(self):
+        """wave=True and wave=False emit identical greedy ids when streams
+        retire early via eot_id (post-EOT chain tokens are junk both paths
+        discard)."""
+        model, cfg, variables = _model()
+        rng = np.random.RandomState(11)
+        prompts = [list(rng.randint(1, cfg.vocab_size, n))
+                   for n in (3, 11, 6, 2, 9)]
+        # pick the modal greedy token as EOT so retirements actually happen
+        probe = ContinuousBatcher(model, variables, batch_slots=2, max_len=48,
+                                  greedy=True, wave=False)
+        pr = [probe.submit(p, 8) for p in prompts]
+        probe.run()
+        hist: dict = {}
+        for r in pr:
+            for t in r.out_ids:
+                hist[t] = hist.get(t, 0) + 1
+        eot = int(max(hist, key=hist.get))
+        outs = {}
+        for wave in (False, True):
+            eng = ContinuousBatcher(model, variables, batch_slots=2,
+                                    max_len=48, greedy=True, burst=4,
+                                    pipeline=2, wave=wave, eot_id=eot)
+            reqs = [eng.submit(p, 8) for p in prompts]
+            eng.run()
+            outs[wave] = [r.out_ids for r in reqs]
+        assert outs[True] == outs[False]
+        assert any(r and r[-1] == eot and len(r) < 8 for r in outs[True])
 
     def test_quant_int8_engine_runs(self):
         """quant_int8 engine: int8 weight tree, requests complete, first

@@ -1,6 +1,10 @@
 """Speculative decoding (engine/speculative.py): draft proposes, target
 verifies — output must be bit-identical to the target-only greedy decode."""
 
+import pytest as _pytest_tier
+
+pytestmark = _pytest_tier.mark.full  # heavy tier: excluded from smoke (pytest -m "not full")
+
 import jax
 import jax.numpy as jnp
 import numpy as np
