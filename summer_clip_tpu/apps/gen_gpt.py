@@ -499,6 +499,7 @@ class GptGenerator(BaseTrainer):
                 top_p=float(gcfg.get("top_p", 1.0)),
                 burst=int(gcfg.get("burst", 8)),
                 pipeline=int(gcfg.get("pipeline", 4)),
+                wave=bool(gcfg.get("wave", True)),
                 eot_id=self.tokenizer.eot_token, rng=sub)
             reqs = [eng.submit(ids, max_new_tokens=max_new) for ids in ids_all]
             eng.run()

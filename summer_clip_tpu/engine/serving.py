@@ -118,21 +118,32 @@ def _engine_burst(model, temp: float, top_k: int, greedy: bool, n: int,
     what ``n`` sequential steps emit; a row that hits EOT mid-burst keeps
     decoding junk that the host discards and the ring rollback on its
     slot's next admission makes causally invisible (the same argument as
-    chunk-prefill junk)."""
+    chunk-prefill junk).
+
+    ``rem`` (B,) int32 is each row's remaining token budget at burst
+    start: DEVICE-SIDE RETIREMENT (VERDICT r3 #3). A row is live while
+    ``i < rem[b]``; after that its feed token and position freeze and its
+    emitted tokens are junk the host discards — which lets a chain run to
+    the MAX remaining budget across rows instead of stopping at the
+    earliest retirement. While live, emitted ids are bitwise identical to
+    per-step dispatch (the budget mask only flips AFTER the budget is
+    spent, which is exactly when per-step dispatch would have retired the
+    row on the host)."""
 
     @jax.jit
-    def burst(variables, cache, feed0, pos0, active, key_pad, subs,
+    def burst(variables, cache, feed0, pos0, active, rem, key_pad, subs,
               head_table=None):
         def body(carry, sub_i):
             feed, cache = carry
             sub, i = sub_i
-            pos = jnp.where(active, pos0 + i, pos0)
+            live = active & (i < rem)
+            pos = jnp.where(active, pos0 + jnp.minimum(i, rem), pos0)
             out = model.apply(variables, feed[:, None],
                               position_offset=pos[:, None], cache=cache,
                               key_pad=key_pad)
             nxt = _pick(_last_logits(out, head_table), temp, top_k, greedy,
                         sub, top_p)
-            feed_next = jnp.where(active, nxt, 0).astype(jnp.int32)
+            feed_next = jnp.where(live, nxt, feed).astype(jnp.int32)
             return (feed_next, out["cache"]), nxt
 
         (feed, cache), toks = jax.lax.scan(
@@ -185,6 +196,7 @@ class ContinuousBatcher:
                  quant_int8: bool = False,
                  burst: int = 8,
                  pipeline: int = 4,
+                 wave: bool = True,
                  mesh=None):
         self.model = model
         self._head_table = None
@@ -217,6 +229,12 @@ class ContinuousBatcher:
         # once), so the effective scheduling granularity is burst*pipeline
         # iterations at one RTT + one compiled program of length `burst`
         self.pipeline = max(int(pipeline), 1)
+        # wave dispatch (VERDICT r3 #3): per host visit, ONE batched prefill
+        # admits every queued request into the free slots, chained bursts
+        # carry per-row budgets (device-side retirement — the chain runs to
+        # the MAX remaining budget, not the min), and prefill first-tokens +
+        # all chain tokens come back in ONE sync
+        self.wave = bool(wave)
         self._rng = rng if rng is not None else jax.random.PRNGKey(0)
         self._slots = [_Slot() for _ in range(self.B)]
         self._queue: tp.List[Request] = []
@@ -386,17 +404,36 @@ class ContinuousBatcher:
         return max(n, 1)
 
     def _dispatch_burst(self, active: tp.List[int], n: int,
-                        tokens: np.ndarray, safe: int) -> tp.List[Request]:
+                        tokens: np.ndarray, safe: int,
+                        prefill_nxt: tp.Optional[jax.Array] = None,
+                        admitted: tp.Sequence[int] = (),
+                        chains: tp.Optional[int] = None) -> tp.List[Request]:
         """Dispatch ``chains`` back-to-back bursts of ``n`` iterations and
         fetch their tokens in ONE host sync. Between bursts the feed token
         and the KV ring index live on device (``apply`` advances the index
         itself; ``feed`` is the scan carry), so chaining is pure async
         dispatch — the emitted ids are bitwise what n*chains sequential
         steps emit (the host pre-splits the identical rng stream and the
-        per-burst position bases are host arithmetic)."""
-        chains = 1
-        if self.pipeline > 1 and n == self.burst:
-            chains = max(1, min(self.pipeline, safe // n))
+        per-burst position bases are host arithmetic).
+
+        Wave mode (``prefill_nxt`` set): rows in ``admitted`` seed their
+        feed from the still-on-device first sampled token of the batched
+        admission prefill (:meth:`_admit_wave`) — the prefill's fetch is
+        folded into this dispatch's single sync. Each row carries its
+        remaining budget into the burst program, so the chain length is
+        bounded by the MAX remaining budget (+ capacity), not the min;
+        budget-retired rows freeze on device and their tail tokens are
+        junk discarded here (VERDICT r3 #3 device-side retirement)."""
+        rem = np.zeros(self.B, np.int64)
+        for b in active:
+            slot = self._slots[b]
+            rem[b] = slot.req.max_new_tokens - slot.generated
+        for b in admitted:
+            rem[b] -= 1  # the pending prefill token spends one budget unit
+        if chains is None:
+            chains = 1
+            if self.pipeline > 1 and n == self.burst:
+                chains = max(1, min(self.pipeline, safe // n))
         run = _engine_burst(self.model, self.temperature, self.top_k,
                             self.greedy, n, self.top_p)
         mask = np.zeros(self.B, bool)
@@ -405,6 +442,10 @@ class ContinuousBatcher:
         key_pad = jnp.asarray(self._key_pad, jnp.int32)
         base_pos = self._positions.copy()
         feed = jnp.asarray(tokens)
+        if prefill_nxt is not None:
+            amask = np.zeros(self.B, bool)
+            amask[list(admitted)] = True
+            feed = jnp.where(jnp.asarray(amask), prefill_nxt, feed)
         cache = self._stamped_cache()
         parts = []
         for k in range(chains):
@@ -412,32 +453,138 @@ class ContinuousBatcher:
             for _ in range(n):  # the exact rng stream n single steps consume
                 self._rng, s = jax.random.split(self._rng)
                 subs.append(s)
-            pos_k = np.where(mask, base_pos + k * n, base_pos)
+            done_k = np.minimum(k * n, rem)      # live iterations so far
+            pos_k = np.where(mask, base_pos + done_k, base_pos)
+            rem_k = np.where(mask, rem - done_k, 0)
             cache, toks, feed = run(
                 self.variables, cache, feed, jnp.asarray(pos_k, jnp.int32),
-                mask_dev, key_pad, jnp.stack(subs), self._head_table)
+                mask_dev, jnp.asarray(rem_k, jnp.int32), key_pad,
+                jnp.stack(subs), self._head_table)
             parts.append(toks)
         self._cache = cache
-        toks = np.asarray(parts[0] if chains == 1
-                          else jnp.concatenate(parts, axis=0))
+        blocks = parts[0] if chains == 1 else jnp.concatenate(parts, axis=0)
+        if prefill_nxt is not None:  # ONE sync for prefill + all chains
+            blocks = jnp.concatenate([prefill_nxt[None], blocks], axis=0)
+        toks = np.asarray(blocks)
         total = n * chains
         self._ring += total
         finished: tp.List[Request] = []
+        if prefill_nxt is not None:
+            toks, pre = toks[1:], toks[0]
+            for b in admitted:  # prefill's sampled token precedes the chain
+                done = self._finish_token(b, int(pre[b]))
+                if done is not None:
+                    finished.append(done)
         for b in active:
-            self._positions[b] += total
+            self._positions[b] += min(total, int(rem[b]))
+            if self._slots[b].free:   # retired by its own prefill token
+                continue
             for i in range(total):
                 done = self._finish_token(b, int(toks[i, b]))
-                if done is not None:  # post-EOT burst tokens are junk
+                if done is not None:  # post-EOT/budget burst tokens are junk
                     finished.append(done)
                     break
         return finished
 
+    def _prefill_wave(self, admit: tp.Sequence[tp.Tuple[int, Request]],
+                      lb: int) -> jax.Array:
+        """Batched multi-slot admission prefill: every (slot, request) pair
+        rides ONE (B, lb) dispatch (per-row offsets + key-pads make the
+        rows independent — each row's math is exactly its solo
+        :meth:`_chunk_prefill`), and the (B,) first-sampled-token vector is
+        returned ON DEVICE: the wave's burst chain seeds from it and the
+        fetch is folded into the chain's single sync."""
+        tokens = np.zeros((self.B, lb), np.int32)
+        offs = np.zeros(self.B, np.int64)
+        for b, req in admit:
+            L = len(req.prompt_ids)
+            pad = lb - L
+            tokens[b, pad:] = req.prompt_ids
+            offs[b] = -pad
+            self._slots[b] = _Slot(req=req, fed=L, generated=0)
+            self._ring[b] = 0
+            self._key_pad[b] = pad
+            self._positions[b] = 0
+        ring_before = self._ring.copy()
+        prefill = _prefill_step(self.model, self.temperature, self.top_k,
+                                self.greedy, lb, self.top_p)
+        self._rng, sub = jax.random.split(self._rng)
+        self._cache, nxt = prefill(
+            self.variables, self._stamped_cache(), jnp.asarray(tokens),
+            jnp.asarray(offs, jnp.int32), jnp.asarray(self._key_pad, jnp.int32),
+            sub, self._head_table)
+        # non-admitted rows' lb junk writes roll back (causally invisible)
+        self._ring = ring_before
+        for b, req in admit:
+            self._ring[b] = lb
+            self._positions[b] = len(req.prompt_ids)
+        return nxt
+
+    def _step_wave(self) -> tp.Optional[tp.List[Request]]:
+        """Wave dispatch: batched admission prefill + rem-masked burst
+        chains + ONE host sync for the whole window (VERDICT r3 #3: the
+        remaining 3x gap to the static ceiling was per-burst host returns).
+        Returns None when a precondition fails; :meth:`step` then falls
+        back to the legacy per-slot path for this iteration."""
+        if not (self.prefill_chunk and self.burst > 1):
+            return None
+        for s in self._slots:
+            if not s.free and s.fed < len(s.req.prompt_ids):
+                return None  # mid token-wise prefill: host feeds each token
+        free = [b for b, s in enumerate(self._slots) if s.free]
+        n_adm = min(len(free), len(self._queue))
+        admit = list(zip(free, self._queue[:n_adm]))
+        prefill_nxt = None
+        admitted: tp.List[int] = []
+        if admit:
+            bucket = self.PREFILL_BUCKET
+            lb = max(-(-len(r.prompt_ids) // bucket) * bucket
+                     for _, r in admit)
+            if any(lb + r.max_new_tokens > self.max_len for _, r in admit):
+                return None  # shared bucket doesn't fit someone: legacy path
+            for ob, s in enumerate(self._slots):
+                if not s.free and self._ring[ob] + lb > self.max_len:
+                    return None  # junk write would clamp into real history
+            del self._queue[:n_adm]
+            admitted = [b for b, _ in admit]
+            prefill_nxt = self._prefill_wave(admit, lb)
+        active = [b for b, s in enumerate(self._slots) if not s.free]
+        if not active:
+            return []
+        adm_set = set(admitted)
+        rem_max = max(self._slots[b].req.max_new_tokens
+                      - self._slots[b].generated - (b in adm_set)
+                      for b in active)
+        if rem_max <= 0:  # every active row retires on its prefill token
+            pre = np.asarray(prefill_nxt)
+            finished = []
+            for b in admitted:
+                done = self._finish_token(b, int(pre[b]))
+                if done is not None:
+                    finished.append(done)
+            return finished
+        tokens = np.zeros(self.B, np.int32)
+        for b in active:
+            if b not in adm_set:
+                tokens[b] = self._last_sample[b]  # admitted rows seed on device
+        n = self.burst
+        chains = max(1, min(self.pipeline, -(-rem_max // n)))
+        return self._dispatch_burst(active, n, tokens, rem_max,
+                                    prefill_nxt=prefill_nxt,
+                                    admitted=admitted, chains=chains)
+
     def step(self) -> tp.List[Request]:
         """One iteration: every active slot advances one token (an
         admission-free all-decode window advances up to ``burst`` tokens in
-        one dispatch — same emitted ids, see :func:`_engine_burst`). Returns
-        the requests that finished (admission prefills may finish a
+        one dispatch — same emitted ids, see :func:`_engine_burst`; with
+        ``wave=True`` the window also folds the batched admission prefill
+        and runs to the max remaining budget, see :meth:`_step_wave`).
+        Returns the requests that finished (admission prefills may finish a
         1-new-token request immediately)."""
+        if self.wave:
+            out = self._step_wave()
+            if out is not None:
+                return out
         finished = self._admit()
         active = [b for b, s in enumerate(self._slots) if not s.free]
         if not active:

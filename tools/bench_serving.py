@@ -61,28 +61,36 @@ def main(name: str = "gpt2", slots: int = 8, n_requests: int = 24,
           f"{total_tokens / dt_static:,.0f} tok/s aggregate", flush=True)
 
     # -- continuous batcher ---------------------------------------------------
-    def run_engine(burst: int = 8, pipeline: int = 1):
+    def run_engine(burst: int = 8, pipeline: int = 1, wave: bool = False):
         eng = ContinuousBatcher(model, variables, batch_slots=slots,
                                 max_len=32 + max_new, greedy=True, burst=burst,
-                                pipeline=pipeline)
+                                pipeline=pipeline, wave=wave)
         for p in prompts:
             eng.submit(p, max_new_tokens=max_new)
         return eng.run()
 
     # pipeline>1 chains bursts with the feed token on device: one host sync
     # per chain instead of per burst (engine/serving.py:_dispatch_burst).
+    # wave=True additionally batches ALL admissions into one prefill
+    # dispatch, folds its fetch into the chain's single sync, and runs the
+    # chain to the MAX remaining budget via device-side per-row retirement
+    # (engine/serving.py:_step_wave — the production default).
     # NOTE these arms run greedy with NO eot_id, so every request exhausts
     # its budget and no chain ever decodes post-EOT junk — the pipe>1
     # numbers are the chaining BEST case; the eot arm below bounds the
     # junk-compute cost when streams do terminate mid-chain.
-    for burst, pipe in ((1, 1), (8, 1), (32, 1), (8, 4), (32, 2)):
-        run_engine(burst, pipe)  # compile
+    for burst, pipe, wave in ((1, 1, False), (8, 1, False), (32, 1, False),
+                              (8, 4, False), (32, 2, False),
+                              (8, 4, True), (32, 2, True), (8, 8, True),
+                              (16, 4, True)):
+        run_engine(burst, pipe, wave)  # compile
         t0 = time.perf_counter()
-        done = run_engine(burst, pipe)
+        done = run_engine(burst, pipe, wave)
         dt_eng = time.perf_counter() - t0
         assert len(done) == n_requests
-        print(f"continuous engine (B={slots}, burst={burst}, pipe={pipe}): "
-              f"{dt_eng:.2f}s = {total_tokens / dt_eng:,.0f} tok/s aggregate "
+        print(f"continuous engine (B={slots}, burst={burst}, pipe={pipe}, "
+              f"wave={wave}): {dt_eng:.2f}s = "
+              f"{total_tokens / dt_eng:,.0f} tok/s aggregate "
               f"(host sync per chain)", flush=True)
 
     # -- EOT-mid-chain junk bound ---------------------------------------------
