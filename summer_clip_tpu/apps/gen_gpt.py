@@ -497,7 +497,7 @@ class GptGenerator(BaseTrainer):
                             max(len(i) for i in ids_all) + max_new),
                 temperature=float(gcfg.temperature), top_k=int(gcfg.top_k),
                 top_p=float(gcfg.get("top_p", 1.0)),
-                burst=int(gcfg.get("burst", 8)),
+                burst=int(gcfg.get("burst", 16)),
                 pipeline=int(gcfg.get("pipeline", 4)),
                 wave=bool(gcfg.get("wave", True)),
                 eot_id=self.tokenizer.eot_token, rng=sub)
