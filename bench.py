@@ -272,7 +272,9 @@ def bench_gpt_decode(max_new: int = 128) -> None:
                     rng=jax.random.PRNGKey(1), quant_int8=True)
     q_single = max_new / (time.perf_counter() - t0)
     log(f"[bench] gpt2 decode int8 weight-streaming: {q_single:,.0f} tokens/s "
-        f"single-stream ({1e3 / q_single:.2f} ms/token)")
+        f"single-stream ({1e3 / q_single:.2f} ms/token; the 774M decode "
+        f"megakernel number lives in KERNELS.md — at 124M the unfused chain "
+        f"is already launch-light and the megakernel measured a small loss)")
 
 
 def bench_image_attention_combo(nt: int = 19850, nc: int = 19850, d: int = 1024,

@@ -543,14 +543,38 @@ class GptGenerator(BaseTrainer):
             # the host loop is kept as the parity oracle (device_loop=false)
             device = bool(gcfg.get("device_loop", True))
             sampler = generate_device if device else generate
+            variables = self.variables
+            quant = bool(gcfg.get("quant_int8", False))
+            if quant:  # stored-int8 tree through the streaming GEMV
+                from summer_clip_tpu.engine.quant import quantize_tree
+
+                variables = dict(variables,
+                                 params=quantize_tree(variables["params"]))
+            # megakernel: one pallas launch per token for the whole block
+            # stack — wins at gpt2-large scale (+36%, docs/KERNELS.md), a
+            # small loss at 124M (the chain is already launch-light), so
+            # "auto" gates on depth + tile legality
+            mk = gcfg.get("megakernel", "auto")
+            if mk == "auto":
+                from summer_clip_tpu.ops.decode_block import mega_legal
+
+                cfg_m = self.model.config
+                # auto only rides the int8 tree: the megakernel stores bf16
+                # otherwise, which would silently demote an f32 run's
+                # numerics (explicit megakernel=true opts into that)
+                mk = (quant and device and mesh is None
+                      and cfg_m.n_layer >= 24
+                      and mega_legal(cfg_m.n_embd, 4 * cfg_m.n_embd,
+                                     cfg_m.n_head))
             outs = []
             for prompt in prompts:
                 ids = [self.tokenizer.sot_token] + self.tokenizer.encode(prompt)
                 rng, sub = jax.random.split(rng)
                 extra = ({"approx_top_k": bool(gcfg.get("approx_top_k", False)),
-                          "mesh": mesh}
+                          "mesh": mesh, "quant_int8": quant,
+                          "megakernel": bool(mk)}
                          if device else {})
-                outs.append(sampler(self.model, self.variables, ids, rng=sub,
+                outs.append(sampler(self.model, variables, ids, rng=sub,
                                     **common, **extra))
         for i, (prompt, out_ids) in enumerate(zip(prompts, outs)):
             text = self.tokenizer.decode(out_ids)

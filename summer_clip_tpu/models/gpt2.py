@@ -107,6 +107,10 @@ GPT2_CONFIGS = {c.name: c for c in [
     GPT2Config("gpt2-large", n_embd=1280, n_layer=36, n_head=20),
     GPT2Config("gpt2-xl", n_embd=1600, n_layer=48, n_head=25),
     GPT2Config("test-gpt", vocab_size=512, n_positions=96, n_embd=32, n_layer=2, n_head=2),
+    # mega-legal tiny config (decode megakernel needs 128-multiple widths):
+    # exercises the one-launch-per-token path on CPU interpret
+    GPT2Config("test-gpt-mega", vocab_size=512, n_positions=512, n_embd=256,
+               n_layer=2, n_head=4),
 ]}
 
 

@@ -55,8 +55,8 @@ __all__ = ["MegaPlan", "plan_for", "mega_legal", "pack_core_params",
            "decode_block_reference"]
 
 _ROWS = 8           # padded activation rows (one f32 sublane tile); row 0 live
-_TC = 256           # KV T-chunk (cache T is padded to a multiple of this)
-_CHUNK_CAP = 1536 * 1024  # per-weight-slab stored-byte cap (VMEM budget)
+_TC = 256           # KV pad granule (plan_for picks the largest chunk <= t)
+_CHUNK_CAP = 4 * 1024 * 1024  # per-weight-slab stored-byte cap (VMEM budget)
 _NEG = -1e30
 
 
@@ -136,9 +136,12 @@ def plan_for(n_layer: int, d: int, h: int, nh: int, t: int,
     cap = int(os.environ.get("MEGA_CHUNK_CAP", _CHUNK_CAP))
     old, _CHUNK_CAP = _CHUNK_CAP, cap
     try:
-        tc = int(os.environ.get("MEGA_TC", _TC))
+        # largest KV T-chunk that divides t (512 measured best at t=1024;
+        # shorter caches fall back so padding never grows past _TC)
+        tc = int(os.environ.get("MEGA_TC", 0)) or \
+            next(c for c in (512, 256, 128) if t % c == 0)
         if t % tc != 0:
-            tc = _TC
+            tc = next(c for c in (512, 256, 128) if t % c == 0)
         return MegaPlan(n_layer, d, h, nh, t,
                         ckq=_chunk(d, 3 * d, itemsize),
                         ckp=_chunk(d, d, itemsize),
@@ -487,10 +490,11 @@ def _vmem_limit() -> int:
     """Scoped-VMEM ceiling for the megakernel. The Mosaic default (16MB)
     is far below the chip's physical VMEM; bigger chunks (fewer grid
     steps, less per-step overhead) need more headroom. Swept on-chip via
-    MEGA_VMEM_MB (tools/bench_megadecode.py)."""
+    MEGA_VMEM_MB (tools/bench_megadecode.py); 64MB carries the 4MB
+    chunk-cap default (double-buffered slabs + scratch)."""
     import os
 
-    return int(os.environ.get("MEGA_VMEM_MB", "16")) * 1024 * 1024
+    return int(os.environ.get("MEGA_VMEM_MB", "64")) * 1024 * 1024
 
 
 def _wmap(s0: int, n: int):
