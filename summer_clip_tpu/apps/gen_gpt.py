@@ -31,9 +31,17 @@ __all__ = ["load_pretrained_clip_gpt", "generate", "generate_device",
 
 def load_pretrained_clip_gpt(checkpoint_dir: tp.Union[str, Path], tokenizer,
                              rng: tp.Optional[jax.Array] = None):
-    """Rebuild a ClipGPT from a step checkpoint's model_cfg meta + params."""
+    """Rebuild a ClipGPT from a step checkpoint's model_cfg meta + params.
+
+    Checkpoints hold only the TRAINABLE subset (reference semantics); the
+    frozen leaves (embedding tables, and the whole core for adapters-only
+    runs) are re-initialized. The trainer records its init key in the
+    checkpoint meta so the re-init reproduces the trained model exactly,
+    regardless of this run's seed; ``rng`` is only a fallback for legacy
+    checkpoints without the recorded key."""
     loaded = ckpt.load_checkpoint(checkpoint_dir)
-    mcfg = (loaded.get("meta") or {}).get("model_cfg") or {}
+    meta = loaded.get("meta") or {}
+    mcfg = meta.get("model_cfg") or {}
     gpt_cfg = gpt2_mod.GPT2_CONFIGS[str(mcfg.get("gpt_config", "gpt2-large"))]
     adapters = mcfg.get("adapters") or {}
     model = gpt2_mod.ClipGPT(
@@ -41,8 +49,11 @@ def load_pretrained_clip_gpt(checkpoint_dir: tp.Union[str, Path], tokenizer,
         clip_emb_dim=int(mcfg.get("clip_emb_dim", 512)),
         emb_hid_dim=int(adapters.get("emb_hid_dim", 1024)),
         head_hid_dim=adapters.get("head_hid_dim", 1024))
-    params = model.init(rng if rng is not None else jax.random.PRNGKey(0),
-                        jnp.zeros((1, 4), jnp.int32))["params"]
+    if meta.get("init_key") is not None:
+        key = jnp.asarray(np.asarray(meta["init_key"], np.uint32))
+    else:
+        key = rng if rng is not None else jax.random.PRNGKey(0)
+    params = model.init(key, jnp.zeros((1, 4), jnp.int32))["params"]
     if "params" in loaded:
         params = ckpt.merge_tree(params, loaded["params"])
     return model, {"params": params}

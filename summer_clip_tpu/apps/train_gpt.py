@@ -108,7 +108,13 @@ class ClipGPTTrainer(BaseTrainer):
             head_hid_dim=mcfg.adapters.get("head_hid_dim"),
             dtype=dtype, remat=bool(tcfg.get("remat", False)),
             remat_policy=tcfg.get("remat_policy"))
-        self.params = self.model.init(self.rng.next(),
+        # keep the init key: checkpoints store ONLY the trainable subset
+        # (reference semantics, gpt.py:104-105), so the frozen leaves must
+        # be re-derivable at load time — the key rides the checkpoint meta
+        # and load_pretrained_clip_gpt re-inits with it, making reload
+        # correct regardless of the eval run's own seed
+        self._init_key = self.rng.next()
+        self.params = self.model.init(self._init_key,
                                       jnp.zeros((1, 8), jnp.int32))["params"]
         # trainable subset mask
         full = bool(mcfg.get("train_full", False))
@@ -364,7 +370,8 @@ class ClipGPTTrainer(BaseTrainer):
             opt_state=(self.opt_state if with_optimizer else None),
             keep=lambda names: self.trainable_mask_fn(
                 tuple(type("K", (), {"key": n})() for n in names)),
-            meta={"model_cfg": C.to_container(self.cfg.clip_gpt, resolve=True)})
+            meta={"model_cfg": C.to_container(self.cfg.clip_gpt, resolve=True),
+                  "init_key": np.asarray(self._init_key).tolist()})
 
     def train_epoch(self, epoch_num, epoch_info):
         tcfg = self.cfg.training

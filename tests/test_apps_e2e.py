@@ -928,6 +928,52 @@ class TestGumbelV3:
 
 
 class TestGptResumeAndFull:
+    def test_reload_reproduces_trained_model_across_seeds(self, rundir, monkeypatch):
+        """Checkpoints hold only the trainable subset, so the frozen leaves
+        (embedding tables; the whole core for adapters-only runs) re-init at
+        load time. The trainer records its init key in meta.yaml and
+        load_pretrained_clip_gpt re-inits with IT — so a reload under a
+        DIFFERENT seed still reproduces the trained function bit-for-bit
+        (regression: round-4 found a train_full reload under the default
+        key read perplexity 118,825 instead of 3.12)."""
+        from summer_clip_tpu.apps import gen_gpt, tokenize_dataset, train_gpt
+
+        tokenize_dataset.run(argv=[
+            "max_length=12", "source.n_docs=8", f"output_path={rundir}/c.npy"])
+        captured = {}
+        orig = train_gpt.run_trainer
+
+        def capturing(cls, cfg):
+            trainer = orig(cls, cfg)
+            captured["trainer"] = trainer
+            return trainer
+
+        monkeypatch.setattr(train_gpt, "run_trainer", capturing)
+        train_gpt.run(argv=[
+            "clip_gpt.gpt_config=test-gpt", "clip_gpt.clip_emb_dim=16",
+            "clip_gpt.adapters.emb_hid_dim=16", "clip_gpt.adapters.head_hid_dim=16",
+            "clip_gpt.train_full=true", "meta.random_state=1234",
+            f"dataset.train.tokens_path={rundir}/c.npy",
+            "data_loader.train.batch_size=4",
+            # f32/no-remat so the trained function == the (f32) eval build
+            # and the comparison below can be bitwise
+            "training.bf16=false", "training.remat=false",
+            "training.epochs_num=1", "training.grad_accum_steps=1",
+            "training.evals_per_epoch=1", "training.info_steps=100"])
+        trainer = captured["trainer"]
+        ck = sorted(rundir.rglob("checkpoints/epoch_1/step_*"))[-1]
+
+        from summer_clip_tpu.models.tokenizer import get_tokenizer
+
+        import jax.numpy as jnp
+
+        # no rng passed: must come out identical to the trained params
+        model, variables = gen_gpt.load_pretrained_clip_gpt(ck, get_tokenizer())
+        ids = jnp.asarray(np.arange(1, 9, dtype=np.int32))[None]
+        ref = trainer.model.apply({"params": trainer.params}, ids)["logits"]
+        got = model.apply(variables, ids)["logits"]
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
     def test_resume_from_checkpoint_and_train_full(self, rundir):
         from summer_clip_tpu.apps import tokenize_dataset, train_gpt
 
