@@ -13,7 +13,10 @@ Reference hot loop this geometry serves:
 /root/reference/summer_clip/clip_adapter/save_features.py:31-35 at
 ViT-L/14 (the largest tower the reference ships configs for).
 
-    python tools/roofline_vitl.py [batch ...]
+Also takes any other tower (--model RN50 etc.) so the same verdict
+arithmetic can be recorded for the headline extraction geometry.
+
+    python tools/roofline_vitl.py [--model ViT-L/14] [batch ...]
 """
 
 from __future__ import annotations
@@ -28,14 +31,15 @@ V5E_BF16_PEAK = 197e12   # TFLOP/s, same constant as bench_gpt_large.py
 V5E_HBM = 819e9          # B/s
 
 
-def main(batches) -> None:
+def main(batches, model_name: str = "ViT-L/14") -> None:
     import jax
     import jax.numpy as jnp
 
     from summer_clip_tpu.models.clip import build_clip
 
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
-    model, cfg = build_clip("ViT-L/14", dtype=dtype)
+    model, cfg = build_clip(model_name, dtype=dtype)
+    print(f"{model_name} ({jax.default_backend()})", flush=True)
     rng = jax.random.PRNGKey(0)
     variables = jax.jit(model.init)(
         rng,
@@ -93,5 +97,11 @@ def main(batches) -> None:
 
 
 if __name__ == "__main__":
-    batches = [int(a) for a in sys.argv[1:]] or [32, 64]
-    main(batches)
+    args = sys.argv[1:]
+    model_name = "ViT-L/14"
+    if "--model" in args:
+        i = args.index("--model")
+        model_name = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    batches = [int(a) for a in args] or [32, 64]
+    main(batches, model_name)
