@@ -27,7 +27,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-V5E_BF16_PEAK = 197e12   # TFLOP/s, same constant as bench_gpt_large.py
+V5E_BF16_PEAK = 197e12   # FLOP/s (197 TFLOP/s v5e bf16 peak), same constant as bench_gpt_large.py
 V5E_HBM = 819e9          # B/s
 
 
@@ -40,9 +40,9 @@ def main(batches, model_name: str = "ViT-L/14") -> None:
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
     model, cfg = build_clip(model_name, dtype=dtype)
     print(f"{model_name} ({jax.default_backend()})", flush=True)
-    rng = jax.random.PRNGKey(0)
+    init_rng, data_rng = jax.random.split(jax.random.PRNGKey(0))
     variables = jax.jit(model.init)(
-        rng,
+        init_rng,
         jnp.zeros((1, cfg.image_resolution, cfg.image_resolution, 3), jnp.float32),
         jnp.zeros((1, cfg.context_length), jnp.int32),
     )
@@ -54,7 +54,7 @@ def main(batches, model_name: str = "ViT-L/14") -> None:
 
     for batch in batches:
         images = jax.random.normal(
-            rng, (batch, cfg.image_resolution, cfg.image_resolution, 3), dtype
+            data_rng, (batch, cfg.image_resolution, cfg.image_resolution, 3), dtype
         )
         lowered = jax.jit(encode_checksum).lower(variables, images)
         compiled = lowered.compile()
@@ -97,11 +97,11 @@ def main(batches, model_name: str = "ViT-L/14") -> None:
 
 
 if __name__ == "__main__":
-    args = sys.argv[1:]
-    model_name = "ViT-L/14"
-    if "--model" in args:
-        i = args.index("--model")
-        model_name = args[i + 1]
-        args = args[:i] + args[i + 2:]
-    batches = [int(a) for a in args] or [32, 64]
-    main(batches, model_name)
+    import argparse
+
+    parser = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    parser.add_argument("--model", default="ViT-L/14")
+    parser.add_argument("batches", nargs="*", type=int, default=[32, 64],
+                        help="batch sizes to measure (default: 32 64)")
+    ns = parser.parse_args()
+    main(ns.batches or [32, 64], ns.model)
