@@ -1,28 +1,38 @@
-"""Single-launch GPT-2 decode megakernel (Pallas, TPU).
+"""Single-launch GPT-2 decode megakernel (Pallas, TPU) — batched streams.
 
 The unfused int8 decode path runs 4 streamed-GEMV launches per layer plus
 XLA attention — 144 sequential Pallas calls at gpt2-large, whose ~6 us
 fixed per-call cost is the single largest residual over the int8
 weight-read floor (measured attribution: docs/KERNELS.md round-3 GEMV
 section; the chain ran 1.714 ms against a 0.86 ms floor). This module runs
-the ENTIRE 36-layer block stack for one token in ONE ``pallas_call``:
+the ENTIRE 36-layer block stack for one token of up to EIGHT independent
+decode streams in ONE ``pallas_call``:
 
-- the grid is ``(layer, stage)``; stages walk contraction-dim chunks of
-  each weight matrix, so every DMA is a contiguous row-slab of the weight
-  in its ORIGINAL (K, N) orientation — no transposed storage, no strided
-  reads (the failure mode that sank the fused-MLP attempt, ops/gemv.qmlp),
+- the grid is ``(layer, stage)``; weight stages walk contraction-dim
+  chunks of each matrix, so every DMA is a contiguous row-slab of the
+  weight in its ORIGINAL (K, N) orientation — no transposed storage, no
+  strided reads (the failure mode that sank the fused-MLP attempt),
 - activations live in VMEM scratch across the whole grid (residual
   stream, LN outputs, qkv, MLP hidden): nothing round-trips HBM between
-  layers,
-- attention runs in-kernel, flash-style over T-chunks with an online
-  softmax, against a quantized KV cache with per-row (per-token) scales;
-  int8 KV halves-vs-bf16 the second-largest HBM term,
+  layers. The activation tile is one (8, 128) f32 sublane tile — so up
+  to 8 DECODE STREAMS ride the same weight DMA and the same MXU ops that
+  one stream pays for alone (round-4 measured the single-stream wall as
+  weight ingest; batching is the amortization lever, VERDICT r4 #1),
+- attention is per-stream: each stream owns a KV cache ring
+  (``kv`` axis 1) and walks its T-chunks flash-style with an online
+  softmax, against int8 K/V with per-row (per-token) scales. Chunks at
+  or beyond a stream's fill index are neither fetched (the index map
+  clamps to the last live chunk — Pallas skips the DMA when the block
+  index repeats) nor computed (``pl.when`` on the same bound),
+- per-stream left-pad masking (``pad``): rows below ``pad[b]`` of stream
+  b's cache are bucket padding and are never attended — the same
+  ``key_pad`` contract as the batched XLA decode path,
 - per-layer weight chunks stagger their first fetch to the stage right
   before use (index maps hold the previous layer's last chunk), so layer
   boundaries don't pile six DMAs into one pipeline step.
 
-Per-token HBM traffic = stored weight bytes + KV rows + scales: the same
-speed-of-light bound as the GEMV chain, minus ~140 kernel launches.
+Per-step HBM traffic = stored weight bytes (ONCE, amortized over all
+streams) + each stream's live KV rows + scales.
 
 Head-count trick: per-head score/value routing uses two MXU-friendly
 matmuls instead of head reshapes — scores ``(T, 128) = K @ q_bd`` where
@@ -30,10 +40,10 @@ matmuls instead of head reshapes — scores ``(T, 128) = K @ q_bd`` where
 back to model width via ``E (128, D)``, ``E[h, d] = [d // hd == h]``.
 
 Reference hot loop this serves: the decode phase of
-``summer_clip/clip_prompt/gen_gpt.py`` (HF ``generate`` on gpt2-large).
-Every public entry has an XLA oracle (:func:`decode_block_reference`)
-with the kernel's exact math; tests run the kernel in interpret mode on
-CPU against it.
+``summer_clip/clip_prompt/gen_gpt.py`` (HF ``generate`` on gpt2-large) at
+production batch sizes. Every public entry has an XLA oracle
+(:func:`decode_block_reference`) with the kernel's exact math; tests run
+the kernel in interpret mode on CPU against it, per stream.
 """
 
 from __future__ import annotations
@@ -51,10 +61,10 @@ from jax.experimental.pallas import tpu as pltpu
 from summer_clip_tpu.ops.gemv import is_qleaf
 
 __all__ = ["MegaPlan", "plan_for", "mega_legal", "pack_core_params",
-           "init_mega_kv", "cache_to_mega", "decode_block",
-           "decode_block_reference"]
+           "init_mega_kv", "cache_to_mega", "mega_update_kv",
+           "decode_block", "decode_block_reference"]
 
-_ROWS = 8           # padded activation rows (one f32 sublane tile); row 0 live
+_ROWS = 8           # padded activation rows (one f32 sublane tile)
 _TC = 256           # KV pad granule (plan_for picks the largest chunk <= t)
 _CHUNK_CAP = 4 * 1024 * 1024  # per-weight-slab stored-byte cap (VMEM budget)
 _NEG = -1e30
@@ -79,7 +89,7 @@ def mega_legal(d: int, h: int, nh: int) -> bool:
 
 @dataclasses.dataclass(frozen=True)
 class MegaPlan:
-    """Static stage schedule for one (geometry, cache length) pair."""
+    """Static stage schedule for one (geometry, cache length, batch)."""
 
     n_layer: int
     d: int
@@ -91,6 +101,7 @@ class MegaPlan:
     ck1: int    # mlp fc chunk (rows of (D, H))
     ck2: int    # mlp proj chunk (rows of (H, D))
     tc: int     # KV T-chunk
+    nb: int = 1  # live decode streams (<= _ROWS; attention is per-stream)
 
     @property
     def nq(self) -> int: return self.d // self.ckq
@@ -107,12 +118,12 @@ class MegaPlan:
     @property
     def n2(self) -> int: return self.h // self.ck2
 
-    # stage offsets: [qkv][attention][proj][mlp fc][mlp proj]
+    # stage offsets: [qkv][attention x nb streams][proj][mlp fc][mlp proj]
     @property
     def s_att(self) -> int: return self.nq
 
     @property
-    def s_proj(self) -> int: return self.nq + self.nat
+    def s_proj(self) -> int: return self.nq + self.nb * self.nat
 
     @property
     def s_fc(self) -> int: return self.s_proj + self.npj
@@ -125,11 +136,12 @@ class MegaPlan:
 
 
 def plan_for(n_layer: int, d: int, h: int, nh: int, t: int,
-             itemsize: int) -> MegaPlan:
+             itemsize: int, nb: int = 1) -> MegaPlan:
     import os
 
     assert mega_legal(d, h, nh), (d, h, nh)
     assert t % _TC == 0, f"cache length {t} must be a multiple of {_TC}"
+    assert 1 <= nb <= _ROWS, nb
     # tuning knobs (tools/bench_megadecode.py sweeps them; defaults are the
     # measured-best on v5e at gpt2-large geometry — docs/KERNELS.md)
     global _CHUNK_CAP
@@ -147,7 +159,7 @@ def plan_for(n_layer: int, d: int, h: int, nh: int, t: int,
                         ckp=_chunk(d, d, itemsize),
                         ck1=_chunk(d, h, itemsize),
                         ck2=_chunk(h, d, itemsize),
-                        tc=tc)
+                        tc=tc, nb=nb)
     finally:
         _CHUNK_CAP = old
 
@@ -207,14 +219,17 @@ def pack_core_params(core: tp.Mapping, n_layer: int, *,
     return {k: jnp.stack(v) for k, v in rows.items()}
 
 
-def init_mega_kv(n_layer: int, d: int, max_len: int,
-                 kv_dtype=jnp.int8) -> tp.Dict[str, jax.Array]:
-    """Empty megakernel KV cache; T padded up to the kernel's chunk size."""
+def init_mega_kv(n_layer: int, d: int, max_len: int, kv_dtype=jnp.int8,
+                 batch: tp.Optional[int] = None) -> tp.Dict[str, jax.Array]:
+    """Empty megakernel KV cache; T padded up to the kernel's chunk size.
+    ``batch=None`` keeps the legacy single-stream (L, T, D) layout;
+    ``batch=B`` allocates per-stream rings (L, B, T, D)."""
     t = ((max_len + _TC - 1) // _TC) * _TC
-    return {"k": jnp.zeros((n_layer, t, d), kv_dtype),
-            "v": jnp.zeros((n_layer, t, d), kv_dtype),
-            "ks": jnp.ones((n_layer, t, 1), jnp.float32),
-            "vs": jnp.ones((n_layer, t, 1), jnp.float32)}
+    shp = (n_layer, t, d) if batch is None else (n_layer, batch, t, d)
+    sshp = shp[:-1] + (1,)
+    return {"k": jnp.zeros(shp, kv_dtype), "v": jnp.zeros(shp, kv_dtype),
+            "ks": jnp.ones(sshp, jnp.float32),
+            "vs": jnp.ones(sshp, jnp.float32)}
 
 
 def _quant_rows(x: jax.Array, kv_dtype):
@@ -229,16 +244,49 @@ def _quant_rows(x: jax.Array, kv_dtype):
 
 
 def cache_to_mega(cache: tp.Sequence[tp.Mapping], max_len: int,
-                  kv_dtype=jnp.int8) -> tp.Dict[str, jax.Array]:
+                  kv_dtype=jnp.int8,
+                  batched: bool = False) -> tp.Dict[str, jax.Array]:
     """Convert a standard per-layer decode cache (``GPT2.init_cache``
-    layout, batch 1) after prefill into the stacked megakernel layout."""
+    layout) after prefill into the stacked megakernel layout. With
+    ``batched=False`` only row 0 converts (legacy (L, T, D) layout);
+    ``batched=True`` keeps every batch row as its own stream ring
+    ((L, B, T, D))."""
     t = ((max_len + _TC - 1) // _TC) * _TC
-    ks = jnp.stack([c["k"][0] for c in cache]).astype(jnp.float32)  # (L,Tp,D)
-    vs = jnp.stack([c["v"][0] for c in cache]).astype(jnp.float32)
-    pad = [(0, 0), (0, t - ks.shape[1]), (0, 0)]
+    if batched:
+        ks = jnp.stack([c["k"] for c in cache]).astype(jnp.float32)  # (L,B,Tp,D)
+        vs = jnp.stack([c["v"] for c in cache]).astype(jnp.float32)
+        pad = [(0, 0), (0, 0), (0, t - ks.shape[2]), (0, 0)]
+    else:
+        ks = jnp.stack([c["k"][0] for c in cache]).astype(jnp.float32)  # (L,Tp,D)
+        vs = jnp.stack([c["v"][0] for c in cache]).astype(jnp.float32)
+        pad = [(0, 0), (0, t - ks.shape[1]), (0, 0)]
     kq, ksc = _quant_rows(jnp.pad(ks, pad), kv_dtype)
     vq, vsc = _quant_rows(jnp.pad(vs, pad), kv_dtype)
     return {"k": kq, "v": vq, "ks": ksc, "vs": vsc}
+
+
+def mega_update_kv(kv: tp.Mapping, kq, vq, ksn, vsn,
+                   index) -> tp.Dict[str, jax.Array]:
+    """Write the kernel's fresh K/V rows into the cache at each stream's
+    position (``jax.lax.dynamic_update_slice`` — in-place inside a jitted
+    scan). ``index``: scalar (legacy (L, T, D) cache) or (B,) per-stream
+    positions ((L, B, T, D) cache); out-of-range rows clamp, matching the
+    serving engine's junk-write discipline for retired slots."""
+    if kv["k"].ndim == 3:
+        i = jnp.asarray(index, jnp.int32)
+        return {"k": jax.lax.dynamic_update_slice(kv["k"], kq, (0, i, 0)),
+                "v": jax.lax.dynamic_update_slice(kv["v"], vq, (0, i, 0)),
+                "ks": jax.lax.dynamic_update_slice(kv["ks"], ksn, (0, i, 0)),
+                "vs": jax.lax.dynamic_update_slice(kv["vs"], vsn, (0, i, 0))}
+    B = kv["k"].shape[1]
+    idx = jnp.broadcast_to(jnp.asarray(index, jnp.int32), (B,))
+
+    def upd(buf, new, i):  # buf (L, T, C), new (L, C) for this stream
+        return jax.lax.dynamic_update_slice(buf, new[:, None, :], (0, i, 0))
+
+    updv = jax.vmap(upd, in_axes=(1, 1, 0), out_axes=1)
+    return {"k": updv(kv["k"], kq, idx), "v": updv(kv["v"], vq, idx),
+            "ks": updv(kv["ks"], ksn, idx), "vs": updv(kv["vs"], vsn, idx)}
 
 
 # ---------------------------------------------------------------------------
@@ -259,15 +307,9 @@ def _bdot(a: jax.Array, b: jax.Array) -> jax.Array:
                    preferred_element_type=jnp.float32)
 
 
-def decode_block_reference(x: jax.Array, packed: tp.Mapping,
-                           kv: tp.Mapping, index: jax.Array, *, nh: int):
-    """XLA oracle for :func:`decode_block` — same math, plain softmax.
-
-    ``x`` (1, D) f32 post-embedding activation; returns
-    ``(y (1, D) f32, kq (L, 1, D), vq (L, 1, D), ksn (L, 1), vsn (L, 1))``
-    where the kq/vq rows are the quantized fresh K/V (to be written into
-    the cache at ``index`` by the caller).
-    """
+def _reference_single(x: jax.Array, packed: tp.Mapping, kv: tp.Mapping,
+                      index: jax.Array, nh: int, pad):
+    """Single-stream oracle body: ``x`` (1, D), ``kv`` (L, T, D) layout."""
     L, d, _ = packed["wproj"].shape
     hd = d // nh
     t = kv["k"].shape[1]
@@ -276,7 +318,10 @@ def decode_block_reference(x: jax.Array, packed: tp.Mapping,
     hh = jnp.arange(128)[None, :]
     head_mask = (dd == hh).astype(jnp.float32)              # (D, 128)
     e_mat = head_mask.T                                     # (128, D)
-    pos_valid = (jnp.arange(t)[:, None] < index)            # (T, 1)
+    positions = jnp.arange(t)[:, None]
+    pos_valid = positions < index                           # (T, 1)
+    if pad is not None:
+        pos_valid = pos_valid & (positions >= pad)
 
     kqs, vqs, ksns, vsns = [], [], [], []
     for i in range(L):
@@ -335,13 +380,45 @@ def decode_block_reference(x: jax.Array, packed: tp.Mapping,
             jnp.stack(ksns), jnp.stack(vsns))
 
 
+def decode_block_reference(x: jax.Array, packed: tp.Mapping,
+                           kv: tp.Mapping, index: jax.Array, *, nh: int,
+                           pad: tp.Optional[jax.Array] = None):
+    """XLA oracle for :func:`decode_block` — same math, plain softmax.
+
+    Legacy layout (``kv`` (L, T, D), ``x`` (1, D), scalar ``index``)
+    returns ``(y (1, D), kq (L, 1, D), vq, ksn (L, 1, 1), vsn)``. Batched
+    layout (``kv`` (L, B, T, D), ``x`` (B, D), ``index`` (B,)) runs the
+    SAME single-stream math per stream (each row's matmul lanes are
+    independent in the kernel, so per-row equality is the right anchor)
+    and returns ``(y (B, D), kq (L, B, D), vq, ksn (L, B, 1), vsn)``.
+    """
+    if kv["k"].ndim == 3:
+        return _reference_single(x, packed, kv, index, nh, pad)
+    B = x.shape[0]
+    idx = jnp.broadcast_to(jnp.asarray(index, jnp.int32), (B,))
+    padv = (None if pad is None
+            else jnp.broadcast_to(jnp.asarray(pad, jnp.int32), (B,)))
+    ys, kqs, vqs, ksns, vsns = [], [], [], [], []
+    for b in range(B):
+        kvb = {k: v[:, b] for k, v in kv.items()}
+        y, kq, vq, ksn, vsn = _reference_single(
+            x[b:b + 1], packed, kvb, idx[b],
+            nh, None if padv is None else padv[b])
+        ys.append(y); kqs.append(kq); vqs.append(vq)
+        ksns.append(ksn); vsns.append(vsn)
+    return (jnp.concatenate(ys, axis=0),
+            jnp.concatenate(kqs, axis=1), jnp.concatenate(vqs, axis=1),
+            jnp.concatenate(ksns, axis=1), jnp.concatenate(vsns, axis=1))
+
+
 # ---------------------------------------------------------------------------
 # kernel
 # ---------------------------------------------------------------------------
 
-def _kernel(plan: MegaPlan, kv_int8: bool):
+def _kernel(plan: MegaPlan, kv_int8: bool, store_dtype):
     d, h3, hp = plan.d, 3 * plan.d, plan.h
     hd = d // plan.nh
+    nb = plan.nb
     inv_sqrt_hd = float(1.0 / np.sqrt(hd))
 
     def kernel(idx_ref, x_ref, wqkv_ref, sqkv_ref, bqkv_ref, ln_ref,
@@ -349,10 +426,10 @@ def _kernel(plan: MegaPlan, kv_int8: bool):
                wproj_ref, sproj_ref, bproj_ref,
                w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
                y_ref, kq_ref, vq_ref, ksn_ref, vsn_ref,
-               xs, us, qkvs, pacc, hs, macc, atts, qbd, es, ms, ls, selfkv):
+               xs, us, qkvs, pacc, hs, macc, atts, qbd, es, ms, ls,
+               selfk, selfv):
         l = pl.program_id(0)
         s = pl.program_id(1)
-        idx = idx_ref[0]
 
         @pl.when((l == 0) & (s == 0))
         def _init():
@@ -360,8 +437,12 @@ def _kernel(plan: MegaPlan, kv_int8: bool):
             hhm = jax.lax.broadcasted_iota(jnp.int32, (128, d), 0)
             ddm = jax.lax.broadcasted_iota(jnp.int32, (128, d), 1) // hd
             es[...] = jnp.where(ddm == hhm, 1.0, 0.0)
+            # dead rows (>= nb) are never attended: their ls stays 1 so the
+            # proj-stage normalize divides them by exactly 1.0 forever
+            ls[...] = jnp.ones((_ROWS, 128), jnp.float32)
+            atts[...] = jnp.zeros((_ROWS, d), jnp.float32)
 
-        # ---- qkv: accumulate over contraction chunks -----------------------
+        # ---- qkv: accumulate over contraction chunks (all streams at once)
         for j in range(plan.nq):
             @pl.when(s == j)
             def _qkv(j=j):
@@ -373,84 +454,105 @@ def _kernel(plan: MegaPlan, kv_int8: bool):
                 if j == plan.nq - 1:
                     qkv = qkvs[...] * sqkv_ref[0] + bqkv_ref[0]
                     qkvs[...] = qkv
-                    kn, vn = qkv[0:1, d:2 * d], qkv[0:1, 2 * d:h3]
+                    kn, vn = qkv[:, d:2 * d], qkv[:, 2 * d:h3]   # (8, D)
                     if kv_int8:
-                        ksc = jnp.maximum(jnp.max(jnp.abs(kn)), 1e-12) / 127.0
-                        vsc = jnp.maximum(jnp.max(jnp.abs(vn)), 1e-12) / 127.0
+                        ksc = jnp.maximum(jnp.max(jnp.abs(kn), axis=-1,
+                                                  keepdims=True), 1e-12) / 127.0
+                        vsc = jnp.maximum(jnp.max(jnp.abs(vn), axis=-1,
+                                                  keepdims=True), 1e-12) / 127.0
                         kqr = jnp.clip(jnp.round(kn / ksc), -127, 127)
                         vqr = jnp.clip(jnp.round(vn / vsc), -127, 127)
-                        kq_ref[0] = kqr.astype(jnp.int8)
-                        vq_ref[0] = vqr.astype(jnp.int8)
-                        selfkv[0:1] = kqr * ksc   # attend to the STORED value
-                        selfkv[1:2] = vqr          # raw; scale rides row 2
+                        kq_ref[0] = kqr[:nb].astype(jnp.int8)
+                        vq_ref[0] = vqr[:nb].astype(jnp.int8)
+                        # attend to the STORED values (dequantized rows)
+                        selfk[...] = kqr * ksc
+                        selfv[...] = vqr * vsc
+                        ksn_ref[0] = ksc[:nb]
+                        vsn_ref[0] = vsc[:nb]
                     else:
-                        ksc = jnp.float32(1.0)
-                        vsc = jnp.float32(1.0)
-                        kqr = kn.astype(kq_ref.dtype)
-                        kq_ref[0] = kqr
-                        vq_ref[0] = vn.astype(vq_ref.dtype)
-                        selfkv[0:1] = kqr.astype(jnp.float32)
-                        selfkv[1:2] = vn.astype(vq_ref.dtype).astype(jnp.float32)
-                    selfkv[2:3] = jnp.full((1, d), vsc, jnp.float32)
-                    ksn_ref[...] = jnp.full((1, 1, 1), ksc, jnp.float32)
-                    vsn_ref[...] = jnp.full((1, 1, 1), vsc, jnp.float32)
-                    qcol = jnp.transpose(qkv[0:1, 0:d], (1, 0))   # (D, 1)
-                    ddm = jax.lax.broadcasted_iota(
-                        jnp.int32, (d, 128), 0) // hd
-                    hhm = jax.lax.broadcasted_iota(jnp.int32, (d, 128), 1)
-                    qbd[...] = qcol * jnp.where(ddm == hhm,
-                                                inv_sqrt_hd, 0.0)
+                        kst = kn.astype(store_dtype)
+                        vst = vn.astype(store_dtype)
+                        kq_ref[0] = kst[:nb]
+                        vq_ref[0] = vst[:nb]
+                        selfk[...] = kst.astype(jnp.float32)
+                        selfv[...] = vst.astype(jnp.float32)
+                        ksn_ref[...] = jnp.ones((1, nb, 1), jnp.float32)
+                        vsn_ref[...] = jnp.ones((1, nb, 1), jnp.float32)
 
-        # ---- attention: online softmax over T-chunks + the fresh token -----
-        for a in range(plan.nat):
-            @pl.when(s == plan.s_att + a)
-            def _att(a=a):
-                if a == 0:
-                    kd = selfkv[0:1].astype(jnp.bfloat16)
-                    sc0 = _bdot(kd, qbd[...])                 # (1, 128)
-                    p0 = jnp.ones_like(sc0)                   # exp(sc0 - sc0)
-                    ms[0:1] = sc0
-                    ls[0:1] = p0
-                    pd = jnp.dot(p0, es[...],
-                                 preferred_element_type=jnp.float32)
-                    # plain f32: a bf16 round-trip here is elidable under
-                    # XLA's excess-precision rule (jit-dependent numerics)
-                    att0 = pd * selfkv[2:3] * selfkv[1:2]
-                    atts[...] = jnp.broadcast_to(att0, (_ROWS, d))
-                kc = (k_ref[0].astype(jnp.bfloat16)
-                      * ks_ref[0].astype(jnp.bfloat16))        # (Tc, D)
-                sc = _bdot(kc, qbd[...])                       # (Tc, 128)
-                posm = a * plan.tc + jax.lax.broadcasted_iota(
-                    jnp.int32, (plan.tc, 128), 0)
-                valid = posm < idx
-                sc = jnp.where(valid, sc, _NEG)
-                mc = jnp.max(sc, axis=0, keepdims=True)
-                mnew = jnp.maximum(ms[0:1], mc)
-                alpha = jnp.exp(ms[0:1] - mnew)                # (1, 128)
-                p = jnp.where(valid, jnp.exp(sc - mnew), 0.0)  # (Tc, 128)
-                ls[0:1] = ls[0:1] * alpha + jnp.sum(p, axis=0, keepdims=True)
-                alpha_d = jnp.dot(alpha, es[...],
-                                  preferred_element_type=jnp.float32)
-                # f32 accumulator (Mosaic requires 32-bit acc); E is
-                # one-hot so the bf16 cast after is bit-identical to a
-                # bf16-accumulated dot
-                pfull = jnp.dot((p * vs_ref[0]).astype(jnp.bfloat16),
-                                es[...].astype(jnp.bfloat16),
-                                preferred_element_type=jnp.float32
-                                ).astype(jnp.bfloat16)
-                su = pfull * v_ref[0].astype(jnp.bfloat16)     # (Tc, D)
-                attc = _bdot(jnp.ones((_ROWS, plan.tc), jnp.bfloat16), su)
-                atts[...] = atts[...] * alpha_d + attc
-                ms[0:1] = mnew
-                if a == plan.nat - 1:
-                    ld = jnp.dot(ls[0:1], es[...],
-                                 preferred_element_type=jnp.float32)
-                    atts[...] = atts[...] / ld
+        # ---- attention: per-stream online softmax over that stream's KV --
+        for b in range(nb):
+            for a in range(plan.nat):
+                @pl.when(s == plan.s_att + b * plan.nat + a)
+                def _att(b=b, a=a):
+                    idx = idx_ref[0, b]
+                    padv = idx_ref[1, b]
+                    if a == 0:
+                        # per-stream q -> (D, 128) head-block layout
+                        qcol = jnp.transpose(qkvs[b:b + 1, 0:d], (1, 0))
+                        ddm = jax.lax.broadcasted_iota(
+                            jnp.int32, (d, 128), 0) // hd
+                        hhm = jax.lax.broadcasted_iota(jnp.int32, (d, 128), 1)
+                        qbd[...] = qcol * jnp.where(ddm == hhm,
+                                                    inv_sqrt_hd, 0.0)
+                        kd = selfk[b:b + 1].astype(jnp.bfloat16)
+                        sc0 = _bdot(kd, qbd[...])                 # (1, 128)
+                        ms[b:b + 1] = sc0
+                        ls[b:b + 1] = jnp.ones_like(sc0)
+                        pd = jnp.dot(jnp.ones_like(sc0), es[...],
+                                     preferred_element_type=jnp.float32)
+                        # pd is exactly 1.0 per dim (one-hot column sums), so
+                        # pd * selfv == the oracle's pd0 * vsn * vq bitwise
+                        atts[b:b + 1] = pd * selfv[b:b + 1]
+
+                    # chunk-skip: chunks at/beyond the fill index are a
+                    # no-op (all-masked) — skip their MXU work; the index
+                    # map already clamps their DMA to the last live chunk
+                    @pl.when((a == 0) | (a * plan.tc < idx))
+                    def _chunk():
+                        kc = (k_ref[0, 0].astype(jnp.bfloat16)
+                              * ks_ref[0, 0].astype(jnp.bfloat16))   # (Tc, D)
+                        sc = _bdot(kc, qbd[...])                     # (Tc, 128)
+                        posm = a * plan.tc + jax.lax.broadcasted_iota(
+                            jnp.int32, (plan.tc, 128), 0)
+                        valid = (posm < idx) & (posm >= padv)
+                        sc = jnp.where(valid, sc, _NEG)
+                        mc = jnp.max(sc, axis=0, keepdims=True)
+                        mnew = jnp.maximum(ms[b:b + 1], mc)
+                        alpha = jnp.exp(ms[b:b + 1] - mnew)          # (1, 128)
+                        p = jnp.where(valid, jnp.exp(sc - mnew), 0.0)
+                        ls[b:b + 1] = (ls[b:b + 1] * alpha
+                                       + jnp.sum(p, axis=0, keepdims=True))
+                        alpha_d = jnp.dot(alpha, es[...],
+                                          preferred_element_type=jnp.float32)
+                        # f32 accumulator (Mosaic requires 32-bit acc); E is
+                        # one-hot so the bf16 cast after is bit-identical to
+                        # a bf16-accumulated dot
+                        pfull = jnp.dot((p * vs_ref[0, 0]).astype(jnp.bfloat16),
+                                        es[...].astype(jnp.bfloat16),
+                                        preferred_element_type=jnp.float32
+                                        ).astype(jnp.bfloat16)
+                        su = pfull * v_ref[0, 0].astype(jnp.bfloat16)  # (Tc, D)
+                        # full-tile ones dot (free on the MXU: one sublane
+                        # tile either way) keeps the summation order of the
+                        # single-stream kernel/oracle bit-for-bit
+                        attc = _bdot(jnp.ones((_ROWS, plan.tc), jnp.bfloat16),
+                                     su)
+                        atts[b:b + 1] = (atts[b:b + 1] * alpha_d
+                                         + attc[0:1])
+                        ms[b:b + 1] = mnew
 
         # ---- attn out projection + residual + ln2 ---------------------------
         for j in range(plan.npj):
             @pl.when(s == plan.s_proj + j)
             def _proj(j=j):
+                if j == 0:
+                    # normalize each stream (divide-by-l) with the SAME
+                    # (1, 128) dot the oracle uses — a full (8, 128) dot
+                    # sums in a different order on the interpret path
+                    for b in range(nb):
+                        ld = jnp.dot(ls[b:b + 1], es[...],
+                                     preferred_element_type=jnp.float32)
+                        atts[b:b + 1] = atts[b:b + 1] / ld
                 part = _bdot(atts[:, j * plan.ckp:(j + 1) * plan.ckp],
                              wproj_ref[0])
                 pacc[...] = part if j == 0 else pacc[...] + part
@@ -511,34 +613,78 @@ def _wmap(s0: int, n: int):
     return m
 
 
+def _kvmap(plan: MegaPlan):
+    """Per-(stream, chunk) KV index map. Chunks at/beyond a stream's fill
+    index CLAMP to its last live chunk: the block index repeats across
+    those stages, so the pipeline skips their DMA entirely (early-decode
+    steps read only the live prefix of each ring, not the padded T).
+    Stages outside the attention range hold the last-used block (no
+    refetch); qkv stages hold the PREVIOUS layer's last block so layer
+    boundaries stagger their first fetch."""
+    s0, nat, nb, tc = plan.s_att, plan.nat, plan.nb, plan.tc
+
+    def m(l, s, idx_ref):
+        ab = jnp.clip(s - s0, 0, nb * nat - 1)
+        b = ab // nat
+        a = ab % nat
+        amax = jnp.clip((idx_ref[0, b] - 1) // tc, 0, nat - 1)
+        a = jnp.minimum(a, amax)
+        early = s < s0
+        b_last = nb - 1
+        a_last = jnp.clip((idx_ref[0, b_last] - 1) // tc, 0, nat - 1)
+        return (jnp.where(early, jnp.maximum(l - 1, 0), l),
+                jnp.where(early, b_last, b),
+                jnp.where(early, a_last, a), 0)
+    return m
+
+
 def _lmap(l, s, idx_ref):   # per-layer resident rows (scales/biases/ln)
     return (l, 0, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("nh", "interpret"))
 def decode_block(x: jax.Array, packed: tp.Mapping, kv: tp.Mapping,
-                 index: jax.Array, *, nh: int, interpret: bool = False):
-    """One decode step through every transformer block in ONE launch.
+                 index: jax.Array, *, nh: int,
+                 pad: tp.Optional[jax.Array] = None,
+                 interpret: bool = False):
+    """One decode step for B (<= 8) independent streams in ONE launch.
 
-    ``x`` (1, D) f32; ``packed`` from :func:`pack_core_params`; ``kv`` from
-    :func:`init_mega_kv`/:func:`cache_to_mega`; ``index`` scalar int32 —
-    the position of this token (cache rows < index are attended).
+    ``x`` (B, D) f32 post-embedding activations (one row per stream);
+    ``packed`` from :func:`pack_core_params`; ``kv`` from
+    :func:`init_mega_kv`/:func:`cache_to_mega` — legacy (L, T, D) for a
+    single stream or (L, B, T, D) per-stream rings; ``index`` scalar or
+    (B,) int32 — each stream's token position (its cache rows < index are
+    attended); ``pad`` optionally masks each stream's first ``pad[b]``
+    cache rows (left-padded bucket prompts, the batched-decode contract).
 
-    Returns ``(y (1, D) f32, kq (L, 1, D), vq (L, 1, D), ksn (L, 1),
-    vsn (L, 1))``; the caller writes the fresh rows into the cache
-    (``jax.lax.dynamic_update_slice`` in the decode scan keeps it
-    in-place). Rows 1..7 of the internal activation tile are padding.
+    Returns ``(y (B, D) f32, kq (L, B, D), vq (L, B, D), ksn (L, B, 1),
+    vsn (L, B, 1))``; the caller writes the fresh rows into the cache
+    (:func:`mega_update_kv` keeps it in-place in the decode scan). With a
+    legacy 3D ``kv`` the outputs carry B=1 — the round-4 single-stream
+    contract unchanged.
     """
-    L, d, _ = packed["wproj"].shape
+    legacy = kv["k"].ndim == 3
+    B = x.shape[0]
+    if legacy:
+        assert B == 1, "legacy (L, T, D) kv carries exactly one stream"
+        kv = {k: v[:, None] for k, v in kv.items()}
+    L, _, t, d = kv["k"].shape
+    assert B == kv["k"].shape[1], (B, kv["k"].shape)
     hp = packed["w1"].shape[2]
-    t = kv["k"].shape[1]
-    plan = plan_for(L, d, hp, nh, t, packed["wqkv"].dtype.itemsize)
+    plan = plan_for(L, d, hp, nh, t, packed["wqkv"].dtype.itemsize, nb=B)
     kv_dtype = kv["k"].dtype
-    xp = jnp.zeros((_ROWS, d), jnp.float32).at[0:1].set(x.astype(jnp.float32))
+    xp = jnp.zeros((_ROWS, d), jnp.float32)
+    xp = jax.lax.dynamic_update_slice(xp, x.astype(jnp.float32), (0, 0))
+    idx = jnp.broadcast_to(jnp.asarray(index, jnp.int32), (B,))
+    padv = (jnp.zeros((B,), jnp.int32) if pad is None
+            else jnp.broadcast_to(jnp.asarray(pad, jnp.int32), (B,)))
+    scal = jnp.zeros((2, _ROWS), jnp.int32)
+    scal = scal.at[0, :B].set(idx).at[1, :B].set(padv)
 
     def cmap(l, s, idx_ref):
         return (0, 0)
 
+    kvm = _kvmap(plan)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(L, plan.stages),
@@ -548,10 +694,10 @@ def decode_block(x: jax.Array, packed: tp.Mapping, kv: tp.Mapping,
             pl.BlockSpec((1, 1, 3 * d), _lmap),                        # sqkv
             pl.BlockSpec((1, 1, 3 * d), _lmap),                        # bqkv
             pl.BlockSpec((1, 4, d), _lmap),                            # ln
-            pl.BlockSpec((1, plan.tc, d), _wmap(plan.s_att, plan.nat)),   # k
-            pl.BlockSpec((1, plan.tc, d), _wmap(plan.s_att, plan.nat)),   # v
-            pl.BlockSpec((1, plan.tc, 1), _wmap(plan.s_att, plan.nat)),   # ks
-            pl.BlockSpec((1, plan.tc, 1), _wmap(plan.s_att, plan.nat)),   # vs
+            pl.BlockSpec((1, 1, plan.tc, d), kvm),                     # k
+            pl.BlockSpec((1, 1, plan.tc, d), kvm),                     # v
+            pl.BlockSpec((1, 1, plan.tc, 1), kvm),                     # ks
+            pl.BlockSpec((1, 1, plan.tc, 1), kvm),                     # vs
             pl.BlockSpec((1, plan.ckp, d), _wmap(plan.s_proj, plan.npj)),  # wproj
             pl.BlockSpec((1, 1, d), _lmap),                            # sproj
             pl.BlockSpec((1, 1, d), _lmap),                            # bproj
@@ -564,10 +710,10 @@ def decode_block(x: jax.Array, packed: tp.Mapping, kv: tp.Mapping,
         ],
         out_specs=[
             pl.BlockSpec((_ROWS, d), cmap),                            # y
-            pl.BlockSpec((1, 1, d), lambda l, s, r: (l, 0, 0)),        # kq
-            pl.BlockSpec((1, 1, d), lambda l, s, r: (l, 0, 0)),        # vq
-            pl.BlockSpec((1, 1, 1), lambda l, s, r: (l, 0, 0)),        # ksn
-            pl.BlockSpec((1, 1, 1), lambda l, s, r: (l, 0, 0)),        # vsn
+            pl.BlockSpec((1, B, d), lambda l, s, r: (l, 0, 0)),        # kq
+            pl.BlockSpec((1, B, d), lambda l, s, r: (l, 0, 0)),        # vq
+            pl.BlockSpec((1, B, 1), lambda l, s, r: (l, 0, 0)),        # ksn
+            pl.BlockSpec((1, B, 1), lambda l, s, r: (l, 0, 0)),        # vsn
         ],
         scratch_shapes=[
             pltpu.VMEM((_ROWS, d), jnp.float32),        # xs residual
@@ -577,31 +723,32 @@ def decode_block(x: jax.Array, packed: tp.Mapping, kv: tp.Mapping,
             pltpu.VMEM((_ROWS, hp), jnp.float32),       # hs
             pltpu.VMEM((_ROWS, d), jnp.float32),        # macc
             pltpu.VMEM((_ROWS, d), jnp.float32),        # atts
-            pltpu.VMEM((d, 128), jnp.float32),          # qbd
+            pltpu.VMEM((d, 128), jnp.float32),          # qbd (active stream)
             pltpu.VMEM((128, d), jnp.float32),          # es
-            pltpu.VMEM((_ROWS, 128), jnp.float32),      # ms
-            pltpu.VMEM((_ROWS, 128), jnp.float32),      # ls
-            pltpu.VMEM((3, d), jnp.float32),   # selfkv (k deq; v raw; vsc)
+            pltpu.VMEM((_ROWS, 128), jnp.float32),      # ms (row per stream)
+            pltpu.VMEM((_ROWS, 128), jnp.float32),      # ls (row per stream)
+            pltpu.VMEM((_ROWS, d), jnp.float32),        # selfk (deq fresh K)
+            pltpu.VMEM((_ROWS, d), jnp.float32),        # selfv (deq fresh V)
         ],
     )
     y, kq, vq, ksn, vsn = pl.pallas_call(
-        _kernel(plan, kv_dtype == jnp.int8),
+        _kernel(plan, kv_dtype == jnp.int8, kv_dtype),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((_ROWS, d), jnp.float32),
-            jax.ShapeDtypeStruct((L, 1, d), kv_dtype),
-            jax.ShapeDtypeStruct((L, 1, d), kv_dtype),
-            jax.ShapeDtypeStruct((L, 1, 1), jnp.float32),
-            jax.ShapeDtypeStruct((L, 1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((L, B, d), kv_dtype),
+            jax.ShapeDtypeStruct((L, B, d), kv_dtype),
+            jax.ShapeDtypeStruct((L, B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((L, B, 1), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=_vmem_limit()),
         interpret=interpret or jax.default_backend() != "tpu",
-    )(jnp.asarray(index, jnp.int32).reshape(1),
+    )(scal,
       xp, packed["wqkv"], packed["sqkv"], packed["bqkv"], packed["ln"],
       kv["k"], kv["v"], kv["ks"], kv["vs"],
       packed["wproj"], packed["sproj"], packed["bproj"],
       packed["w1"], packed["s1"], packed["b1"],
       packed["w2"], packed["s2"], packed["b2"])
-    return y[0:1], kq, vq, ksn, vsn
+    return y[:B], kq, vq, ksn, vsn

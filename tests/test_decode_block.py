@@ -229,3 +229,135 @@ class TestMegaGenerate:
                                top_k=1, quant_int8=True, megakernel=True,
                                rng=jax.random.PRNGKey(0))
         assert out == out2
+
+
+class TestBatchedStreams:
+    """Round-5 batched megakernel: up to 8 independent streams per launch
+    (per-stream KV rings, indices, and left-pad masks). Per-stream math is
+    the single-stream kernel's exactly, so the batched oracle is the
+    single-stream oracle applied per row."""
+
+    B = 3
+
+    def _batched_setup(self, params, store, kv_dtype, seed=10):
+        rng = np.random.RandomState(seed)
+        packed = _packed(params, store)
+        kv = DB.init_mega_kv(CFG.n_layer, CFG.n_embd, 256, kv_dtype,
+                             batch=self.B)
+        pre = jnp.asarray(rng.randn(CFG.n_layer, self.B, 9, CFG.n_embd),
+                          jnp.float32)
+        kq, ks = DB._quant_rows(pre, kv_dtype)
+        vq, vs = DB._quant_rows(pre[:, :, ::-1] * 0.5, kv_dtype)
+        kv = {"k": kv["k"].at[:, :, :9].set(kq),
+              "v": kv["v"].at[:, :, :9].set(vq),
+              "ks": kv["ks"].at[:, :, :9].set(ks),
+              "vs": kv["vs"].at[:, :, :9].set(vs)}
+        x = jnp.asarray(rng.randn(self.B, CFG.n_embd), jnp.float32)
+        idx = jnp.asarray([9, 4, 0], jnp.int32)   # per-stream fill levels
+        return packed, kv, x, idx
+
+    @pytest.mark.parametrize("store,kv_dtype", [
+        ("bf16", jnp.bfloat16), ("int8", jnp.int8)])
+    def test_matches_per_stream_oracle(self, model_and_params, store, kv_dtype):
+        model, params = model_and_params
+        packed, kv, x, idx = self._batched_setup(params, store, kv_dtype)
+        ref = DB.decode_block_reference(x, packed, kv, idx, nh=CFG.n_head)
+        out = DB.decode_block(x, packed, kv, idx, nh=CFG.n_head,
+                              interpret=True)
+        y_r, y_k = np.asarray(ref[0]), np.asarray(out[0])
+        assert y_k.shape == (self.B, CFG.n_embd)
+        np.testing.assert_allclose(y_k, y_r, rtol=1e-4,
+                                   atol=1e-4 * np.abs(y_r).max())
+        for r, k in zip(ref[1:3], out[1:3]):  # fresh KV rows, (L, B, D)
+            np.testing.assert_allclose(np.asarray(k).astype(np.float32),
+                                       np.asarray(r).astype(np.float32),
+                                       atol=1.0)
+        for r, k in zip(ref[3:], out[3:]):    # fresh scales (L, B, 1)
+            np.testing.assert_allclose(np.asarray(k), np.asarray(r),
+                                       rtol=1e-5)
+
+    def test_streams_are_independent(self, model_and_params):
+        """Each batched row equals the SAME stream decoded alone through the
+        legacy single-stream layout (bitwise on the interpret path)."""
+        model, params = model_and_params
+        packed, kv, x, idx = self._batched_setup(params, "int8", jnp.int8)
+        out = DB.decode_block(x, packed, kv, idx, nh=CFG.n_head,
+                              interpret=True)
+        for b in range(self.B):
+            kvb = {k: v[:, b] for k, v in kv.items()}
+            solo = DB.decode_block(x[b:b + 1], packed, kvb, idx[b],
+                                   nh=CFG.n_head, interpret=True)
+            np.testing.assert_array_equal(np.asarray(out[0][b]),
+                                          np.asarray(solo[0][0]))
+            np.testing.assert_array_equal(np.asarray(out[1][:, b]),
+                                          np.asarray(solo[1][:, 0]))
+            np.testing.assert_array_equal(np.asarray(out[3][:, b]),
+                                          np.asarray(solo[3][:, 0]))
+
+    def test_pad_masks_prefix(self, model_and_params):
+        """Left-pad masking: junk rows below pad[b] must not change the
+        output — same result as a cache that never contained them."""
+        model, params = model_and_params
+        packed, kv, x, idx = self._batched_setup(params, "int8", jnp.int8)
+        pad = jnp.asarray([3, 1, 0], jnp.int32)
+        out = DB.decode_block(x, packed, kv, idx, nh=CFG.n_head, pad=pad,
+                              interpret=True)
+        ref = DB.decode_block_reference(x, packed, kv, idx, nh=CFG.n_head,
+                                        pad=pad)
+        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
+                                   rtol=1e-4,
+                                   atol=1e-4 * np.abs(ref[0]).max())
+        # poisoning the masked rows changes nothing
+        poison = jnp.full((CFG.n_layer, self.B, 3, CFG.n_embd), 99,
+                          kv["k"].dtype)
+        kv2 = {"k": kv["k"].at[:, :, :3].set(
+                   jnp.where(jnp.arange(3)[None, None, :, None]
+                             < pad[None, :, None, None], poison, kv["k"][:, :, :3])),
+               "v": kv["v"], "ks": kv["ks"], "vs": kv["vs"]}
+        out2 = DB.decode_block(x, packed, kv2, idx, nh=CFG.n_head, pad=pad,
+                               interpret=True)
+        np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(out2[0]))
+
+    def test_mega_update_kv_batched(self, model_and_params):
+        model, params = model_and_params
+        packed, kv, x, idx = self._batched_setup(params, "int8", jnp.int8)
+        out = DB.decode_block(x, packed, kv, idx, nh=CFG.n_head,
+                              interpret=True)
+        _, kq, vq, ksn, vsn = out
+        kv2 = DB.mega_update_kv(kv, kq, vq, ksn, vsn, idx)
+        for b in range(self.B):
+            i = int(idx[b])
+            np.testing.assert_array_equal(np.asarray(kv2["k"][:, b, i]),
+                                          np.asarray(kq[:, b]))
+            np.testing.assert_array_equal(np.asarray(kv2["ks"][:, b, i]),
+                                          np.asarray(ksn[:, b]))
+            # rows away from i are untouched
+            j = (i + 5) % 256
+            np.testing.assert_array_equal(np.asarray(kv2["v"][:, b, j]),
+                                          np.asarray(kv["v"][:, b, j]))
+
+    def test_sequential_batched_tracks_solo_decode(self, model_and_params):
+        """3 batched kernel steps with per-stream rings == each stream
+        decoded alone (bitwise, interpret path)."""
+        model, params = model_and_params
+        packed, kv, x, idx0 = self._batched_setup(params, "int8", jnp.int8)
+        rng = np.random.RandomState(11)
+        solo_kv = [{k: v[:, b] for k, v in kv.items()} for b in range(self.B)]
+        idx = np.asarray(idx0)
+        xs = np.asarray(x)
+        for step in range(3):
+            y, kq, vq, ksn, vsn = DB.decode_block(
+                jnp.asarray(xs), packed, kv, jnp.asarray(idx),
+                nh=CFG.n_head, interpret=True)
+            kv = DB.mega_update_kv(kv, kq, vq, ksn, vsn,
+                                   jnp.asarray(idx))
+            for b in range(self.B):
+                ys, kqs, vqs, ksns, vsns = DB.decode_block(
+                    jnp.asarray(xs[b:b + 1]), packed, solo_kv[b],
+                    jnp.asarray(idx[b]), nh=CFG.n_head, interpret=True)
+                np.testing.assert_array_equal(np.asarray(y[b]),
+                                              np.asarray(ys[0]))
+                solo_kv[b] = DB.mega_update_kv(
+                    solo_kv[b], kqs, vqs, ksns, vsns, jnp.asarray(idx[b]))
+            idx = idx + 1
+            xs = np.asarray(y) * 0.1  # feed something derived, stay bounded
