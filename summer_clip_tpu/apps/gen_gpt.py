@@ -366,6 +366,81 @@ def _decode_program_batched(model, batch: int, l_max: int, max_new: int,
     return run
 
 
+@functools.lru_cache(maxsize=64)
+def _decode_program_batched_mega(model, batch: int, l_max: int, max_new: int,
+                                 temp: float, top_k: int, approx_top_k: bool,
+                                 eot: int, kv_int8: bool = True,
+                                 top_p: float = 1.0):
+    """Batched prefill + MEGAKERNEL decode scan: each decode iteration runs
+    the whole block stack for all B (<= 8) streams in ONE pallas launch
+    (``ops/decode_block`` batched streams — the weight read amortizes over
+    the batch). Prefill is the standard wide forward into a SHORT (l_max)
+    cache, converted once into the mega KV layout; per-row left-pads ride
+    the kernel's pad mask (the ``key_pad`` contract). Sampling semantics
+    (rng stream, eot freeze, warper chain) match
+    :func:`_decode_program_batched` exactly."""
+    from summer_clip_tpu.ops import decode_block as DB
+    from summer_clip_tpu.ops.gemv import gather_rows, is_qleaf, qdot
+
+    cfg = model.config
+
+    @jax.jit
+    def run(variables, ids, pad, rng, cache):
+        out = model.apply(variables, ids, position_offset=(-pad)[:, None],
+                          cache=cache, key_pad=pad)
+        last = out["logits"][:, -1, :]
+        params = variables["params"]
+        core = params["core"]
+        probe = core["h_0"]["attn"]["c_attn"]["kernel"]
+        store = "int8" if is_qleaf(probe) else "bf16"
+        packed = DB.pack_core_params(core, cfg.n_layer, store=store)
+        kv = DB.cache_to_mega(out["cache"], l_max + max_new,
+                              jnp.int8 if kv_int8 else jnp.bfloat16,
+                              batched=True)
+        lnf = core["ln_f"]
+        if store == "int8":
+            table = _quant_head_table(model, variables)
+        elif isinstance(model, gpt2_mod.ClipGPT):
+            table = model.apply(variables, method=model.lm_head_table).T
+        else:
+            table = params["wte"]["embedding"].T
+
+        def embed_x(toks, pos):       # toks (B,), pos (B,)
+            if isinstance(model, gpt2_mod.ClipGPT):
+                e = model.apply(variables, toks[:, None], method=model.embed)
+                x = model.apply(variables, e, method=model.adapt_embeds)[:, 0]
+            else:
+                x = gather_rows(params["wte"]["embedding"], toks)
+            pos_c = jnp.clip(pos, 0, cfg.n_positions - 1)
+            return (x.astype(jnp.float32)
+                    + gather_rows(core["wpe"], pos_c).astype(jnp.float32))
+
+        def body(carry, step):
+            last, kv, rng, done = carry
+            rng, sub = jax.random.split(rng)
+            nxt = _sample_next(last / temp, sub, top_k, approx_top_k, top_p)
+            nxt = jnp.where(done, jnp.asarray(eot, nxt.dtype), nxt).astype(jnp.int32)
+            done = done | (nxt == eot)
+            x = embed_x(nxt, l_max + step - pad)
+            y, kq, vq, ksn, vsn = DB.decode_block(
+                x, packed, kv, l_max + step, nh=cfg.n_head, pad=pad)
+            kv = DB.mega_update_kv(kv, kq, vq, ksn, vsn, l_max + step)
+            h = DB._ln_rows(y, lnf["scale"][None], lnf["bias"][None])
+            if is_qleaf(table):
+                logits = qdot(h, table, jnp.float32)
+            else:
+                logits = jnp.dot(h.astype(jnp.bfloat16),
+                                 table.astype(jnp.bfloat16),
+                                 preferred_element_type=jnp.float32)
+            return (logits, kv, rng, done), nxt
+
+        init = (last, kv, rng, jnp.zeros(batch, bool))
+        _, toks = jax.lax.scan(body, init, jnp.arange(max_new))
+        return toks  # (max_new, B)
+
+    return run
+
+
 def generate_device_batched(model, variables, prompts: tp.Sequence[tp.Sequence[int]], *,
                             max_new_tokens: int = 20, temperature: float = 1.0,
                             top_k: int = 50, rng: tp.Optional[jax.Array] = None,
@@ -373,6 +448,7 @@ def generate_device_batched(model, variables, prompts: tp.Sequence[tp.Sequence[i
                             approx_top_k: bool = False,
                             quant_int8: bool = False,
                             top_p: float = 1.0,
+                            megakernel: bool = False,
                             mesh=None) -> tp.List[tp.List[int]]:
     """Batched serving path: sample B variable-length prompts in ONE scan.
 
@@ -382,6 +458,11 @@ def generate_device_batched(model, variables, prompts: tp.Sequence[tp.Sequence[i
     ``key_pad`` masks the pad slots out of attention for good. Rows freeze
     independently on ``eot_id``. One rng per step drives the whole batch
     (row picks stay independent via the batched categorical).
+
+    ``megakernel=True`` (B <= 8): decode iterations run the whole block
+    stack for the batch in one pallas launch each (batched
+    ``ops/decode_block`` streams) instead of the per-layer XLA/GEMV chain —
+    the weight read per token amortizes across the batch rows.
     """
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     B = len(prompts)
@@ -400,20 +481,37 @@ def generate_device_batched(model, variables, prompts: tp.Sequence[tp.Sequence[i
     for r, p in enumerate(prompts):
         ids[r, l_max - len(p):] = p
     pad = jnp.asarray([l_max - ln for ln in lens], jnp.int32)
+    # megakernel prefill only needs the prompt window: the decode scan owns
+    # the (quantized) mega cache, so the standard cache stays SHORT
     cache = model.apply(variables, method=model.init_cache, batch=B,
-                        max_len=l_max + max_new_tokens)
+                        max_len=l_max if megakernel
+                        else l_max + max_new_tokens)
     if mesh is not None and mesh.shape.get("model", 1) > 1:
         # same committed TP placements as generate_device: GSPMD compiles
         # the one batched program sharded over the 'model' axis
         from summer_clip_tpu.parallel import shard_decode_tp
 
         assert not quant_int8, "TP decode composes with bf16, not int8 trees"
+        assert not megakernel, "TP decode and the megakernel do not compose"
         variables, cache = shard_decode_tp(variables, cache, mesh)
-    run = _decode_program_batched(model, B, l_max, int(max_new_tokens),
-                                  max(float(temperature), 1e-6), int(top_k),
-                                  bool(approx_top_k),
-                                  -1 if eot_id is None else int(eot_id),
-                                  bool(quant_int8), float(top_p))
+    if megakernel:
+        from summer_clip_tpu.ops.decode_block import mega_legal
+
+        cfg = model.config
+        assert B <= 8, f"megakernel streams ride one (8, 128) tile; B={B}"
+        assert mega_legal(cfg.n_embd, 4 * cfg.n_embd, cfg.n_head), (
+            f"megakernel does not support {cfg.name} geometry")
+        run = _decode_program_batched_mega(
+            model, B, l_max, int(max_new_tokens),
+            max(float(temperature), 1e-6), int(top_k), bool(approx_top_k),
+            -1 if eot_id is None else int(eot_id),
+            bool(quant_int8), float(top_p))
+    else:
+        run = _decode_program_batched(model, B, l_max, int(max_new_tokens),
+                                      max(float(temperature), 1e-6), int(top_k),
+                                      bool(approx_top_k),
+                                      -1 if eot_id is None else int(eot_id),
+                                      bool(quant_int8), float(top_p))
     toks = np.asarray(run(variables, jnp.asarray(ids), pad, rng, cache))
     results: tp.List[tp.List[int]] = []
     for r, p in enumerate(prompts):
@@ -546,8 +644,27 @@ class GptGenerator(BaseTrainer):
             ids_all = [[self.tokenizer.sot_token] + self.tokenizer.encode(p)
                        for p in prompts]
             rng, sub = jax.random.split(rng)
+            variables = self.variables
+            quant = bool(gcfg.get("quant_int8", False))
+            if quant:  # stored-int8 tree through the streaming GEMV
+                from summer_clip_tpu.engine.quant import quantize_tree
+
+                variables = dict(variables,
+                                 params=quantize_tree(variables["params"]))
+            mk = gcfg.get("megakernel", "auto")
+            if mk == "auto":
+                # same gate as the solo path: int8 tree + deep tile-legal
+                # stack; the batched kernel additionally needs B <= 8 rows
+                from summer_clip_tpu.ops.decode_block import mega_legal
+
+                cfg_m = self.model.config
+                mk = (quant and mesh is None and len(ids_all) <= 8
+                      and cfg_m.n_layer >= 24
+                      and mega_legal(cfg_m.n_embd, 4 * cfg_m.n_embd,
+                                     cfg_m.n_head))
             outs = generate_device_batched(
-                self.model, self.variables, ids_all, rng=sub, mesh=mesh,
+                self.model, variables, ids_all, rng=sub, mesh=mesh,
+                quant_int8=quant, megakernel=bool(mk),
                 approx_top_k=bool(gcfg.get("approx_top_k", False)), **common)
         else:
             # device_loop (default): per-prompt decode as one lax.scan jit —

@@ -361,3 +361,36 @@ class TestBatchedStreams:
                     solo_kv[b], kqs, vqs, ksns, vsns, jnp.asarray(idx[b]))
             idx = idx + 1
             xs = np.asarray(y) * 0.1  # feed something derived, stay bounded
+
+
+class TestMegaGenerateBatched:
+    def test_batched_mega_matches_batched_sampler(self, model_and_params):
+        """generate_device_batched(megakernel=True) greedy ids vs the
+        standard batched scan sampler on the same f32 tree (variable-length
+        prompts exercise the kernel's per-stream pad mask)."""
+        from summer_clip_tpu.apps.gen_gpt import generate_device_batched
+
+        model, params = model_and_params
+        variables = {"params": params}
+        prompts = [[5, 9, 2, 17], [7, 3], [11, 4, 6, 8, 13, 2, 9]]
+        kw = dict(max_new_tokens=6, temperature=1.0, top_k=1,
+                  rng=jax.random.PRNGKey(3))
+        std = generate_device_batched(model, variables, prompts, **kw)
+        mega = generate_device_batched(model, variables, prompts,
+                                       megakernel=True, **kw)
+        assert mega == std
+
+    def test_batched_mega_int8_eot_freeze(self, model_and_params):
+        from summer_clip_tpu.apps.gen_gpt import generate_device_batched
+        from summer_clip_tpu.engine.quant import quantize_tree
+
+        model, params = model_and_params
+        variables = {"params": quantize_tree(params)}
+        prompts = [[5, 9, 2, 17], [7, 3]]
+        kw = dict(max_new_tokens=5, top_k=1, quant_int8=True,
+                  megakernel=True, eot_id=3, rng=jax.random.PRNGKey(0))
+        out = generate_device_batched(model, variables, prompts, **kw)
+        out2 = generate_device_batched(model, variables, prompts, **kw)
+        assert out == out2
+        for p, o in zip(prompts, out):
+            assert len(o) <= len(p) + 5
