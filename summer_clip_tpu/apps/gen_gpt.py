@@ -599,16 +599,32 @@ class GptGenerator(BaseTrainer):
                        for p in prompts]
             rng, sub = jax.random.split(rng)
             max_new = int(gcfg.max_new_tokens)
+            quant = bool(gcfg.get("quant_int8", False))
+            mk = gcfg.get("megakernel", "auto")
+            if mk == "auto":
+                # megakernel serving amortizes the int8 weight read over the
+                # slots; same depth/legality gate as the samplers
+                from summer_clip_tpu.ops.decode_block import mega_legal
+
+                cfg_m = self.model.config
+                mk = (quant and int(gcfg.get("batch_slots", 8)) <= 8
+                      and cfg_m.n_layer >= 24
+                      and mega_legal(cfg_m.n_embd, 4 * cfg_m.n_embd,
+                                     cfg_m.n_head))
+            l_top = max(len(i) for i in ids_all)
+            if mk:  # megakernel admits via the bucketed prefill: capacity
+                bucket = ContinuousBatcher.PREFILL_BUCKET
+                l_top = -(-l_top // bucket) * bucket
             eng = ContinuousBatcher(
                 self.model, self.variables,
                 batch_slots=int(gcfg.get("batch_slots", 8)),
-                max_len=min(self.model.config.n_positions,
-                            max(len(i) for i in ids_all) + max_new),
+                max_len=min(self.model.config.n_positions, l_top + max_new),
                 temperature=float(gcfg.temperature), top_k=int(gcfg.top_k),
                 top_p=float(gcfg.get("top_p", 1.0)),
                 burst=int(gcfg.get("burst", 16)),
                 pipeline=int(gcfg.get("pipeline", 4)),
                 wave=bool(gcfg.get("wave", True)),
+                quant_int8=quant, megakernel=bool(mk),
                 eot_id=self.tokenizer.eot_token, rng=sub)
             reqs = [eng.submit(ids, max_new_tokens=max_new) for ids in ids_all]
             eng.run()

@@ -156,6 +156,108 @@ def _engine_burst(model, temp: float, top_k: int, greedy: bool, n: int,
 
 
 @functools.lru_cache(maxsize=32)
+def _mega_prefill_step(model, temp: float, top_k: int, greedy: bool,
+                       length: int, top_p: float = 1.0):
+    """Batched admission prefill for MEGAKERNEL serving: the standard wide
+    forward runs into a FRESH short (length) cache inside the program, and
+    only the admitted rows' K/V quantize + merge into the engine's mega KV
+    rings (masked set — non-admitted rows' junk never touches the rings,
+    so this prefill needs neither ring rollback nor the clamp guard)."""
+    from summer_clip_tpu.ops.decode_block import _quant_rows
+
+    @jax.jit
+    def prefill(variables, mega_kv, tokens, offs, key_pad, admit_mask, rng,
+                head_table):
+        B = tokens.shape[0]
+        assert tokens.shape[1] == length, (tokens.shape, length)
+        cache = model.apply(variables, method=model.init_cache, batch=B,
+                            max_len=length)
+        for layer in cache:
+            layer["index"] = jnp.zeros((B,), jnp.int32)
+        out = model.apply(variables, tokens, position_offset=offs[:, None],
+                          cache=cache, key_pad=key_pad)
+        knew = jnp.stack([c["k"] for c in out["cache"]]).astype(jnp.float32)
+        vnew = jnp.stack([c["v"] for c in out["cache"]]).astype(jnp.float32)
+        kq, ks = _quant_rows(knew, mega_kv["k"].dtype)     # (L, B, lb, D)
+        vq, vs = _quant_rows(vnew, mega_kv["v"].dtype)
+        m = admit_mask[None, :, None, None]
+        new_kv = {
+            "k": mega_kv["k"].at[:, :, :length].set(
+                jnp.where(m, kq, mega_kv["k"][:, :, :length])),
+            "v": mega_kv["v"].at[:, :, :length].set(
+                jnp.where(m, vq, mega_kv["v"][:, :, :length])),
+            "ks": mega_kv["ks"].at[:, :, :length].set(
+                jnp.where(m, ks, mega_kv["ks"][:, :, :length])),
+            "vs": mega_kv["vs"].at[:, :, :length].set(
+                jnp.where(m, vs, mega_kv["vs"][:, :, :length])),
+        }
+        return new_kv, _pick(_last_logits(out, head_table), temp, top_k,
+                             greedy, rng, top_p)
+
+    return prefill
+
+
+@functools.lru_cache(maxsize=32)
+def _mega_burst(model, temp: float, top_k: int, greedy: bool, n: int,
+                top_p: float = 1.0):
+    """``n`` MEGAKERNEL decode iterations in ONE dispatch: each iteration
+    runs the whole block stack for all B slots in one pallas launch
+    (``ops/decode_block`` batched streams — the int8 weight read amortizes
+    across slots). Scheduling semantics are exactly :func:`_engine_burst`'s
+    (live masks, frozen feeds/positions, device-side retirement via
+    ``rem``); the KV state is the engine's per-stream mega rings and the
+    ring indices advance in the scan carry so chains stay host-sync-free."""
+    from summer_clip_tpu.ops import decode_block as DB
+    from summer_clip_tpu.ops.gemv import gather_rows, qdot
+
+    from summer_clip_tpu.models import gpt2 as gpt2_mod
+
+    cfg = model.config
+
+    @jax.jit
+    def burst(variables, packed, kv, feed0, pos0, idx0, active, rem,
+              key_pad, subs, head_table):
+        params = variables["params"]
+        core = params["core"]
+        lnf = core["ln_f"]
+        t = kv["k"].shape[2]
+
+        def embed_x(toks, pos):       # (B,), (B,) -> (B, D) f32
+            if isinstance(model, gpt2_mod.ClipGPT):
+                e = model.apply(variables, toks[:, None], method=model.embed)
+                x = model.apply(variables, e, method=model.adapt_embeds)[:, 0]
+            else:
+                x = gather_rows(params["wte"]["embedding"], toks)
+            pos_c = jnp.clip(pos, 0, cfg.n_positions - 1)
+            return (x.astype(jnp.float32)
+                    + gather_rows(core["wpe"], pos_c).astype(jnp.float32))
+
+        def body(carry, sub_i):
+            feed, kv, idx = carry
+            sub, i = sub_i
+            live = active & (i < rem)
+            pos = jnp.where(active, pos0 + jnp.minimum(i, rem), pos0)
+            x = embed_x(feed, pos)
+            y, kq, vq, ksn, vsn = DB.decode_block(
+                x, packed, kv, idx, nh=cfg.n_head, pad=key_pad)
+            kv = DB.mega_update_kv(kv, kq, vq, ksn, vsn, idx)
+            h = DB._ln_rows(y, lnf["scale"][None], lnf["bias"][None])
+            nxt = _pick(qdot(h, head_table, jnp.float32), temp, top_k,
+                        greedy, sub, top_p)
+            feed_next = jnp.where(live, nxt, feed).astype(jnp.int32)
+            # every slot's ring advances (junk writes clamp; admission
+            # resets the ring) — the standard engine's exact discipline
+            idx = jnp.minimum(idx + 1, t)
+            return (feed_next, kv, idx), nxt
+
+        (feed, kv, idx), toks = jax.lax.scan(
+            body, (feed0, kv, idx0), (subs, jnp.arange(n, dtype=jnp.int32)))
+        return kv, toks, feed, idx  # all ON DEVICE for chaining
+
+    return burst
+
+
+@functools.lru_cache(maxsize=32)
 def _prefill_step(model, temp: float, top_k: int, greedy: bool, length: int,
                   top_p: float = 1.0):
     """Bucketed chunk prefill: (B, length) tokens in one forward. Only the
@@ -197,6 +299,7 @@ class ContinuousBatcher:
                  burst: int = 8,
                  pipeline: int = 4,
                  wave: bool = True,
+                 megakernel: bool = False,
                  mesh=None):
         self.model = model
         self._head_table = None
@@ -239,10 +342,42 @@ class ContinuousBatcher:
         self._slots = [_Slot() for _ in range(self.B)]
         self._queue: tp.List[Request] = []
         self._next_uid = 0
-        cache = model.apply(variables, method=model.init_cache, batch=self.B,
-                            max_len=self.max_len)
-        for layer in cache:
-            layer["index"] = jnp.zeros((self.B,), jnp.int32)
+        # megakernel serving (round 5): each wave-chain iteration runs the
+        # whole block stack for all slots in ONE pallas launch — the int8
+        # weight read amortizes over the batch (ops/decode_block batched
+        # streams). State: once-packed weight slabs + per-slot mega KV
+        # rings; prefill stays the standard wide forward (masked merge).
+        self.megakernel = bool(megakernel)
+        cache = None
+        if self.megakernel:
+            from summer_clip_tpu.ops.decode_block import (
+                init_mega_kv, mega_legal, pack_core_params)
+
+            mcfg = model.config
+            assert self.quant_int8, (
+                "megakernel serving rides the stored-int8 tree "
+                "(quant_int8=True); bf16 packing would demote numerics")
+            assert self.wave and self.prefill_chunk and self.burst > 1, (
+                "megakernel serving is a wave-dispatch mode "
+                "(wave=True, prefill_chunk=True, burst>1)")
+            assert self.B <= 8, (
+                f"megakernel streams ride one (8, 128) tile; "
+                f"batch_slots={self.B}")
+            assert mesh is None or mesh.shape.get("model", 1) == 1, (
+                "TP serving and the megakernel do not compose")
+            assert mega_legal(mcfg.n_embd, 4 * mcfg.n_embd, mcfg.n_head), (
+                f"megakernel does not support {mcfg.name} geometry")
+            pack = jax.jit(lambda c: pack_core_params(
+                c, mcfg.n_layer, store="int8"))
+            self._packed = pack(self.variables["params"]["core"])
+            self._mega_kv = init_mega_kv(mcfg.n_layer, mcfg.n_embd,
+                                         self.max_len, jnp.int8,
+                                         batch=self.B)
+        else:
+            cache = model.apply(variables, method=model.init_cache,
+                                batch=self.B, max_len=self.max_len)
+            for layer in cache:
+                layer["index"] = jnp.zeros((self.B,), jnp.int32)
         if mesh is not None and mesh.shape.get("model", 1) > 1:
             # Megatron-TP serving: same committed placements as the one-shot
             # decode paths (parallel/tp.py:shard_decode_tp) — the engine's
@@ -272,6 +407,16 @@ class ContinuousBatcher:
         assert len(prompt_ids) + max_new_tokens <= self.max_len, (
             f"prompt {len(prompt_ids)} + max_new {max_new_tokens} exceeds "
             f"engine max_len {self.max_len}")
+        if self.megakernel:
+            # no token-per-step fallback in megakernel mode: the bucketed
+            # prefill itself must fit (waves may defer an admission whose
+            # batch-mates force a larger shared bucket, but a request that
+            # busts its OWN bucket could never be admitted)
+            lb = -(-len(prompt_ids) // self.PREFILL_BUCKET) * self.PREFILL_BUCKET
+            assert lb + max_new_tokens <= self.max_len, (
+                f"megakernel serving admits via the {self.PREFILL_BUCKET}-"
+                f"bucketed prefill: bucket {lb} + max_new {max_new_tokens} "
+                f"exceeds engine max_len {self.max_len}")
         req = Request(self._next_uid, [int(i) for i in prompt_ids],
                       int(max_new_tokens))
         self._next_uid += 1
@@ -434,8 +579,6 @@ class ContinuousBatcher:
             chains = 1
             if self.pipeline > 1 and n == self.burst:
                 chains = max(1, min(self.pipeline, safe // n))
-        run = _engine_burst(self.model, self.temperature, self.top_k,
-                            self.greedy, n, self.top_p)
         mask = np.zeros(self.B, bool)
         mask[active] = True
         mask_dev = jnp.asarray(mask)
@@ -446,7 +589,15 @@ class ContinuousBatcher:
             amask = np.zeros(self.B, bool)
             amask[list(admitted)] = True
             feed = jnp.where(jnp.asarray(amask), prefill_nxt, feed)
-        cache = self._stamped_cache()
+        if self.megakernel:
+            run = _mega_burst(self.model, self.temperature, self.top_k,
+                              self.greedy, n, self.top_p)
+            kv = self._mega_kv
+            idx_dev = jnp.asarray(self._ring, jnp.int32)
+        else:
+            run = _engine_burst(self.model, self.temperature, self.top_k,
+                                self.greedy, n, self.top_p)
+            cache = self._stamped_cache()
         parts = []
         for k in range(chains):
             subs = []
@@ -456,12 +607,22 @@ class ContinuousBatcher:
             done_k = np.minimum(k * n, rem)      # live iterations so far
             pos_k = np.where(mask, base_pos + done_k, base_pos)
             rem_k = np.where(mask, rem - done_k, 0)
-            cache, toks, feed = run(
-                self.variables, cache, feed, jnp.asarray(pos_k, jnp.int32),
-                mask_dev, jnp.asarray(rem_k, jnp.int32), key_pad,
-                jnp.stack(subs), self._head_table)
+            if self.megakernel:
+                kv, toks, feed, idx_dev = run(
+                    self.variables, self._packed, kv, feed,
+                    jnp.asarray(pos_k, jnp.int32), idx_dev, mask_dev,
+                    jnp.asarray(rem_k, jnp.int32), key_pad,
+                    jnp.stack(subs), self._head_table)
+            else:
+                cache, toks, feed = run(
+                    self.variables, cache, feed, jnp.asarray(pos_k, jnp.int32),
+                    mask_dev, jnp.asarray(rem_k, jnp.int32), key_pad,
+                    jnp.stack(subs), self._head_table)
             parts.append(toks)
-        self._cache = cache
+        if self.megakernel:
+            self._mega_kv = kv
+        else:
+            self._cache = cache
         blocks = parts[0] if chains == 1 else jnp.concatenate(parts, axis=0)
         if prefill_nxt is not None:  # ONE sync for prefill + all chains
             blocks = jnp.concatenate([prefill_nxt[None], blocks], axis=0)
@@ -506,14 +667,28 @@ class ContinuousBatcher:
             self._key_pad[b] = pad
             self._positions[b] = 0
         ring_before = self._ring.copy()
-        prefill = _prefill_step(self.model, self.temperature, self.top_k,
-                                self.greedy, lb, self.top_p)
         self._rng, sub = jax.random.split(self._rng)
-        self._cache, nxt = prefill(
-            self.variables, self._stamped_cache(), jnp.asarray(tokens),
-            jnp.asarray(offs, jnp.int32), jnp.asarray(self._key_pad, jnp.int32),
-            sub, self._head_table)
-        # non-admitted rows' lb junk writes roll back (causally invisible)
+        if self.megakernel:
+            prefill = _mega_prefill_step(self.model, self.temperature,
+                                         self.top_k, self.greedy, lb,
+                                         self.top_p)
+            amask = np.zeros(self.B, bool)
+            for b, _ in admit:
+                amask[b] = True
+            self._mega_kv, nxt = prefill(
+                self.variables, self._mega_kv, jnp.asarray(tokens),
+                jnp.asarray(offs, jnp.int32),
+                jnp.asarray(self._key_pad, jnp.int32), jnp.asarray(amask),
+                sub, self._head_table)
+        else:
+            prefill = _prefill_step(self.model, self.temperature, self.top_k,
+                                    self.greedy, lb, self.top_p)
+            self._cache, nxt = prefill(
+                self.variables, self._stamped_cache(), jnp.asarray(tokens),
+                jnp.asarray(offs, jnp.int32), jnp.asarray(self._key_pad, jnp.int32),
+                sub, self._head_table)
+        # non-admitted rows' lb junk writes roll back (causally invisible;
+        # megakernel mode never wrote them in the first place)
         self._ring = ring_before
         for b, req in admit:
             self._ring[b] = lb
@@ -534,17 +709,37 @@ class ContinuousBatcher:
         free = [b for b, s in enumerate(self._slots) if s.free]
         n_adm = min(len(free), len(self._queue))
         admit = list(zip(free, self._queue[:n_adm]))
+        if admit and self.megakernel:
+            # no legacy fallback in megakernel mode: defer the queue tail
+            # whose batch-mates' shared bucket wouldn't fit (each request's
+            # OWN bucket fits by the submit-time assert, so the head of the
+            # queue always admits — no starvation)
+            bucket = self.PREFILL_BUCKET
+            kept: tp.List[tp.Tuple[int, Request]] = []
+            for b, r in admit:
+                trial = kept + [(b, r)]
+                lb_t = max(-(-len(x.prompt_ids) // bucket) * bucket
+                           for _, x in trial)
+                if any(lb_t + x.max_new_tokens > self.max_len
+                       for _, x in trial):
+                    break  # keep queue order; retry next wave
+                kept.append((b, r))
+            admit, n_adm = kept, len(kept)
         prefill_nxt = None
         admitted: tp.List[int] = []
         if admit:
             bucket = self.PREFILL_BUCKET
             lb = max(-(-len(r.prompt_ids) // bucket) * bucket
                      for _, r in admit)
-            if any(lb + r.max_new_tokens > self.max_len for _, r in admit):
-                return None  # shared bucket doesn't fit someone: legacy path
-            for ob, s in enumerate(self._slots):
-                if not s.free and self._ring[ob] + lb > self.max_len:
-                    return None  # junk write would clamp into real history
+            if not self.megakernel:
+                if any(lb + r.max_new_tokens > self.max_len for _, r in admit):
+                    return None  # shared bucket doesn't fit someone: legacy path
+                for ob, s in enumerate(self._slots):
+                    if not s.free and self._ring[ob] + lb > self.max_len:
+                        return None  # junk write would clamp into real history
+                # (megakernel prefill writes through a masked merge into the
+                # per-slot rings — other rows' junk never lands, so neither
+                # guard applies)
             del self._queue[:n_adm]
             admitted = [b for b, _ in admit]
             prefill_nxt = self._prefill_wave(admit, lb)

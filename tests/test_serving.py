@@ -259,3 +259,96 @@ class TestContinuousBatcher:
         assert len(done) == 4
         for p, r in zip(prompts, reqs):
             assert r.out_ids == _oracle(model, variables, p, 5), p
+
+
+class TestMegakernelServing:
+    """Round-5 megakernel wave serving: every chain iteration runs the whole
+    block stack for all slots in ONE pallas launch (batched streams). The
+    contract is unchanged: greedy per-request ids == the solo megakernel
+    sampler on the same int8 tree, regardless of batch-mates/admissions."""
+
+    def _mega_model(self):
+        from summer_clip_tpu.engine.quant import quantize_tree
+
+        model, cfg = G.build_gpt2("test-gpt-mega")
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 4), jnp.int32))["params"]
+        variables = {"params": quantize_tree(params)}
+        return model, cfg, variables
+
+    def _mega_oracle(self, model, variables, prompt, max_new):
+        out = generate_device(model, variables, prompt,
+                              max_new_tokens=max_new, temperature=1.0,
+                              top_k=1, quant_int8=True, megakernel=True,
+                              rng=jax.random.PRNGKey(7))
+        return out[len(prompt):]
+
+    def test_mega_engine_matches_solo_mega_sampler(self):
+        model, cfg, variables = self._mega_model()
+        rng = np.random.RandomState(0)
+        prompts = [list(rng.randint(1, cfg.vocab_size, n)) for n in (3, 7, 5)]
+        eng = ContinuousBatcher(model, variables, batch_slots=3, max_len=96,
+                                greedy=True, quant_int8=True, megakernel=True,
+                                burst=4, pipeline=2)
+        reqs = [eng.submit(p, max_new_tokens=m)
+                for p, m in zip(prompts, (6, 3, 8))]   # staggered budgets
+        done = eng.run()
+        assert len(done) == 3 and all(r.done for r in reqs)
+        for r, p in zip(reqs, prompts):
+            assert r.out_ids == self._mega_oracle(
+                model, variables, p, r.max_new_tokens), p
+
+    def test_mega_engine_mid_stream_admission(self):
+        """Slot reuse with per-stream mega rings: stale K/V beyond a reused
+        ring's index must be invisible (the masked-merge prefill + index
+        mask), so late admissions still match the solo oracle."""
+        model, cfg, variables = self._mega_model()
+        rng = np.random.RandomState(1)
+        prompts = [list(rng.randint(1, cfg.vocab_size, 2 + i % 4))
+                   for i in range(5)]
+        eng = ContinuousBatcher(model, variables, batch_slots=2, max_len=96,
+                                greedy=True, quant_int8=True, megakernel=True,
+                                burst=4, pipeline=2)
+        reqs = [eng.submit(prompts[0], 5), eng.submit(prompts[1], 7)]
+        done = []
+        for _ in range(2):
+            done += eng.step()
+        reqs += [eng.submit(p, 4 + i % 2) for i, p in enumerate(prompts[2:])]
+        done += eng.run()
+        assert len(done) == 5
+        for r, p in zip(reqs, prompts):
+            assert r.out_ids == self._mega_oracle(
+                model, variables, p, r.max_new_tokens), p
+
+    def test_mega_engine_eot_termination(self):
+        model, cfg, variables = self._mega_model()
+        prompt = [5, 9, 2]
+        first = self._mega_oracle(model, variables, prompt, 1)[0]
+        eng = ContinuousBatcher(model, variables, batch_slots=2, max_len=96,
+                                greedy=True, quant_int8=True, megakernel=True,
+                                eot_id=first, burst=4, pipeline=2)
+        r = eng.submit(prompt, max_new_tokens=10)
+        eng.run()
+        assert r.done and r.out_ids == [first]
+
+    def test_mega_engine_requires_int8(self):
+        import pytest
+
+        model, cfg, _ = self._mega_model()
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 4), jnp.int32))["params"]
+        with pytest.raises(AssertionError, match="int8"):
+            ContinuousBatcher(model, {"params": params}, batch_slots=2,
+                              max_len=96, megakernel=True)
+
+    def test_mega_engine_sampling_runs(self):
+        model, cfg, variables = self._mega_model()
+        eng = ContinuousBatcher(model, variables, batch_slots=2, max_len=96,
+                                temperature=0.8, top_k=5, quant_int8=True,
+                                megakernel=True, burst=4, pipeline=2,
+                                rng=jax.random.PRNGKey(3))
+        r1 = eng.submit([1, 2, 3], 5)
+        r2 = eng.submit([4, 5], 5)
+        eng.run()
+        assert len(r1.out_ids) == 5 and len(r2.out_ids) == 5
+        assert all(0 <= t < cfg.vocab_size for t in r1.out_ids + r2.out_ids)
