@@ -506,8 +506,13 @@ def _kernel(plan: MegaPlan, kv_int8: bool, store_dtype):
 
                     # chunk-skip: chunks at/beyond the fill index are a
                     # no-op (all-masked) — skip their MXU work; the index
-                    # map already clamps their DMA to the last live chunk
-                    @pl.when((a == 0) | (a * plan.tc < idx))
+                    # map already clamps their DMA to the last live chunk.
+                    # MEGA_SKIP=0 disables the predicate for A/B timing.
+                    import os as _os
+                    _skip = _os.environ.get("MEGA_SKIP", "1") == "1"
+
+                    @pl.when((a == 0) | (a * plan.tc < idx) if _skip
+                             else (s >= 0))
                     def _chunk():
                         kc = (k_ref[0, 0].astype(jnp.bfloat16)
                               * ks_ref[0, 0].astype(jnp.bfloat16))   # (Tc, D)
@@ -621,17 +626,24 @@ def _kvmap(plan: MegaPlan):
     Stages outside the attention range hold the last-used block (no
     refetch); qkv stages hold the PREVIOUS layer's last block so layer
     boundaries stagger their first fetch."""
+    import os
+
     s0, nat, nb, tc = plan.s_att, plan.nat, plan.nb, plan.tc
+    skip = os.environ.get("MEGA_SKIP", "1") == "1"
 
     def m(l, s, idx_ref):
         ab = jnp.clip(s - s0, 0, nb * nat - 1)
         b = ab // nat
         a = ab % nat
-        amax = jnp.clip((idx_ref[0, b] - 1) // tc, 0, nat - 1)
-        a = jnp.minimum(a, amax)
+        if skip:
+            amax = jnp.clip((idx_ref[0, b] - 1) // tc, 0, nat - 1)
+            a = jnp.minimum(a, amax)
         early = s < s0
         b_last = nb - 1
-        a_last = jnp.clip((idx_ref[0, b_last] - 1) // tc, 0, nat - 1)
+        if skip:
+            a_last = jnp.clip((idx_ref[0, b_last] - 1) // tc, 0, nat - 1)
+        else:
+            a_last = nat - 1
         return (jnp.where(early, jnp.maximum(l - 1, 0), l),
                 jnp.where(early, b_last, b),
                 jnp.where(early, a_last, a), 0)
