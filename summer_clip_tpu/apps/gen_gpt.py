@@ -293,13 +293,21 @@ def generate_device(model, variables, prompt_ids: tp.Sequence[int], *,
     cache = model.apply(variables, method=model.init_cache, batch=1,
                         max_len=n_prompt + max_new_tokens)
     if mesh is not None and mesh.shape.get("model", 1) > 1:
-        # Megatron-TP decode: committed placements make the SAME jitted
-        # program run sharded — GSPMD inserts the ICI psums (parallel/tp.py)
-        from summer_clip_tpu.parallel import shard_decode_tp
-
-        assert not quant_int8, "TP decode composes with bf16, not int8 trees"
         assert not megakernel, "TP decode and the megakernel do not compose"
-        variables, cache = shard_decode_tp(variables, cache, mesh)
+        if quant_int8:
+            # int8 x TP: explicit SPMD — the Pallas GEMV streams each
+            # chip's int8 shard inside shard_map (parallel/tp_int8.py)
+            from summer_clip_tpu.parallel.tp_int8 import (
+                shard_decode_tp_int8, tp_int8_decoder)
+
+            variables, cache = shard_decode_tp_int8(variables, cache, mesh)
+            model = tp_int8_decoder(model, mesh)
+        else:
+            # Megatron-TP decode: committed placements make the SAME jitted
+            # program run sharded — GSPMD inserts the ICI psums (parallel/tp.py)
+            from summer_clip_tpu.parallel import shard_decode_tp
+
+            variables, cache = shard_decode_tp(variables, cache, mesh)
     if megakernel:
         from summer_clip_tpu.ops.decode_block import mega_legal
 
@@ -487,13 +495,19 @@ def generate_device_batched(model, variables, prompts: tp.Sequence[tp.Sequence[i
                         max_len=l_max if megakernel
                         else l_max + max_new_tokens)
     if mesh is not None and mesh.shape.get("model", 1) > 1:
-        # same committed TP placements as generate_device: GSPMD compiles
-        # the one batched program sharded over the 'model' axis
-        from summer_clip_tpu.parallel import shard_decode_tp
-
-        assert not quant_int8, "TP decode composes with bf16, not int8 trees"
         assert not megakernel, "TP decode and the megakernel do not compose"
-        variables, cache = shard_decode_tp(variables, cache, mesh)
+        if quant_int8:
+            from summer_clip_tpu.parallel.tp_int8 import (
+                shard_decode_tp_int8, tp_int8_decoder)
+
+            variables, cache = shard_decode_tp_int8(variables, cache, mesh)
+            model = tp_int8_decoder(model, mesh)
+        else:
+            # same committed TP placements as generate_device: GSPMD compiles
+            # the one batched program sharded over the 'model' axis
+            from summer_clip_tpu.parallel import shard_decode_tp
+
+            variables, cache = shard_decode_tp(variables, cache, mesh)
     if megakernel:
         from summer_clip_tpu.ops.decode_block import mega_legal
 

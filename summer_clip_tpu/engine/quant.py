@@ -82,6 +82,7 @@ def quant_head_table(model, variables):
     from summer_clip_tpu.models import gpt2 as gpt2_mod
     from summer_clip_tpu.ops.gemv import is_qleaf
 
+    model = getattr(model, "model", model)  # unwrap TPInt8Decoder-style ducks
     if isinstance(model, gpt2_mod.ClipGPT):
         table = model.apply(variables, method=model.lm_head_table)
         return quantize_array(table.T, per_row=False)

@@ -399,16 +399,29 @@ class ContinuousBatcher:
             for layer in cache:
                 layer["index"] = jnp.zeros((self.B,), jnp.int32)
         if mesh is not None and mesh.shape.get("model", 1) > 1:
-            # Megatron-TP serving: same committed placements as the one-shot
-            # decode paths (parallel/tp.py:shard_decode_tp) — the engine's
-            # step/prefill programs are placement-agnostic, GSPMD compiles
-            # them sharded; the host-side slot state machine is unchanged
-            from summer_clip_tpu.parallel import shard_decode_tp
+            if quant_int8:
+                # int8 x TP serving (VERDICT r4 #3): the engine's programs
+                # call self.model.apply — swapping in the shard_map int8
+                # decoder routes every chip's streamed GEMV to its own
+                # Megatron shard with psums after the row-parallel matmuls
+                from summer_clip_tpu.parallel.tp_int8 import (
+                    shard_decode_tp_int8, tp_int8_decoder)
 
-            assert not quant_int8, "TP serving composes with bf16, not int8 trees"
-            self.variables, cache = shard_decode_tp(self.variables, cache, mesh)
+                self.variables, cache = shard_decode_tp_int8(
+                    self.variables, cache, mesh)
+                self.model = tp_int8_decoder(model, mesh)
+            else:
+                # Megatron-TP serving: same committed placements as the
+                # one-shot decode paths (parallel/tp.py:shard_decode_tp) —
+                # the engine's step/prefill programs are placement-agnostic,
+                # GSPMD compiles them sharded; the host-side slot state
+                # machine is unchanged
+                from summer_clip_tpu.parallel import shard_decode_tp
+
+                self.variables, cache = shard_decode_tp(self.variables,
+                                                        cache, mesh)
         self._cache = cache
-        self._step = _engine_step(model, self.temperature, self.top_k, self.greedy,
+        self._step = _engine_step(self.model, self.temperature, self.top_k, self.greedy,
                                   self.top_p)
         # host mirrors of per-slot device state (the ring index is
         # authoritative HERE and re-stamped into the cache before every

@@ -9,6 +9,9 @@ from summer_clip_tpu.parallel.sharded_cache import (  # noqa: F401
 from summer_clip_tpu.parallel.tp import (  # noqa: F401
     gpt2_tp_spec, shard_params_tp, check_tp_divisibility, shard_decode_tp,
 )
+from summer_clip_tpu.parallel.tp_int8 import (  # noqa: F401
+    TPInt8Decoder, permute_qkv_columns, shard_decode_tp_int8, tp_int8_decoder,
+)
 from summer_clip_tpu.parallel.fsdp import (  # noqa: F401
     fsdp_spec, shard_params_fsdp,
 )

@@ -61,10 +61,12 @@ def main(name: str = "gpt2", slots: int = 8, n_requests: int = 24,
           f"{total_tokens / dt_static:,.0f} tok/s aggregate", flush=True)
 
     # -- continuous batcher ---------------------------------------------------
-    def run_engine(burst: int = 8, pipeline: int = 1, wave: bool = False):
+    def run_engine(burst: int = 8, pipeline: int = 1, wave: bool = False,
+                   quant: bool = False, mega: bool = False):
         eng = ContinuousBatcher(model, variables, batch_slots=slots,
                                 max_len=32 + max_new, greedy=True, burst=burst,
-                                pipeline=pipeline, wave=wave)
+                                pipeline=pipeline, wave=wave,
+                                quant_int8=quant, megakernel=mega)
         for p in prompts:
             eng.submit(p, max_new_tokens=max_new)
         return eng.run()
@@ -79,19 +81,32 @@ def main(name: str = "gpt2", slots: int = 8, n_requests: int = 24,
     # its budget and no chain ever decodes post-EOT junk — the pipe>1
     # numbers are the chaining BEST case; the eot arm below bounds the
     # junk-compute cost when streams do terminate mid-chain.
-    for burst, pipe, wave in ((1, 1, False), (8, 1, False), (32, 1, False),
-                              (8, 4, False), (32, 2, False),
-                              (8, 4, True), (32, 2, True), (8, 8, True),
-                              (16, 4, True)):
-        run_engine(burst, pipe, wave)  # compile
+    from summer_clip_tpu.ops.decode_block import mega_legal
+
+    mega_ok = (cfg.n_layer >= 24
+               and mega_legal(cfg.n_embd, 4 * cfg.n_embd, cfg.n_head))
+    quick = name != "gpt2"   # large geometries: headline arms only
+    arms = ([(16, 4, True, False, False)] if quick else
+            [(1, 1, False, False, False), (8, 1, False, False, False),
+             (32, 1, False, False, False), (8, 4, False, False, False),
+             (32, 2, False, False, False), (8, 4, True, False, False),
+             (32, 2, True, False, False), (8, 8, True, False, False),
+             (16, 4, True, False, False)])
+    arms.append((16, 4, True, True, False))           # int8 wave headline
+    if mega_ok:
+        arms.append((16, 4, True, True, True))        # megakernel serving
+    for burst, pipe, wave, quant, mega in arms:
+        run_engine(burst, pipe, wave, quant, mega)  # compile
         t0 = time.perf_counter()
-        done = run_engine(burst, pipe, wave)
+        done = run_engine(burst, pipe, wave, quant, mega)
         dt_eng = time.perf_counter() - t0
         assert len(done) == n_requests
         print(f"continuous engine (B={slots}, burst={burst}, pipe={pipe}, "
-              f"wave={wave}): {dt_eng:.2f}s = "
-              f"{total_tokens / dt_eng:,.0f} tok/s aggregate "
-              f"(host sync per chain)", flush=True)
+              f"wave={wave}, int8={quant}, mega={mega}): {dt_eng:.2f}s = "
+              f"{total_tokens / dt_eng:,.0f} tok/s aggregate", flush=True)
+
+    if quick:
+        return
 
     # -- EOT-mid-chain junk bound ---------------------------------------------
     # Re-run the widest chaining config with eot_id set to the token greedy
