@@ -505,13 +505,13 @@ def _kernel(plan: MegaPlan, kv_int8: bool, store_dtype):
                         atts[b:b + 1] = pd * selfv[b:b + 1]
 
                     # chunk-skip: chunks at/beyond the fill index are a
-                    # no-op (all-masked) — skip their MXU work; the index
-                    # map already clamps their DMA to the last live chunk.
-                    # MEGA_SKIP=0 disables the predicate for A/B timing.
+                    # no-op (all-masked) — skip their MXU work ("1"/"c");
+                    # the index map clamp ("1") also skips their DMA
+                    # (MEGA_SKIP knob: see _kvmap / tools/bench_megadecode)
                     import os as _os
-                    _skip = _os.environ.get("MEGA_SKIP", "1") == "1"
+                    _sk = _os.environ.get("MEGA_SKIP", "1") in ("1", "c")
 
-                    @pl.when((a == 0) | (a * plan.tc < idx) if _skip
+                    @pl.when((a == 0) | (a * plan.tc < idx) if _sk
                              else (s >= 0))
                     def _chunk():
                         kc = (k_ref[0, 0].astype(jnp.bfloat16)
@@ -629,6 +629,8 @@ def _kvmap(plan: MegaPlan):
     import os
 
     s0, nat, nb, tc = plan.s_att, plan.nat, plan.nb, plan.tc
+    # only "1" makes the map data-dependent ("c" keeps the compute-skip
+    # predicate but static maps — the A/B for map-dependence cost)
     skip = os.environ.get("MEGA_SKIP", "1") == "1"
 
     def m(l, s, idx_ref):
