@@ -289,6 +289,7 @@ def bench_image_attention_combo(nt: int = 19850, nc: int = 19850, d: int = 1024,
 
     from summer_clip_tpu.apps.image_attention import ImageAttention
     from summer_clip_tpu.methods.cache import HardCacheStrategy, select_topk_per_label
+    from summer_clip_tpu.methods.zeroshot import label_rank
 
     rng = np.random.RandomState(0)
     feats = rng.randn(nc, d).astype(np.float32)
@@ -313,15 +314,23 @@ def bench_image_attention_combo(nt: int = 19850, nc: int = 19850, d: int = 1024,
     app._outs_dev = jnp.asarray(np.concatenate([outs, np.zeros((pad, c), np.float32)]))
     hard = HardCacheStrategy()
 
+    # clip_logits/test_labels ride as jit ARGS: a closure-captured array
+    # embeds as an MLIR constant and inflates the remote compile payload
+    # (~100s at ImageNet scale; tools/attr_grid_variants.py).
     @jax.jit
-    def grid_acc(cache_logits_b):
+    def grid_acc_args(cache_logits_b, clip_logits, test_labels, alphas):
         def eval_beta(one):
             def eval_alpha(a):
                 logits = clip_logits + a * one
-                top = jax.lax.top_k(logits, 5)[1]
-                return (top[:, 0] == test_labels).astype(jnp.float32).mean()
+                # sort-free top-1 via the label's rank (the app's shipped
+                # form, methods/zeroshot.label_rank)
+                rank = label_rank(logits, test_labels)
+                return (rank == 0).astype(jnp.float32).mean()
             return jax.vmap(eval_alpha)(alphas)
         return jax.vmap(eval_beta)(cache_logits_b)
+
+    def grid_acc(cache_logits_b):
+        return grid_acc_args(cache_logits_b, clip_logits, test_labels, alphas)
 
     def combo():
         preds = outs.argmax(1)                       # pseudo-labels (host)

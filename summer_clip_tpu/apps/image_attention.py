@@ -36,7 +36,8 @@ from summer_clip_tpu.core import config as C
 from summer_clip_tpu.engine.trainer import BaseTrainer, run_trainer
 from summer_clip_tpu.methods import cache as cache_methods
 from summer_clip_tpu.methods.cache import cache_logits_for_betas
-from summer_clip_tpu.methods.zeroshot import compute_accuracy, zeroshot_classifier
+from summer_clip_tpu.methods.zeroshot import (compute_accuracy, label_rank,
+                                              zeroshot_classifier)
 from summer_clip_tpu.store import FeatureStore
 
 
@@ -239,27 +240,44 @@ class ImageAttention(BaseTrainer):
 
     # -- grid ----------------------------------------------------------------
     def _grid_eval_fn(self):
-        """Jitted (beta-chunk) x alpha accuracy evaluator."""
+        """Jitted (beta-chunk) x alpha accuracy evaluator.
+
+        The logits/labels ride as jit ARGUMENTS, not closure captures: a
+        captured jax.Array becomes a literal constant in the lowered MLIR,
+        and at ImageNet scale the (50k, 1000) f32 clip_logits turned every
+        combo's grid compile into a 200MB payload for the out-of-process
+        compile helper (~100s per cold compile; measured in
+        tools/attr_all_logits_compile.py / attr_grid_variants.py — the
+        same program compiles in ~1s with the operands passed as args).
+        """
         labels = jnp.asarray(self.test_labels)
         clip_logits = self.clip_logits
         alphas = jnp.asarray(list(self.cfg.cache.alpha), jnp.float32)
         k5 = min(5, int(clip_logits.shape[1]))
 
         @jax.jit
-        def evaluate(cache_chunk: jax.Array) -> tp.Tuple[jax.Array, jax.Array]:
+        def evaluate_args(cache_chunk: jax.Array, clip_logits: jax.Array,
+                          labels: jax.Array, alphas: jax.Array
+                          ) -> tp.Tuple[jax.Array, jax.Array]:
             def eval_beta(cache_one):
                 def eval_alpha(alpha):
                     logits = clip_logits + alpha * cache_one
-                    top = jax.lax.top_k(logits, k5)[1]
-                    hit1 = (top[:, 0] == labels).astype(jnp.float32).mean() * 100.0
-                    hit5 = (top == labels[:, None]).any(axis=1).astype(jnp.float32).mean() * 100.0
+                    # sort-free top-k membership (exact vs lax.top_k incl.
+                    # index tiebreaks, ~10x faster per grid on-chip —
+                    # methods/zeroshot.label_rank)
+                    rank = label_rank(logits, labels)
+                    hit1 = (rank == 0).astype(jnp.float32).mean() * 100.0
+                    hit5 = (rank < k5).astype(jnp.float32).mean() * 100.0
                     return hit1, hit5
                 return jax.vmap(eval_alpha)(alphas)
             # sequential over betas: a beta-vmap materializes the full
-            # (betas, alphas, Nt, C) f32 sort input — ~11GB at ImageNet scale
+            # (betas, alphas, Nt, C) f32 slab — ~11GB at ImageNet scale
             # (50k x 1000, 8x7 grid), which OOMs a 16GB chip. lax.map keeps
             # one (alphas, Nt, C) slab live (~1.4GB) with the same results.
             return jax.lax.map(eval_beta, cache_chunk)
+
+        def evaluate(cache_chunk: jax.Array) -> tp.Tuple[jax.Array, jax.Array]:
+            return evaluate_args(cache_chunk, clip_logits, labels, alphas)
 
         return evaluate
 

@@ -102,22 +102,38 @@ class PromptTrainer(CoOpTrainer):
 
         self._text_features_for = text_features_for
 
-        def full_loss(prompt_embs, prompt_ids, feats, labels, lm_class_idx):
-            tf = text_features_for(prompt_embs)
+        # the CLIP tower variables, GPT variables, and embedding table ride
+        # the jitted loss as ARGUMENTS: closure-captured trees embed as MLIR
+        # constants (~850MB of compile payload here — tower + LM + table),
+        # which crushes this host's out-of-process compile helper
+        # (tools/attr_grid_variants.py)
+        def full_loss_args(prompt_embs, prompt_ids, feats, labels, lm_class_idx,
+                           embs_table, clip_vars, gpt_vars):
+            ids, lens = collator.get_clip_input(class_table, all_class_idx)
+            embeds = jnp.take(embs_table, ids, axis=0)
+            embeds = PL.splice_prompt_embeds(embeds, prompt_embs)
+            tf = session.model.apply(clip_vars, embeds, lens,
+                                     method=session.model.encode_text_embeds
+                                     ).astype(jnp.float32)
             tf = tf / jnp.maximum(jnp.linalg.norm(tf, axis=-1, keepdims=True), 1e-12)
             logits = logit_scale * feats @ tf.T
             loss = w_clip * optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
             if w_fluency and gpt_model is not None:
                 ids, _, mask = collator.get_gpt_input(class_table, lm_class_idx,
                                                       prompt_ids=prompt_ids)
-                embeds = jnp.take(clip_embs_table, ids, axis=0)
+                embeds = jnp.take(embs_table, ids, axis=0)
                 embeds = PL.splice_prompt_embeds(embeds, prompt_embs)
-                lm_out = gpt_model.apply(gpt_variables, inputs_embeds=embeds)
+                lm_out = gpt_model.apply(gpt_vars, inputs_embeds=embeds)
                 loss = loss + w_fluency * lm_loss.transform(ids, mask, lm_out["logits"])
             return loss
 
-        self._loss_jit = jax.jit(full_loss)
-        self._loss_grad_jit = jax.jit(jax.value_and_grad(full_loss))
+        _jit = jax.jit(full_loss_args)
+        _jit_grad = jax.jit(jax.value_and_grad(full_loss_args))
+        gpt_vars = gpt_variables if (w_fluency and gpt_model is not None) else None
+        self._loss_jit = lambda *a: _jit(
+            *a, clip_embs_table, session.variables, gpt_vars)
+        self._loss_grad_jit = lambda *a: _jit_grad(
+            *a, clip_embs_table, session.variables, gpt_vars)
 
     # -- batch plumbing -----------------------------------------------------------
     def _batch(self, idx: np.ndarray):

@@ -210,13 +210,22 @@ class CoOpTrainer(BaseTrainer):
 
         self._text_features_for = text_features_for
 
-        def loss_fn(prompt_params, batch_feats, batch_labels, lm_class_idx, temperature):
+        # table/tower/LM variables ride the jitted loss as ARGUMENTS:
+        # closure-captured trees embed as MLIR constants and inflate the
+        # remote compile payload by ~850MB (tools/attr_grid_variants.py)
+        def loss_fn(prompt_params, batch_feats, batch_labels, lm_class_idx,
+                    temperature, embs_table, clip_vars, gpt_vars):
             out = model.apply(prompt_params, temperature=temperature, training=True)
             total = jnp.asarray(0.0, jnp.float32)
             metrics = {}
 
             if w_clip:
-                tf = text_features_for(out["clip_embs"])
+                ids, lens = collator.get_clip_input(class_table, all_class_idx)
+                embeds = jnp.take(embs_table, ids, axis=0)
+                embeds = PL.splice_prompt_embeds(embeds, out["clip_embs"])
+                tf = session.model.apply(clip_vars, embeds, lens,
+                                         method=session.model.encode_text_embeds
+                                         ).astype(jnp.float32)
                 tf = tf / jnp.maximum(jnp.linalg.norm(tf, axis=-1, keepdims=True), 1e-12)
                 logits = logit_scale * batch_feats @ tf.T
                 clip_ce = optax.softmax_cross_entropy_with_integer_labels(
@@ -228,9 +237,9 @@ class CoOpTrainer(BaseTrainer):
             if w_fluency and gpt_model is not None:
                 ids, _, mask = collator.get_gpt_input(class_table, lm_class_idx,
                                                       prompt_ids=out["ids"])
-                embeds = jnp.take(clip_embs_table, ids, axis=0)
+                embeds = jnp.take(embs_table, ids, axis=0)
                 embeds = PL.splice_prompt_embeds(embeds, out["gpt_embs"])
-                lm_out = gpt_model.apply(gpt_variables, inputs_embeds=embeds)
+                lm_out = gpt_model.apply(gpt_vars, inputs_embeds=embeds)
                 fl = lm_loss.transform(ids, mask, lm_out["logits"])
                 total = total + w_fluency * fl
                 metrics["loss/fluency"] = fl
@@ -253,15 +262,19 @@ class CoOpTrainer(BaseTrainer):
         tx = self.tx
 
         @jax.jit
-        def train_step(prompt_params, opt_state, batch_feats, batch_labels,
-                       lm_class_idx, temperature):
+        def train_step_j(prompt_params, opt_state, batch_feats, batch_labels,
+                         lm_class_idx, temperature, embs_table, clip_vars,
+                         gpt_vars):
             (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                prompt_params, batch_feats, batch_labels, lm_class_idx, temperature)
+                prompt_params, batch_feats, batch_labels, lm_class_idx,
+                temperature, embs_table, clip_vars, gpt_vars)
             updates, opt_state = tx.update(grads, opt_state, prompt_params)
             new_params = optax.apply_updates(prompt_params, updates)
             return new_params, opt_state, metrics, grads
 
-        self._train_step = train_step
+        gpt_vars = gpt_variables if (w_fluency and gpt_model is not None) else None
+        self._train_step = lambda *a: train_step_j(
+            *a, clip_embs_table, session.variables, gpt_vars)
 
     # -- loops -------------------------------------------------------------------
     def train_epoch(self, epoch_num, epoch_info):

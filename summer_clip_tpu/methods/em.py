@@ -97,15 +97,18 @@ class FixedMeansGMM:
         else:
             cov = jnp.ones((self.k, self.d))
 
+        # x rides as a jit ARG: a closure-captured data matrix embeds as an
+        # MLIR constant (200MB at 50k x 1024) and inflates the remote
+        # compile payload (tools/attr_grid_variants.py).
         @jax.jit
-        def em_step(weights, cov):
+        def em_step(x, weights, cov):
             log_resp, lb = self._e_step(x, weights, cov)
             weights, cov = self._m_step(x, log_resp)
             return weights, cov, lb
 
         prev = -jnp.inf
         for _ in range(self.max_iter):
-            weights, cov, lb = em_step(weights, cov)
+            weights, cov, lb = em_step(x, weights, cov)
             if bool(jnp.abs(lb - prev) < self.tol):
                 prev = lb
                 break

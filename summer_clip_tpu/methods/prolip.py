@@ -61,14 +61,17 @@ def train_projection(feats_pre: np.ndarray, labels: np.ndarray,
 
     tx = optax.adam(float(lr))
 
-    def loss_fn(W):
-        logits = prolip_logits(x, W, T, scale)
-        ce = optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
-        reg = lam * jnp.mean((W - W0j) ** 2)
-        return ce + reg, ce
-
+    # data/classifier/anchor ride as jit ARGS, not closure captures — a
+    # captured array embeds as an MLIR constant and inflates the remote
+    # compile payload (tools/attr_grid_variants.py).
     @jax.jit
-    def fit(W, opt_state):
+    def fit(W, opt_state, x, y, T, W0j):
+        def loss_fn(W):
+            logits = prolip_logits(x, W, T, scale)
+            ce = optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
+            reg = lam * jnp.mean((W - W0j) ** 2)
+            return ce + reg, ce
+
         def step(carry, _):
             W, opt_state = carry
             (loss, ce), grads = jax.value_and_grad(loss_fn, has_aux=True)(W)
@@ -79,7 +82,7 @@ def train_projection(feats_pre: np.ndarray, labels: np.ndarray,
         return W, losses, ces
 
     W = W0j
-    W, losses, ces = fit(W, tx.init(W))
+    W, losses, ces = fit(W, tx.init(W), x, y, T, W0j)
     if log_fn is not None:
         losses = np.asarray(losses)
         ces = np.asarray(ces)

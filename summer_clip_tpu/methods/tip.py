@@ -100,8 +100,13 @@ def search_hp(features: tp.Union[np.ndarray, jax.Array],
     y = jnp.asarray(labels, jnp.int32)
     alphas_j = jnp.asarray(alphas, jnp.float32)
 
+    # clip_logits/labels ride as jit ARGS, not closure captures: a captured
+    # jax.Array embeds as a literal MLIR constant, and at ImageNet scale the
+    # (Nt, C) logits turn the cold compile into a ~200MB remote-compile
+    # payload (~100s; measured in tools/attr_grid_variants.py).
     @jax.jit
-    def accs_for_chunk(cache_chunk: jax.Array) -> jax.Array:
+    def accs_for_chunk_args(cache_chunk: jax.Array, cl: jax.Array,
+                            y: jax.Array, alphas_j: jax.Array) -> jax.Array:
         # cache_chunk: (Bc, Nt, C) -> accuracy matrix (Bc, A)
         def acc_one(cache_one):
             def acc_alpha(alpha):
@@ -109,6 +114,9 @@ def search_hp(features: tp.Union[np.ndarray, jax.Array],
                 return jnp.mean((preds == y).astype(jnp.float32)) * 100.0
             return jax.vmap(acc_alpha)(alphas_j)
         return jax.vmap(acc_one)(cache_chunk)
+
+    def accs_for_chunk(cache_chunk: jax.Array) -> jax.Array:
+        return accs_for_chunk_args(cache_chunk, cl, y, alphas_j)
 
     best = (-1.0, 0.0, 0.0)  # acc, beta, alpha
     for s in range(0, len(betas), beta_chunk):

@@ -21,7 +21,25 @@ import numpy as np
 
 from summer_clip_tpu.models import tokenizer as tokenizer_mod
 
-__all__ = ["zeroshot_classifier", "accuracy", "compute_accuracy", "clip_logits"]
+__all__ = ["zeroshot_classifier", "accuracy", "compute_accuracy", "clip_logits",
+           "label_rank"]
+
+
+def label_rank(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Rank of ``labels[i]`` in ``logits[i]`` under ``lax.top_k``'s index
+    tiebreak — WITHOUT the sort.
+
+    ``rank = #(strictly greater) + #(equal at an earlier index)``, so
+    ``rank < k`` is exactly membership in ``lax.top_k(logits, k)[1]``
+    (pinned incl. crafted ties in tests/test_methods.py), and ``rank == 0``
+    is the argmax hit. Replaces the sort-network lowering in accuracy
+    grids: ~10x faster per (8 beta x 7 alpha) grid at ImageNet scale
+    on-chip (0.09s vs 0.94s, tools/attr_grid_variants.py).
+    """
+    lab = jnp.take_along_axis(logits, labels[:, None], axis=1)
+    idx = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    return ((logits > lab).sum(1)
+            + ((logits == lab) & (idx < labels[:, None])).sum(1))
 
 
 def zeroshot_classifier(encode_text: tp.Callable[[jax.Array], jax.Array],

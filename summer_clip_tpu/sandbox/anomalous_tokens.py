@@ -196,7 +196,8 @@ def optimise_input(gpt_apply: tp.Callable[[jax.Array], jax.Array],
                    return_early: bool = False,
                    check_freq: int = 10,
                    decode_fn: tp.Optional[tp.Callable[[tp.Sequence[int]], str]] = None,
-                   log_fn: tp.Optional[tp.Callable[[dict], None]] = None
+                   log_fn: tp.Optional[tp.Callable[[dict], None]] = None,
+                   gpt_params: tp.Any = None
                    ) -> tp.Dict[str, tp.Any]:
     """Optimize continuous inputs so the LM outputs ``target_ids``.
 
@@ -225,6 +226,13 @@ def optimise_input(gpt_apply: tp.Callable[[jax.Array], jax.Array],
     ``init``: "kmeans" (cluster centroids, optionally ``equal_clusters``),
     "random" (random token embeddings), or "local" (tokens nearest the
     target's mean embedding, backwards.py:67-77).
+
+    ``gpt_params``: when given, ``gpt_apply`` is called as
+    ``gpt_apply(gpt_params, inputs_embeds)`` and the parameter tree rides
+    the jitted programs as an argument (a closure-captured tree embeds as
+    MLIR constants — ~500MB of compile payload at gpt2 scale). The
+    single-arg ``gpt_apply(inputs_embeds)`` contract remains for small
+    closures.
     """
     raw = jnp.asarray(word_embeddings, jnp.float32)
     emb = _l2n(raw)    # the reference normalizes the table in place (line 53)
@@ -265,9 +273,23 @@ def optimise_input(gpt_apply: tp.Callable[[jax.Array], jax.Array],
     windows = np.stack([np.arange(t_len) + w for w in range(out_len - t_len + 1)])
     windows_j = jnp.asarray(windows)
 
-    def loss_fn(p):
+    # gpt params + the (V, D) embedding tables ride through the jits as
+    # ARGUMENTS (when `gpt_params` is given): a closure-captured array
+    # embeds as a literal MLIR constant — at gpt2 scale that is the whole
+    # ~500MB parameter tree per compiled program, a crushing payload for
+    # this host's out-of-process compile helper (tools/attr_grid_variants.py).
+    # The legacy single-arg `gpt_apply(embeds)` contract still works for
+    # small closures (the unit tests' fake models).
+    if gpt_params is None:
+        def apply2(_gp, inputs_embeds):
+            return gpt_apply(inputs_embeds)
+    else:
+        apply2 = gpt_apply
+
+    def loss_fn(p, gp, emb):
         x = _l2n(p["inputs"])                               # (B, L, D) on the sphere
-        all_logits, out_ids, _ = greedy_rollout(gpt_apply, x, emb, out_len)
+        all_logits, out_ids, _ = greedy_rollout(
+            lambda e: apply2(gp, e), x, emb, out_len)
         # rollout logits at output positions: L-1 .. L+out_len-2
         out_logits = all_logits[:, input_len - 1: input_len + out_len - 1, :]
         logp = jax.nn.log_softmax(out_logits.astype(jnp.float32), axis=-1)
@@ -294,21 +316,32 @@ def optimise_input(gpt_apply: tp.Callable[[jax.Array], jax.Array],
         return total, (nll_b, dist_b, perp_b, out_ids)
 
     @jax.jit
-    def step(params, opt_state):
-        (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    def step_j(params, opt_state, gp, emb):
+        (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, gp, emb)
         updates, opt_state = base_tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, total, aux
 
     @jax.jit
-    def decode_ids(ids):
+    def decode_ids_j(ids, gp, raw):
         # the success check decodes through the RAW table — the model's real
         # token embeddings, like the reference's model.generate(closest_ix)
-        _, out_ids, _ = greedy_rollout(gpt_apply, raw[ids], raw, out_len)
+        _, out_ids, _ = greedy_rollout(lambda e: apply2(gp, e),
+                                       raw[ids], raw, out_len)
         return out_ids
 
     @jax.jit
-    def nearest_ids(p):
+    def nearest_ids_j(p, emb):
         return jnp.argmax(jnp.einsum("bld,vd->blv", _l2n(p["inputs"]), emb), axis=-1)
+
+    def step(params, opt_state):
+        return step_j(params, opt_state, gpt_params, emb)
+
+    def decode_ids(ids):
+        return decode_ids_j(ids, gpt_params, raw)
+
+    def nearest_ids(p):
+        return nearest_ids_j(p, emb)
 
     target_np = np.asarray(target_ids, np.int64)
     target_str = decode_fn(list(target_np)) if decode_fn else None
@@ -441,8 +474,10 @@ def backwards_main(argv: tp.Optional[tp.Sequence[str]] = None) -> tp.Dict[str, t
                                      jnp.zeros((1, 4), jnp.int32))["params"]
     table = params["wte"]["embedding"]
 
-    def gpt_apply(inputs_embeds):
-        return model.apply({"params": params}, inputs_embeds=inputs_embeds)["logits"]
+    # two-arg contract + gpt_params=: the 500MB param tree rides the jits
+    # as an argument instead of an embedded MLIR constant
+    def gpt_apply(p, inputs_embeds):
+        return model.apply({"params": p}, inputs_embeds=inputs_embeds)["logits"]
 
     logger = JsonlLogger(args.log) if args.log else NullExpLogger()
 
@@ -466,7 +501,7 @@ def backwards_main(argv: tp.Optional[tp.Sequence[str]] = None) -> tp.Dict[str, t
             equal_clusters=args.equal_clusters, optimiser=args.optimiser,
             lr_decay=args.lr_decay, no_reinit=args.no_reinit,
             return_early=args.return_early, check_freq=args.w_freq,
-            log_fn=logger.log)
+            log_fn=logger.log, gpt_params=params)
         logger.log_table(
             "optimised_inputs",
             ["Input", "Output", "Loss", "Perplexity", "Distance", "Epoch"],

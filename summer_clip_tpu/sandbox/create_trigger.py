@@ -288,8 +288,23 @@ class TriggerSearch:
                  embedding_table: jax.Array, num_trigger_tokens: int, *,
                  causal: bool = True,
                  evaluation_fn: tp.Optional[AccuracyFn] = None,
-                 token_filter: tp.Optional[np.ndarray] = None):
+                 token_filter: tp.Optional[np.ndarray] = None,
+                 model_params: tp.Any = None):
+        # When ``model_params`` is given, ``model_fn`` is called as
+        # ``model_fn(model_params, input_embeds)`` and the parameter tree +
+        # embedding table ride the jitted programs as ARGUMENTS. A closure-
+        # captured jax.Array embeds as a literal MLIR constant — at gpt2
+        # scale that is ~500MB of params + a 154MB table per compiled
+        # program, a crushing payload for this host's out-of-process
+        # compile helper (tools/attr_grid_variants.py). The single-arg
+        # ``model_fn(input_embeds)`` contract remains for small closures
+        # (the unit tests' fake models).
         self.model_fn = model_fn
+        if model_params is None:
+            self._apply2 = lambda _p, e: model_fn(e)
+        else:
+            self._apply2 = model_fn
+        self.model_params = model_params
         self.table = jnp.asarray(embedding_table)
         self.L = num_trigger_tokens
         self.causal = causal
@@ -300,36 +315,42 @@ class TriggerSearch:
         # all candidate trials + the current trigger scored in ONE dispatch
         # (the reference loops candidates re-running the model per candidate,
         # create_trigger.py:374-388 — num_cand+1 forwards per batch)
-        self._jit_eval_many = jax.jit(jax.vmap(self._eval_step, in_axes=(0, None)))
+        self._jit_eval_many = jax.jit(
+            jax.vmap(self._eval_step, in_axes=(0, None, None, None)))
 
     # -- jitted primitives ----------------------------------------------------
 
-    def _splice(self, trigger_embs: jax.Array, batch: tp.Dict[str, jax.Array]) -> jax.Array:
+    def _splice(self, trigger_embs: jax.Array, batch: tp.Dict[str, jax.Array],
+                table: jax.Array) -> jax.Array:
         """Scatter the k-th trigger embedding into each row's k-th trigger slot
         (replaces the reference's ``replace_trigger_tokens`` masked_scatter)."""
-        embs = jnp.take(self.table, batch["input_ids"], axis=0)
+        embs = jnp.take(table, batch["input_ids"], axis=0)
         mask = batch["trigger_mask"]
         slot = jnp.clip(jnp.cumsum(mask, axis=1) - 1, 0, self.L - 1)
         return jnp.where(mask[..., None], trigger_embs[slot], embs)
 
     def _predict_logits(self, trigger_embs: jax.Array,
-                        batch: tp.Dict[str, jax.Array]) -> jax.Array:
-        embs = self._splice(trigger_embs, batch)
-        logits = self.model_fn(embs)
+                        batch: tp.Dict[str, jax.Array], table: jax.Array,
+                        params: tp.Any) -> jax.Array:
+        embs = self._splice(trigger_embs, batch, table)
+        logits = self._apply2(params, embs)
         pmask = batch["predict_mask"]
         pos = jnp.argmax(pmask, axis=1)
         if self.causal:  # causal LM: position p is predicted at p-1
             pos = jnp.maximum(pos - 1, 0)
         return logits[jnp.arange(logits.shape[0]), pos, :]
 
-    def _grad_step(self, trigger_ids: jax.Array, batch: tp.Dict[str, jax.Array]) -> jax.Array:
+    def _grad_step(self, trigger_ids: jax.Array, batch: tp.Dict[str, jax.Array],
+                   table: jax.Array, params: tp.Any) -> jax.Array:
         def loss_of(trigger_embs):
-            pl = self._predict_logits(trigger_embs, batch)
+            pl = self._predict_logits(trigger_embs, batch, table, params)
             return jnp.mean(label_loss(pl, batch["label_ids"]))
-        return jax.grad(loss_of)(jnp.take(self.table, trigger_ids, axis=0))
+        return jax.grad(loss_of)(jnp.take(table, trigger_ids, axis=0))
 
-    def _eval_step(self, trigger_ids: jax.Array, batch: tp.Dict[str, jax.Array]) -> jax.Array:
-        pl = self._predict_logits(jnp.take(self.table, trigger_ids, axis=0), batch)
+    def _eval_step(self, trigger_ids: jax.Array, batch: tp.Dict[str, jax.Array],
+                   table: jax.Array, params: tp.Any) -> jax.Array:
+        pl = self._predict_logits(jnp.take(table, trigger_ids, axis=0), batch,
+                                  table, params)
         if self.evaluation_fn is not None:
             return jnp.sum(self.evaluation_fn(pl, batch["label_ids"]))
         return jnp.sum(-label_loss(pl, batch["label_ids"]))
@@ -357,7 +378,7 @@ class TriggerSearch:
         tid = jnp.asarray(np.asarray(trigger_ids, np.int32))
         num, den = 0.0, 0
         for batch in self._batches(examples, min(bsz, len(examples))):
-            num += float(self._jit_eval(tid, batch))
+            num += float(self._jit_eval(tid, batch, self.table, self.model_params))
             den += batch["input_ids"].shape[0]
         return num / (den + 1e-13)
 
@@ -390,7 +411,7 @@ class TriggerSearch:
             # 1) averaged gradient over accumulation_steps fresh train batches
             avg_grad = None
             for batch in self._batches(train, bsz, rng, accumulation_steps):
-                g = self._jit_grad(tid, batch)
+                g = self._jit_grad(tid, batch, self.table, self.model_params)
                 avg_grad = g if avg_grad is None else avg_grad + g
             if avg_grad is None:
                 break
@@ -410,7 +431,7 @@ class TriggerSearch:
             trials_j = jnp.asarray(trials)
             cur_score, cand_scores, den = 0.0, np.zeros(num_cand), 0
             for batch in self._batches(train, bsz, rng, accumulation_steps):
-                scores = np.asarray(self._jit_eval_many(trials_j, batch))
+                scores = np.asarray(self._jit_eval_many(trials_j, batch, self.table, self.model_params))
                 cur_score += float(scores[0])
                 cand_scores += scores[1:]
                 den += batch["input_ids"].shape[0]
@@ -498,12 +519,14 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> dict:
             cfg.vocab_size, label_ids=label_rows,
             special_ids=[0], decode_fn=lambda ids: tok.decode(ids))
 
-    def model_fn(inputs_embeds):
-        return model.apply({"params": params}, inputs_embeds=inputs_embeds)["logits"]
+    # two-arg contract + model_params=: the gpt2-scale param tree rides the
+    # jits as an argument instead of an embedded MLIR constant
+    def model_fn(p, inputs_embeds):
+        return model.apply({"params": p}, inputs_embeds=inputs_embeds)["logits"]
 
     searcher = TriggerSearch(model_fn, table, templatizer.num_trigger_tokens,
                              causal=True, evaluation_fn=evaluation_fn,
-                             token_filter=token_filter)
+                             token_filter=token_filter, model_params=params)
     initial = encode(args.initial_trigger) if args.initial_trigger else None
     result = searcher.search(
         train, dev, iters=args.iters, bsz=args.bsz,

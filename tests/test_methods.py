@@ -190,6 +190,29 @@ class TestAccuracy:
         fn = f / np.linalg.norm(f, axis=1, keepdims=True)
         np.testing.assert_allclose(lg, 100 * fn @ w.T, atol=1e-4)
 
+    @pytest.mark.parametrize("k", [1, 5])
+    def test_label_rank_matches_topk_with_ties(self, k):
+        # rank < k must be EXACTLY membership in lax.top_k(logits, k)[1],
+        # including top_k's lowest-index tiebreak (label_rank replaces the
+        # sort in the image_attention accuracy grid — ~10x on-chip win,
+        # tools/attr_grid_variants.py)
+        from summer_clip_tpu.methods.zeroshot import label_rank
+
+        rng = np.random.default_rng(0)
+        c = 11
+        logits = rng.standard_normal((64, c)).astype(np.float32)
+        # craft heavy ties: quantize to few distinct values so equal scores
+        # straddle the label index in both directions
+        logits = np.round(logits * 2) / 2
+        labels = rng.integers(0, c, 64)
+        rank = np.asarray(label_rank(jnp.asarray(logits), jnp.asarray(labels)))
+        top = np.asarray(jax.lax.top_k(jnp.asarray(logits), k)[1])
+        member = (top == labels[:, None]).any(1)
+        np.testing.assert_array_equal(rank < k, member)
+        if k == 1:
+            np.testing.assert_array_equal(
+                rank == 0, np.asarray(top[:, 0]) == labels)
+
 
 class TestZeroshotClassifier:
     def test_ensemble_shapes_and_norm(self):

@@ -102,6 +102,7 @@ def main(nt: int = 50176, nc: int = 1281024, d: int = 1024, c: int = 1000,
     import jax.numpy as jnp
 
     from summer_clip_tpu.methods.cache import HardCacheStrategy, select_topk_per_label
+    from summer_clip_tpu.methods.zeroshot import label_rank
 
     def log(msg):
         # stderr: bench.py embeds this tool and must keep stdout to one JSON line
@@ -131,19 +132,26 @@ def main(nt: int = 50176, nc: int = 1281024, d: int = 1024, c: int = 1000,
     hard = HardCacheStrategy()
 
     @jax.jit
-    def grid_acc(cache_b):
+    def grid_acc_args(cache_b, clip_logits, labels, alphas):
         # lax.map over betas keeps one (alphas, Nt, C) sort input live at a
         # time (~1.4GB at ImageNet scale); a beta-vmap would materialize the
         # full (8, 7, 50176, 1000) f32 grid (~11GB) and OOM the chip.
+        # clip_logits/labels are ARGS, not captures: a captured array embeds
+        # as a 200MB MLIR constant and costs ~100s in the remote compile
+        # helper (tools/attr_grid_variants.py).
         def eval_beta(one):
             def eval_alpha(a):
                 logits = clip_logits + a * one
-                top = jax.lax.top_k(logits, 5)[1]
-                h1 = (top[:, 0] == labels).astype(jnp.float32).mean()
-                h5 = (top == labels[:, None]).any(1).astype(jnp.float32).mean()
+                # sort-free top-k membership (the app's shipped form)
+                rank = label_rank(logits, labels)
+                h1 = (rank == 0).astype(jnp.float32).mean()
+                h5 = (rank < 5).astype(jnp.float32).mean()
                 return h1, h5
             return jax.vmap(eval_alpha)(alphas)
         return jax.lax.map(eval_beta, cache_b)
+
+    def grid_acc(cache_b):
+        return grid_acc_args(cache_b, clip_logits, labels, alphas)
 
     def combo(inds):
         app._last_inds = inds
