@@ -24,6 +24,7 @@ biases/LayerNorm scales stay f32 (negligible bytes, high sensitivity).
 
 from __future__ import annotations
 
+import functools
 import typing as tp
 
 import jax
@@ -84,12 +85,35 @@ def quant_head_table(model, variables):
 
     model = getattr(model, "model", model)  # unwrap TPInt8Decoder-style ducks
     if isinstance(model, gpt2_mod.ClipGPT):
-        table = model.apply(variables, method=model.lm_head_table)
-        return quantize_array(table.T, per_row=False)
+        # one jitted program (eager apply dispatches the 49k-row adapter
+        # MLP op-by-op through the tunnel at engine construction)
+        return _clip_head_table_jit(model)(variables)
     wte = variables["params"]["wte"]["embedding"]
     if is_qleaf(wte):  # already per-row int8: transpose in place
         return {"q": wte["q"].T, "scale": wte["scale"].T}
     return quantize_array(wte.T, per_row=False)
+
+
+@functools.lru_cache(maxsize=8)
+def _clip_head_table_jit(model):
+    @jax.jit
+    def build(variables):
+        table = model.apply(variables, method=model.lm_head_table)
+        return quantize_array(table.T, per_row=False)
+    return build
+
+
+def _quantize_tree_impl(params):
+    def quant(path, x):
+        name = str(getattr(path[-1], "key", "")) if path else ""
+        if (hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+                and x.ndim >= 2 and name not in _SENSITIVE):
+            return _quant_leaf(x, per_row=name in _EMBED_NAMES)
+        return x
+    return jax.tree_util.tree_map_with_path(quant, params)
+
+
+_quantize_tree_jit = jax.jit(_quantize_tree_impl)
 
 
 def quantize_tree(params):
@@ -98,14 +122,13 @@ def quantize_tree(params):
     Returns a pytree where quantized leaves become ``{"q": int8,
     "scale": f32}`` dicts (marked by key structure, reversed by
     :func:`dequantize_tree`).
+
+    Runs as ONE jitted program: the eager tree_map dispatched ~6 tiny ops
+    per leaf (~900 dispatches at gpt2-large), which on the tunneled chip
+    costs ~100s of milliseconds of engine-construction latency per
+    ``ContinuousBatcher(quant_int8=True)`` (round-5 serving session).
     """
-    def quant(path, x):
-        name = str(getattr(path[-1], "key", "")) if path else ""
-        if (hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
-                and x.ndim >= 2 and name not in _SENSITIVE):
-            return _quant_leaf(x, per_row=name in _EMBED_NAMES)
-        return x
-    return jax.tree_util.tree_map_with_path(quant, params)
+    return _quantize_tree_jit(params)
 
 
 def _is_qleaf(x) -> bool:
