@@ -279,6 +279,9 @@ class ImageAttention(BaseTrainer):
         def evaluate(cache_chunk: jax.Array) -> tp.Tuple[jax.Array, jax.Array]:
             return evaluate_args(cache_chunk, clip_logits, labels, alphas)
 
+        # exposed for the compile-payload canary (tests/test_compile_payload)
+        evaluate.jitted = evaluate_args
+        evaluate.operands = (clip_logits, labels, alphas)
         return evaluate
 
     def _inject_context(self, strategy_cfg: dict) -> dict:
