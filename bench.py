@@ -461,6 +461,24 @@ def main() -> None:
 
     log(f"[bench] backend={jax.default_backend()} devices={jax.devices()}")
     init_done.set()
+
+    # Warmup VALUE FETCH before any clock matters: the tunnel's first fetch
+    # in a fresh process intermittently stalls ~11 min (observed 687.6s on
+    # a one-add program and 678.0s inside RN50's first-run, same session
+    # that also measured 0.1s — transport-level, not compile). Absorb it
+    # here, make it visible, and restart the budget/deadline clock so one
+    # stall can't starve every secondary.
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    assert float(jnp.asarray(1.0) + jnp.asarray(1.0)) == 2.0
+    warm = time.perf_counter() - t0
+    if warm > 5.0:
+        log(f"[bench] first-fetch warmup absorbed a {warm:.1f}s transport "
+            "stall; budget clock restarts now")
+    global _T0
+    _T0 = time.perf_counter()
+
     ips = bench_encode("RN50", batch=128, iters=256)
     emitter = _HeadlineEmitter({
         "metric": "CLIP RN50 feature extraction throughput (224px, bf16, steady-state)",
