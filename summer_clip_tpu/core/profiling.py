@@ -13,7 +13,28 @@ import functools
 import time
 import typing as tp
 
-__all__ = ["trace", "timed"]
+__all__ = ["trace", "timed", "absorb_first_fetch_stall"]
+
+
+def absorb_first_fetch_stall(log: tp.Optional[tp.Callable[[str], None]] = None
+                             ) -> float:
+    """Pay the tunnel's first VALUE FETCH before any measurement clock runs.
+
+    On the tunneled-TPU host the first fetch in a fresh process
+    intermittently stalls 680-820s at the transport layer (caught live:
+    820.8s warmup, then the "stalled" program re-timed at 1.4s —
+    docs/KERNELS.md "Addendum — the third confound"). Call this once at
+    tool startup; returns the absorbed seconds and reports via ``log``
+    when it exceeds 5s. No-op-cheap (~ms) when the transport is healthy.
+    """
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    assert float(jnp.asarray(1.0) + jnp.asarray(1.0)) == 2.0
+    dt = time.perf_counter() - t0
+    if dt > 5.0 and log is not None:
+        log(f"[warmup] first-fetch absorbed a {dt:.1f}s transport stall")
+    return dt
 
 
 @contextlib.contextmanager

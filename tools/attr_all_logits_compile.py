@@ -94,6 +94,8 @@ def main(nt: int = 50176, nc: int = 1281024) -> None:
     from summer_clip_tpu.ops.cache_kernels import cache_attention
 
     enable_persistent_cache()
+    from summer_clip_tpu.core.profiling import absorb_first_fetch_stall
+    absorb_first_fetch_stall(log=lambda m: print(m, flush=True))
     print(f"backend={jax.default_backend()} nt={nt} nc={nc}", flush=True)
     d, c, n_betas, n_alphas = 1024, 1000, 8, 7
 

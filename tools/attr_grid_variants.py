@@ -71,6 +71,8 @@ def main(nt: int = 50176, c: int = 1000, n_betas: int = 8,
     from summer_clip_tpu.core.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()
+    from summer_clip_tpu.core.profiling import absorb_first_fetch_stall
+    absorb_first_fetch_stall(log=lambda m: print(m, flush=True))
     print(f"backend={jax.default_backend()} nt={nt}", flush=True)
     kx, kc, kl = jax.random.split(jax.random.PRNGKey(7), 3)
     cache_chunk = jax.jit(

@@ -175,6 +175,8 @@ def main() -> None:
     from summer_clip_tpu.core.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()
+    from summer_clip_tpu.core.profiling import absorb_first_fetch_stall
+    absorb_first_fetch_stall(log=lambda m: print(m, flush=True))
     print(f"backend={jax.default_backend()} devices={jax.devices()}", flush=True)
     args = sys.argv[1:]
     sections = {"train", "dots", "decode"}

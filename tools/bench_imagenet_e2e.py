@@ -185,4 +185,6 @@ if __name__ == "__main__":
     from summer_clip_tpu.core.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()
+    from summer_clip_tpu.core.profiling import absorb_first_fetch_stall
+    absorb_first_fetch_stall(log=lambda m: print(m, flush=True))
     main(*args)

@@ -34,6 +34,8 @@ def main(name: str = "gpt2", slots: int = 8, n_requests: int = 24,
     from summer_clip_tpu.models import gpt2 as gpt2_mod
 
     enable_persistent_cache()
+    from summer_clip_tpu.core.profiling import absorb_first_fetch_stall
+    absorb_first_fetch_stall(log=lambda m: print(m, flush=True))
     print(f"backend={jax.default_backend()}", flush=True)
     cfg = gpt2_mod.GPT2_CONFIGS[name]
     model = gpt2_mod.GPT2(cfg)
