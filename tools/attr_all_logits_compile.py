@@ -1,7 +1,7 @@
 """Attribute the ImageNet all_logits cold compile (VERDICT r4 #5).
 
-The bench tail's "imagenet-cache compile+first-run" read 98.9 s (r3) ->
-106.4 s (r4) without anyone knowing WHERE the time goes. Two structural
+The bench tail's e2e "all_logits ... compile+first combo" read 98.9 s
+(r3) -> 106.4 s (r4) without anyone knowing WHERE the time goes. Two structural
 facts about this host shape the measurement:
 
 - **Compiles run out-of-process**: the axon terminal forwards every XLA

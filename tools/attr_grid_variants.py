@@ -90,18 +90,6 @@ def main(nt: int = 50176, c: int = 1000, n_betas: int = 8,
         h5 = (top == labels[:, None]).any(1).astype(jnp.float32).mean()
         return h1, h5
 
-    def rank_body(logits):
-        # label's rank under top_k's index tiebreak: strictly-greater
-        # entries, plus equal entries at an earlier index
-        lab = jnp.take_along_axis(logits, labels[:, None], axis=1)
-        idx = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-        gt = (logits > lab).sum(1)
-        eq_before = ((logits == lab) & (idx < labels[:, None])).sum(1)
-        rank = gt + eq_before
-        h1 = (rank == 0).astype(jnp.float32).mean()
-        h5 = (rank < 5).astype(jnp.float32).mean()
-        return h1, h5
-
     def nest(body):
         # clip_logits/labels captured from the enclosing scope -> embedded
         # as MLIR constants (the shipped bug)
