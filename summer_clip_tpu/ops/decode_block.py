@@ -102,12 +102,22 @@ class MegaPlan:
     ck2: int    # mlp proj chunk (rows of (H, D))
     tc: int     # KV T-chunk
     nb: int = 1  # live decode streams (<= _ROWS; attention is per-stream)
+    batt: bool = False  # batched attention: ONE stage per KV chunk loads
+    #                   ALL streams' (nb, tc, d) blocks in one DMA and
+    #                   loops streams in-stage (same math, same order —
+    #                   bitwise equal); kills the per-stream stage DMAs
+    #                   that dominate short-ring serving (~127us/stream,
+    #                   docs/KERNELS.md round-5 attribution)
 
     @property
     def nq(self) -> int: return self.d // self.ckq
 
     @property
     def nat(self) -> int: return self.t // self.tc
+
+    @property
+    def n_att(self) -> int:
+        return self.nat if self.batt else self.nb * self.nat
 
     @property
     def npj(self) -> int: return self.d // self.ckp
@@ -118,12 +128,12 @@ class MegaPlan:
     @property
     def n2(self) -> int: return self.h // self.ck2
 
-    # stage offsets: [qkv][attention x nb streams][proj][mlp fc][mlp proj]
+    # stage offsets: [qkv][attention stages][proj][mlp fc][mlp proj]
     @property
     def s_att(self) -> int: return self.nq
 
     @property
-    def s_proj(self) -> int: return self.nq + self.nb * self.nat
+    def s_proj(self) -> int: return self.nq + self.n_att
 
     @property
     def s_fc(self) -> int: return self.s_proj + self.npj
@@ -154,12 +164,13 @@ def plan_for(n_layer: int, d: int, h: int, nh: int, t: int,
             next(c for c in (512, 256, 128) if t % c == 0)
         if t % tc != 0:
             tc = next(c for c in (512, 256, 128) if t % c == 0)
+        batt = nb > 1 and os.environ.get("MEGA_BATT", "1") == "1"
         return MegaPlan(n_layer, d, h, nh, t,
                         ckq=_chunk(d, 3 * d, itemsize),
                         ckp=_chunk(d, d, itemsize),
                         ck1=_chunk(d, h, itemsize),
                         ck2=_chunk(h, d, itemsize),
-                        tc=tc, nb=nb)
+                        tc=tc, nb=nb, batt=batt)
     finally:
         _CHUNK_CAP = old
 
@@ -479,72 +490,95 @@ def _kernel(plan: MegaPlan, kv_int8: bool, store_dtype):
                         ksn_ref[...] = jnp.ones((1, nb, 1), jnp.float32)
                         vsn_ref[...] = jnp.ones((1, nb, 1), jnp.float32)
 
-        # ---- attention: per-stream online softmax over that stream's KV --
-        for b in range(nb):
+        # ---- attention: per-stream online softmax over that stream's KV.
+        # Stage layout depends on plan.batt:
+        #   batt=False: one stage per (stream, chunk) — each loads that
+        #     stream's (tc, d) block (4 small latency-bound DMAs/stage).
+        #   batt=True: ONE stage per chunk — loads ALL streams' (nb, tc, d)
+        #     blocks in one DMA and loops streams in-stage. Same per-stream
+        #     math in the same order -> bitwise-equal outputs; kills the
+        #     per-stream stage DMAs (~127us/stream at serving rings,
+        #     docs/KERNELS.md round-5 attribution).
+        def _att_pair(b, a, bi):
+            # bi: stream index into the kv block's stream dim (0 when the
+            # block carries a single stream, b when it carries all nb)
+            idx = idx_ref[0, b]
+            padv = idx_ref[1, b]
+            if a == 0 or plan.batt:
+                # per-stream q -> (D, 128) head-block layout (batt rebuilds
+                # it per (chunk, stream) — qbd is shared scratch; the build
+                # is deterministic VPU work from the resident qkvs)
+                qcol = jnp.transpose(qkvs[b:b + 1, 0:d], (1, 0))
+                ddm = jax.lax.broadcasted_iota(
+                    jnp.int32, (d, 128), 0) // hd
+                hhm = jax.lax.broadcasted_iota(jnp.int32, (d, 128), 1)
+                qbd[...] = qcol * jnp.where(ddm == hhm,
+                                            inv_sqrt_hd, 0.0)
+            if a == 0:
+                kd = selfk[b:b + 1].astype(jnp.bfloat16)
+                sc0 = _bdot(kd, qbd[...])                 # (1, 128)
+                ms[b:b + 1] = sc0
+                ls[b:b + 1] = jnp.ones_like(sc0)
+                pd = jnp.dot(jnp.ones_like(sc0), es[...],
+                             preferred_element_type=jnp.float32)
+                # pd is exactly 1.0 per dim (one-hot column sums), so
+                # pd * selfv == the oracle's pd0 * vsn * vq bitwise
+                atts[b:b + 1] = pd * selfv[b:b + 1]
+
+            # chunk-skip: chunks at/beyond the fill index are a
+            # no-op (all-masked) — skip their MXU work ("1"/"c");
+            # the index map clamp ("1") also skips their DMA
+            # (MEGA_SKIP knob: see _kvmap / tools/bench_megadecode)
+            import os as _os
+            _sk = _os.environ.get("MEGA_SKIP", "1") in ("1", "c")
+
+            @pl.when((a == 0) | (a * plan.tc < idx) if _sk
+                     else (s >= 0))
+            def _chunk():
+                kc = (k_ref[0, bi].astype(jnp.bfloat16)
+                      * ks_ref[0, bi].astype(jnp.bfloat16))   # (Tc, D)
+                sc = _bdot(kc, qbd[...])                     # (Tc, 128)
+                posm = a * plan.tc + jax.lax.broadcasted_iota(
+                    jnp.int32, (plan.tc, 128), 0)
+                valid = (posm < idx) & (posm >= padv)
+                sc = jnp.where(valid, sc, _NEG)
+                mc = jnp.max(sc, axis=0, keepdims=True)
+                mnew = jnp.maximum(ms[b:b + 1], mc)
+                alpha = jnp.exp(ms[b:b + 1] - mnew)          # (1, 128)
+                p = jnp.where(valid, jnp.exp(sc - mnew), 0.0)
+                ls[b:b + 1] = (ls[b:b + 1] * alpha
+                               + jnp.sum(p, axis=0, keepdims=True))
+                alpha_d = jnp.dot(alpha, es[...],
+                                  preferred_element_type=jnp.float32)
+                # f32 accumulator (Mosaic requires 32-bit acc); E is
+                # one-hot so the bf16 cast after is bit-identical to
+                # a bf16-accumulated dot
+                pfull = jnp.dot((p * vs_ref[0, bi]).astype(jnp.bfloat16),
+                                es[...].astype(jnp.bfloat16),
+                                preferred_element_type=jnp.float32
+                                ).astype(jnp.bfloat16)
+                su = pfull * v_ref[0, bi].astype(jnp.bfloat16)  # (Tc, D)
+                # full-tile ones dot (free on the MXU: one sublane
+                # tile either way) keeps the summation order of the
+                # single-stream kernel/oracle bit-for-bit
+                attc = _bdot(jnp.ones((_ROWS, plan.tc), jnp.bfloat16),
+                             su)
+                atts[b:b + 1] = (atts[b:b + 1] * alpha_d
+                                 + attc[0:1])
+                ms[b:b + 1] = mnew
+
+        if plan.batt:
             for a in range(plan.nat):
-                @pl.when(s == plan.s_att + b * plan.nat + a)
-                def _att(b=b, a=a):
-                    idx = idx_ref[0, b]
-                    padv = idx_ref[1, b]
-                    if a == 0:
-                        # per-stream q -> (D, 128) head-block layout
-                        qcol = jnp.transpose(qkvs[b:b + 1, 0:d], (1, 0))
-                        ddm = jax.lax.broadcasted_iota(
-                            jnp.int32, (d, 128), 0) // hd
-                        hhm = jax.lax.broadcasted_iota(jnp.int32, (d, 128), 1)
-                        qbd[...] = qcol * jnp.where(ddm == hhm,
-                                                    inv_sqrt_hd, 0.0)
-                        kd = selfk[b:b + 1].astype(jnp.bfloat16)
-                        sc0 = _bdot(kd, qbd[...])                 # (1, 128)
-                        ms[b:b + 1] = sc0
-                        ls[b:b + 1] = jnp.ones_like(sc0)
-                        pd = jnp.dot(jnp.ones_like(sc0), es[...],
-                                     preferred_element_type=jnp.float32)
-                        # pd is exactly 1.0 per dim (one-hot column sums), so
-                        # pd * selfv == the oracle's pd0 * vsn * vq bitwise
-                        atts[b:b + 1] = pd * selfv[b:b + 1]
-
-                    # chunk-skip: chunks at/beyond the fill index are a
-                    # no-op (all-masked) — skip their MXU work ("1"/"c");
-                    # the index map clamp ("1") also skips their DMA
-                    # (MEGA_SKIP knob: see _kvmap / tools/bench_megadecode)
-                    import os as _os
-                    _sk = _os.environ.get("MEGA_SKIP", "1") in ("1", "c")
-
-                    @pl.when((a == 0) | (a * plan.tc < idx) if _sk
-                             else (s >= 0))
-                    def _chunk():
-                        kc = (k_ref[0, 0].astype(jnp.bfloat16)
-                              * ks_ref[0, 0].astype(jnp.bfloat16))   # (Tc, D)
-                        sc = _bdot(kc, qbd[...])                     # (Tc, 128)
-                        posm = a * plan.tc + jax.lax.broadcasted_iota(
-                            jnp.int32, (plan.tc, 128), 0)
-                        valid = (posm < idx) & (posm >= padv)
-                        sc = jnp.where(valid, sc, _NEG)
-                        mc = jnp.max(sc, axis=0, keepdims=True)
-                        mnew = jnp.maximum(ms[b:b + 1], mc)
-                        alpha = jnp.exp(ms[b:b + 1] - mnew)          # (1, 128)
-                        p = jnp.where(valid, jnp.exp(sc - mnew), 0.0)
-                        ls[b:b + 1] = (ls[b:b + 1] * alpha
-                                       + jnp.sum(p, axis=0, keepdims=True))
-                        alpha_d = jnp.dot(alpha, es[...],
-                                          preferred_element_type=jnp.float32)
-                        # f32 accumulator (Mosaic requires 32-bit acc); E is
-                        # one-hot so the bf16 cast after is bit-identical to
-                        # a bf16-accumulated dot
-                        pfull = jnp.dot((p * vs_ref[0, 0]).astype(jnp.bfloat16),
-                                        es[...].astype(jnp.bfloat16),
-                                        preferred_element_type=jnp.float32
-                                        ).astype(jnp.bfloat16)
-                        su = pfull * v_ref[0, 0].astype(jnp.bfloat16)  # (Tc, D)
-                        # full-tile ones dot (free on the MXU: one sublane
-                        # tile either way) keeps the summation order of the
-                        # single-stream kernel/oracle bit-for-bit
-                        attc = _bdot(jnp.ones((_ROWS, plan.tc), jnp.bfloat16),
-                                     su)
-                        atts[b:b + 1] = (atts[b:b + 1] * alpha_d
-                                         + attc[0:1])
-                        ms[b:b + 1] = mnew
+                @pl.when(s == plan.s_att + a)
+                def _att(a=a):
+                    for b in range(nb):
+                        _att_pair(b, a, b)
+        else:
+            for b in range(nb):
+                for a in range(plan.nat):
+                    @pl.when(s == plan.s_att + b * plan.nat + a)
+                    def _att(b=b, a=a):
+                        _att_pair(b, a, 0)
 
         # ---- attn out projection + residual + ln2 ---------------------------
         for j in range(plan.npj):
@@ -652,6 +686,35 @@ def _kvmap(plan: MegaPlan):
     return m
 
 
+def _kvmap_batt(plan: MegaPlan):
+    """Chunk index map for batched attention: ONE (nb, tc, d) block per
+    chunk stage carries every stream's rows. Chunk-skip clamps to the
+    LAST chunk any stream still needs (per-stream dead chunks are handled
+    by the in-stage compute predicate); early stages hold the previous
+    layer's last block so layer boundaries stagger the fetch."""
+    import os
+
+    s0, nat, nb, tc = plan.s_att, plan.nat, plan.nb, plan.tc
+    skip = os.environ.get("MEGA_SKIP", "1") == "1"
+
+    def m(l, s, idx_ref):
+        a = jnp.clip(s - s0, 0, nat - 1)
+        if skip:
+            mx = idx_ref[0, 0]
+            for b in range(1, nb):
+                mx = jnp.maximum(mx, idx_ref[0, b])
+            amax = jnp.clip((mx - 1) // tc, 0, nat - 1)
+            a = jnp.minimum(a, amax)
+            a_last = amax
+        else:
+            a_last = nat - 1
+        early = s < s0
+        return (jnp.where(early, jnp.maximum(l - 1, 0), l),
+                0,
+                jnp.where(early, a_last, a), 0)
+    return m
+
+
 def _lmap(l, s, idx_ref):   # per-layer resident rows (scales/biases/ln)
     return (l, 0, 0)
 
@@ -698,7 +761,12 @@ def decode_block(x: jax.Array, packed: tp.Mapping, kv: tp.Mapping,
     def cmap(l, s, idx_ref):
         return (0, 0)
 
-    kvm = _kvmap(plan)
+    if plan.batt:
+        kvm = _kvmap_batt(plan)
+        nbb = B  # one block carries every stream's chunk rows
+    else:
+        kvm = _kvmap(plan)
+        nbb = 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(L, plan.stages),
@@ -708,10 +776,10 @@ def decode_block(x: jax.Array, packed: tp.Mapping, kv: tp.Mapping,
             pl.BlockSpec((1, 1, 3 * d), _lmap),                        # sqkv
             pl.BlockSpec((1, 1, 3 * d), _lmap),                        # bqkv
             pl.BlockSpec((1, 4, d), _lmap),                            # ln
-            pl.BlockSpec((1, 1, plan.tc, d), kvm),                     # k
-            pl.BlockSpec((1, 1, plan.tc, d), kvm),                     # v
-            pl.BlockSpec((1, 1, plan.tc, 1), kvm),                     # ks
-            pl.BlockSpec((1, 1, plan.tc, 1), kvm),                     # vs
+            pl.BlockSpec((1, nbb, plan.tc, d), kvm),                   # k
+            pl.BlockSpec((1, nbb, plan.tc, d), kvm),                   # v
+            pl.BlockSpec((1, nbb, plan.tc, 1), kvm),                   # ks
+            pl.BlockSpec((1, nbb, plan.tc, 1), kvm),                   # vs
             pl.BlockSpec((1, plan.ckp, d), _wmap(plan.s_proj, plan.npj)),  # wproj
             pl.BlockSpec((1, 1, d), _lmap),                            # sproj
             pl.BlockSpec((1, 1, d), _lmap),                            # bproj
